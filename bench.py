@@ -1,0 +1,77 @@
+#!/usr/bin/env python3
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}.
+
+Timing = full plan execution materialized via a count over the result
+(write-less action; forces every operator, avoids driver collect cost for
+wide results).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+# Headline set: covers scan/filter/agg, multi-join, window, band-join scale
+# path, dedup, and the LLM-pipeline extensions when present.
+HEADLINE = [
+    "q_flagship_revenue",
+    "q_agg_sum_by_key",
+    "q_multiway_join",
+    "q_band_window",
+    "q_band_selfjoin",
+    "q_topk",
+    "q_semi_union_rule1",
+    "q_groupby_dedup",
+    "q_window_running",
+    "q_dedup_exact",
+    "q_minhash_signatures",
+    "q_cosine_topk",
+    "q_text_stats",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from etl_sber_spark.plans.queries import QUERIES
+    from etl_sber_spark.session import get_spark
+
+    spark = get_spark("bench")
+    names = [n for n in HEADLINE if n in QUERIES]
+
+    # warm the JVM/codegen once on the smallest table so q1 doesn't pay
+    # session startup
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        df = QUERIES[name](spark, sf_dir)
+        df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

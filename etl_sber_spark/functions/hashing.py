@@ -1,0 +1,27 @@
+"""Portable 60-bit hash, identical in Spark and DuckDB.
+
+Spark's native ``xxhash64``/``hash`` have no DuckDB equivalent, so
+differential tests could not pin operators built on them. Instead:
+
+    hash64(s, seed) = int(md5(s || ':' || seed)[:15], 16)
+
+15 hex digits = 60 bits, always non-negative, fits bigint in both engines.
+md5 is available as a built-in in both; this stays JVM-side (codegen) in
+Spark. Used by minhash/simhash dedup and document fingerprinting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def hash64(col: Column | str, seed: int = 0) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    salted = F.concat(c.cast("string"), F.lit(f":{seed}"))
+    return F.conv(F.substring(F.md5(salted), 1, 15), 16, 10).cast("long")
+
+
+def hash64_expr_sql(expr: str, seed: int = 0) -> str:
+    """The DuckDB-SQL rendering of :func:`hash64` for oracle queries."""
+    return f"CAST(('0x' || substr(md5({expr} || ':{seed}'), 1, 15)) AS BIGINT)"

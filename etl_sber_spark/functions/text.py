@@ -1,0 +1,97 @@
+"""Text-analysis expressions for LLM-data-pipeline operators.
+
+All pure Catalyst built-ins (regexp/length/split arithmetic) — no Python
+UDFs — so they vectorize inside whole-stage codegen and scan 100 TB of
+`documents` at parquet-scan speed. Each helper has an exact DuckDB-SQL
+rendering used by the oracle harness (plans/queries.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from .hashing import hash64
+
+#: BPE-ish token pattern: letter runs, digit runs, single non-space symbols.
+BPE_TOKEN_RE = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def ws_tokens(col: Column | str) -> Column:
+    """Whitespace tokenization (array<string>)."""
+    return F.split(F.trim(_c(col)), r"\s+")
+
+
+def token_count(col: Column | str) -> Column:
+    """Whitespace token count; 0 for blank/empty text."""
+    c = F.trim(_c(col))
+    return F.when(F.length(c) == 0, F.lit(0)).otherwise(
+        F.size(F.split(c, r"\s+"))
+    )
+
+
+def bpe_ish_tokens(col: Column | str) -> Column:
+    """Sub-word-ish tokenization via regex over lowercased text."""
+    return F.regexp_extract_all(F.lower(_c(col)), F.lit(BPE_TOKEN_RE), 0)
+
+
+def _char_class_count(col: Column, pattern: str) -> Column:
+    """Number of characters matching a class = len - len(stripped)."""
+    return F.length(col) - F.length(F.regexp_replace(col, pattern, ""))
+
+
+def lang_id(col: Column | str) -> Column:
+    """N-gram/char-class language heuristic: 'ru' | 'en' | 'und'.
+
+    Cyrillic share > 5% -> ru; else ASCII-letter share > 40% -> en; else
+    und. Intentionally simple and engine-portable; a production pipeline
+    would swap in a fastText-style model behind the same column contract.
+    """
+    c = _c(col)
+    n = F.greatest(F.length(c), F.lit(1))
+    cyr = _char_class_count(c, "[^А-яЁё]")
+    lat = _char_class_count(c, "[^A-Za-z]")
+    return (
+        F.when(cyr / n > 0.05, F.lit("ru"))
+        .when(lat / n > 0.40, F.lit("en"))
+        .otherwise(F.lit("und"))
+    )
+
+
+def quality_score(col: Column | str) -> Column:
+    """Heuristic document quality in [0,1], rounded to 4 decimals.
+
+    Components (each a cheap column expression):
+    - length_ok: 1 if 100 <= n_chars <= 20000 else n_chars/100 capped
+    - alpha_ratio: share of letters
+    - punct penalty: share of [.,;:!?"] capped at 0.2, scaled
+    - mean token length in [3, 12] rewarded
+    """
+    c = _c(col)
+    n = F.greatest(F.length(c), F.lit(1)).cast("double")
+    ntok = F.greatest(token_count(c), F.lit(1)).cast("double")
+    alpha = _char_class_count(c, "[^A-Za-zА-яЁё]").cast("double") / n
+    punct = _char_class_count(c, '[^.,;:!?"]').cast("double") / n
+    length_ok = F.least(n / F.lit(100.0), F.lit(1.0))
+    mean_tok = n / ntok
+    tok_ok = F.when((mean_tok >= 3.0) & (mean_tok <= 12.0), F.lit(1.0)).otherwise(
+        F.lit(0.5)
+    )
+    score = (
+        0.3 * length_ok + 0.4 * alpha + 0.2 * tok_ok + 0.1 * (1.0 - F.least(punct * 5.0, F.lit(1.0)))
+    )
+    return F.round(score, 4)
+
+
+def doc_fingerprint(col: Column | str, seed: int = 0) -> Column:
+    """64-bit content fingerprint over whitespace-normalized lowercase text.
+
+    Portable (md5-based, functions/hashing.py) so exact-dup detection can be
+    differentially tested against DuckDB.
+    """
+    c = F.lower(F.regexp_replace(F.trim(_c(col)), r"\s+", " "))
+    return hash64(c, seed)

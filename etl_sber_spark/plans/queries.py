@@ -1,0 +1,685 @@
+"""Driver-facing query registry: Spark plan + DuckDB oracle per operator.
+
+One named entry per operator row of SURVEY.md §2 (plus the LLM-pipeline
+extensions). Each Spark callable takes ``(spark, sf_dir)`` and returns a
+DataFrame; ``ORACLE[name]`` is the equivalent DuckDB SQL over the
+pre-registered views. Contract rules (SURVEY.md §5.3):
+
+- every computed column is aliased identically on both sides;
+- floating aggregates are computed in DECIMAL (exact, order-independent)
+  or rounded, never raw float sums;
+- window orderings carry a unique-key tiebreak so results are
+  deterministic in both engines.
+
+Determinism note: testdata doubles are 2-decimal (verified), so
+``CAST(x AS DECIMAL(18,2))`` is lossless and decimal sums are exact.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.hashing import hash64, hash64_expr_sql
+from ..functions.normalize import comma_decimal
+from ..functions.text import lang_id, quality_score, token_count
+from ..functions.vectors import cosine_similarity
+from ..sources.tables import load_table
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+
+    return deco
+
+
+def _dec(col, p: int = 18, s: int = 2):
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(T.DecimalType(p, s))
+
+
+D384 = T.DecimalType(38, 4)
+
+
+# ---------------------------------------------------------------------------
+# Flagship (entry point): revenue by region/nation — scan, filter, 5-way
+# broadcast-able join chain, decimal agg, sort. Reference shape: the J6
+# denormalized view + mart aggregation (main.py:392-421, 445-529).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_flagship_revenue",
+    oracle="""
+    SELECT r.r_name AS region_name, n.n_name AS nation_name,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4))
+               AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY r.r_name, n.n_name
+    """,
+)
+def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    # Dim tables (region/nation/customer) are tiny relative to the fact:
+    # broadcast them so the only shuffle is lineitem⋈orders; at 100 TB the
+    # orders join stays a shuffle join on the (co-partitionable) order key.
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(
+            (o.o_orderdate >= F.lit("1996-01-01").cast("timestamp"))
+            & (o.o_orderdate < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(r.r_name.alias("region_name"), n.n_name.alias("nation_name"))
+        .agg(
+            F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount")))
+            .cast(D384)
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scans / filters / projections (SURVEY §2.3-2.4: P1-P8, F2-F8)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_scan_filter",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+    FROM lineitem
+    WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-12-31'
+      AND l_discount = 0.05
+      AND l_quantity < 10
+    """,
+)
+def q_scan_filter(spark, sf_dir):
+    """F2 BETWEEN on timestamps + F3 equality + range filter, all pushed to
+    the parquet scan (PushedFilters in .explain)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        F.col("l_shipdate").between("1996-01-01", "1996-12-31")
+        & (F.col("l_discount") == 0.05)
+        & (F.col("l_quantity") < 10)
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+
+
+@query(
+    "q_project_concat",
+    oracle="""
+    SELECT c_custkey, concat_ws(' ', c_name, c_mktsegment) AS label
+    FROM customer
+    """,
+)
+def q_project_concat(spark, sf_dir):
+    """P2: Oracle ``||`` concat → concat_ws (NULL-as-empty semantics,
+    main.py:396)."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.concat_ws(" ", F.col("c_name"), F.col("c_mktsegment")).alias("label"),
+    )
+
+
+@query(
+    "q_cast_decimal",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(regexp_replace(
+                replace(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS VARCHAR),
+                        '.', ','),
+                ',', '.') AS DECIMAL(20,2)) AS amount
+    FROM lineitem
+    """,
+)
+def q_cast_decimal(spark, sf_dir):
+    """§1.4 comma-decimal repair: build the dirty string ('68423,46') then
+    repair it with the engine's comma_decimal normalizer (main.py:324)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    dirty = F.replace(
+        _dec("l_extendedprice").cast("string"), F.lit("."), F.lit(",")
+    )
+    return li.select(
+        "l_orderkey", "l_linenumber", comma_decimal(dirty).alias("amount")
+    )
+
+
+@query(
+    "q_trunc_date",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS event_date, COUNT(*) AS n
+    FROM events GROUP BY CAST(ts AS DATE)
+    """,
+)
+def q_trunc_date(spark, sf_dir):
+    """P6: Oracle trunc(timestamp) → to_date (main.py:417, 470-471)."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy(F.to_date("ts").alias("event_date")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+@query(
+    "q_interval_arith",
+    oracle="""
+    SELECT event_id,
+           ts + INTERVAL 1 HOUR  AS ts_plus_1h,
+           ts - INTERVAL 1 SECOND AS ts_minus_1s
+    FROM events
+    """,
+)
+def q_interval_arith(spark, sf_dir):
+    """P8: Oracle day-fraction arithmetic (sysdate - 1/24/60/60, ±1/24 —
+    main.py:133, 525) → INTERVAL literals."""
+    e = load_table(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("ts_plus_1h"),
+        (F.col("ts") - F.expr("INTERVAL 1 SECOND")).alias("ts_minus_1s"),
+    )
+
+
+@query(
+    "q_json_extract",
+    oracle="""
+    SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val
+    FROM events
+    """,
+)
+def q_json_extract(spark, sf_dir):
+    """Extension: JSON property extraction over events.props."""
+    e = load_table(spark, sf_dir, "events")
+    return e.select(
+        "event_id", F.get_json_object("props", "$.k").cast("int").alias("k_val")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins (SURVEY §2.5: J1-J9)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_left_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def q_left_anti(spark, sf_dir):
+    """J1-J3: the reference's LEFT JOIN … WHERE right IS NULL idiom
+    (main.py:81-84, 99-102, 248-251) folded into a left_anti join."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "q_left_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def q_left_semi(spark, sf_dir):
+    """F4: IN (subquery) (main.py:134, 140) → left_semi join."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "q_changed_rows",
+    oracle="""
+    SELECT t1.l_orderkey AS order_key,
+           t1.l_quantity AS qty_1, t2.l_quantity AS qty_2,
+           t1.l_partkey  AS part_1, t2.l_partkey  AS part_2
+    FROM (SELECT * FROM lineitem WHERE l_linenumber = 1) t1
+    JOIN (SELECT * FROM lineitem WHERE l_linenumber = 2) t2
+      ON t1.l_orderkey = t2.l_orderkey
+     AND (t1.l_quantity <> t2.l_quantity OR t1.l_partkey <> t2.l_partkey)
+    """,
+)
+def q_changed_rows(spark, sf_dir):
+    """J4/J5: inner equi join + null-unsafe non-equi residual — the
+    changed-rows detection of the snapshot diff (main.py:117-123, 264-267).
+    Catalyst plans the equi part as the join key and the <> disjunction as
+    a post-join filter."""
+    li = load_table(spark, sf_dir, "lineitem")
+    t1 = li.filter(F.col("l_linenumber") == 1).alias("t1")
+    t2 = li.filter(F.col("l_linenumber") == 2).alias("t2")
+    cond = (F.col("t1.l_orderkey") == F.col("t2.l_orderkey")) & (
+        (F.col("t1.l_quantity") != F.col("t2.l_quantity"))
+        | (F.col("t1.l_partkey") != F.col("t2.l_partkey"))
+    )
+    return t1.join(t2, cond, "inner").select(
+        F.col("t1.l_orderkey").alias("order_key"),
+        F.col("t1.l_quantity").alias("qty_1"),
+        F.col("t2.l_quantity").alias("qty_2"),
+        F.col("t1.l_partkey").alias("part_1"),
+        F.col("t2.l_partkey").alias("part_2"),
+    )
+
+
+@query(
+    "q_multiway_join",
+    oracle="""
+    SELECT n.n_name AS nation_name, c.c_mktsegment AS segment,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,4))
+               AS total_price,
+           COUNT(*) AS n_orders
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name IN ('ASIA', 'EUROPE')
+    GROUP BY n.n_name, c.c_mktsegment
+    """,
+)
+def q_multiway_join(spark, sf_dir):
+    """J6: multi-way inner equi chain shaped like the denormalized view
+    (main.py:409-419), dims broadcast."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .filter(F.col("r_name").isin("ASIA", "EUROPE"))
+        .groupBy(
+            F.col("n_name").alias("nation_name"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+        .agg(
+            F.sum(_dec("o_totalprice")).cast(D384).alias("total_price"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+@query(
+    "q_semi_union_rule1",
+    oracle="""
+    SELECT DISTINCT o_orderkey FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+       OR o.o_totalprice > 300000
+    """,
+)
+def q_semi_union_rule1(spark, sf_dir):
+    """J7 canonical: the reference's mixed AND/OR left join (main.py:467-471)
+    rewritten as union-of-semi-join + filter + distinct (SURVEY §2.5 J7) —
+    no BNLJ, scales linearly."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    arm1 = o.join(
+        li.filter(F.col("l_returnflag") == "R"),
+        o.o_orderkey == F.col("l_orderkey"),
+        "left_semi",
+    )
+    arm2 = o.filter(F.col("o_totalprice") > 300000)
+    return arm1.unionByName(arm2).select("o_orderkey").distinct()
+
+
+@query(
+    "q_band_selfjoin",
+    oracle="""
+    SELECT e1.event_id AS id_a, e2.event_id AS id_b
+    FROM events e1
+    JOIN events e2
+      ON e1.user_id = e2.user_id
+     AND e1.event_type <> e2.event_type
+     AND e1.ts <> e2.ts
+     AND e1.ts BETWEEN e2.ts - INTERVAL 1 HOUR AND e2.ts + INTERVAL 1 HOUR
+    """,
+)
+def q_band_selfjoin(spark, sf_dir):
+    """J9 faithful: band (±1h interval) self-join keyed on an equi column
+    (main.py:516-525). The user_id equi key bounds the quadratic term per
+    key; Catalyst plans hash-join on user_id + residual band filter."""
+    e = load_table(spark, sf_dir, "events")
+    e1 = e.alias("e1")
+    e2 = e.alias("e2")
+    cond = (
+        (F.col("e1.user_id") == F.col("e2.user_id"))
+        & (F.col("e1.event_type") != F.col("e2.event_type"))
+        & (F.col("e1.ts") != F.col("e2.ts"))
+        & F.col("e1.ts").between(
+            F.col("e2.ts") - F.expr("INTERVAL 1 HOUR"),
+            F.col("e2.ts") + F.expr("INTERVAL 1 HOUR"),
+        )
+    )
+    return e1.join(e2, cond, "inner").select(
+        F.col("e1.event_id").alias("id_a"), F.col("e2.event_id").alias("id_b")
+    )
+
+
+@query(
+    "q_band_window",
+    oracle="""
+    SELECT user_id, event_id, event_type, prev_type
+    FROM (
+      SELECT user_id, event_id, event_type, ts,
+             lag(event_type) OVER w AS prev_type,
+             lag(ts)         OVER w AS prev_ts
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    WHERE prev_type IS NOT NULL
+      AND prev_type <> event_type
+      AND ts - prev_ts <= INTERVAL 1 HOUR
+    """,
+)
+def q_band_window(spark, sf_dir):
+    """J9 scale path (SURVEY §4.3.2): the O(n^2)-per-key band self-join
+    rewritten as a lag window per key ordered by time — one shuffle+sort,
+    O(n log n); this is the default physical strategy at 100 TB."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.select(
+            "user_id",
+            "event_id",
+            "event_type",
+            "ts",
+            F.lag("event_type").over(w).alias("prev_type"),
+            F.lag("ts").over(w).alias("prev_ts"),
+        )
+        .filter(
+            F.col("prev_type").isNotNull()
+            & (F.col("prev_type") != F.col("event_type"))
+            & (
+                F.col("ts").cast("long") - F.col("prev_ts").cast("long")
+                <= 3600
+            )
+        )
+        .select("user_id", "event_id", "event_type", "prev_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aggregation / dedup / set ops (SURVEY §2.6, §2.8: A1-A2, S-ops, unions)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_agg_sum_by_key",
+    oracle="""
+    SELECT l_returnflag AS return_flag, l_linestatus AS line_status,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS sum_disc_price,
+           AVG(l_quantity) AS avg_qty,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_agg_sum_by_key(spark, sf_dir):
+    """TPC-H Q1 shape: partial (map-side) aggregation + single shuffle on the
+    group keys; decimal sums are exact and order-independent."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy(
+            F.col("l_returnflag").alias("return_flag"),
+            F.col("l_linestatus").alias("line_status"),
+        )
+        .agg(
+            F.sum(_dec("l_quantity")).cast(D384).alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast(D384).alias("sum_base_price"),
+            F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount")))
+            .cast(D384)
+            .alias("sum_disc_price"),
+            F.avg("l_quantity").alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "q_groupby_dedup",
+    oracle="SELECT user_id, event_type FROM events GROUP BY user_id, event_type",
+)
+def q_groupby_dedup(spark, sf_dir):
+    """A1: GROUP BY with no aggregate functions — dedup projection
+    (main.py:472). ``GROUP BY k`` with an empty select list is exactly
+    ``dropDuplicates`` on the keys; both plan a single hash aggregate."""
+    e = load_table(spark, sf_dir, "events")
+    return e.select("user_id", "event_type").dropDuplicates(
+        ["user_id", "event_type"]
+    )
+
+
+@query(
+    "q_distinct",
+    oracle="SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+)
+def q_distinct(spark, sf_dir):
+    """A2: SELECT DISTINCT (main.py:458, 499)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select("l_returnflag", "l_linestatus").distinct()
+
+
+@query(
+    "q_union_append",
+    oracle="""
+    SELECT event_id, 'click'  AS branch FROM events WHERE event_type = 'click'
+    UNION ALL
+    SELECT event_id, 'big'    AS branch FROM events WHERE value > 90
+    UNION ALL
+    SELECT event_id, 'error'  AS branch FROM events WHERE event_type = 'error'
+    """,
+)
+def q_union_append(spark, sf_dir):
+    """§2.8: the reference's multi-INSERT-into-one-table pattern
+    (main.py:143-186, 447-529) → unionByName of branch DataFrames, one
+    atomic append instead of three."""
+    e = load_table(spark, sf_dir, "events")
+    b1 = e.filter(F.col("event_type") == "click").select(
+        "event_id", F.lit("click").alias("branch")
+    )
+    b2 = e.filter(F.col("value") > 90).select(
+        "event_id", F.lit("big").alias("branch")
+    )
+    b3 = e.filter(F.col("event_type") == "error").select(
+        "event_id", F.lit("error").alias("branch")
+    )
+    return b1.unionByName(b2).unionByName(b3)
+
+
+@query(
+    "q_conditional_agg",
+    oracle="""
+    SELECT user_id,
+           SUM(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS n_click,
+           SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
+           SUM(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS n_error,
+           CAST(SUM(CASE WHEN event_type = 'purchase'
+                         THEN CAST(value AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END)
+                AS DECIMAL(38,4)) AS purchase_value
+    FROM events GROUP BY user_id
+    """,
+)
+def q_conditional_agg(spark, sf_dir):
+    """Pivot-shaped conditional aggregation (the scalable form of
+    .pivot(): no second pass to discover pivot values)."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias(
+            "n_click"
+        ),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "n_purchase"
+        ),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias(
+            "n_error"
+        ),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", _dec("value")).otherwise(
+                _dec(F.lit(0))
+            )
+        )
+        .cast(D384)
+        .alias("purchase_value"),
+    )
+
+
+@query(
+    "q_rollup",
+    oracle="""
+    SELECT l_returnflag AS return_flag, l_linestatus AS line_status,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q_rollup(spark, sf_dir):
+    """Hierarchical totals via rollup (grouping sets)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup(
+            F.col("l_returnflag").alias("return_flag"),
+            F.col("l_linestatus").alias("line_status"),
+        ).agg(F.sum(_dec("l_quantity")).cast(D384).alias("sum_qty"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Windows (SURVEY §2.7: W1-W2) + top-k
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_lead",
+    oracle="""
+    SELECT event_id, user_id,
+           lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS next_type
+    FROM events
+    """,
+)
+def q_lead(spark, sf_dir):
+    """W1: lead(city) per client ordered by event time (main.py:505), with
+    the unique-key tiebreak canonicalization (SURVEY §2.7)."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id", "user_id", F.lead("event_type").over(w).alias("next_type")
+    )
+
+
+@query(
+    "q_dense_rank",
+    oracle="""
+    SELECT DISTINCT user_id, event_type FROM (
+      SELECT user_id, event_type,
+             dense_rank() OVER (PARTITION BY user_id ORDER BY event_type) AS rnk
+      FROM events
+    ) WHERE rnk = 2
+    """,
+)
+def q_dense_rank(spark, sf_dir):
+    """W2 + F9: dense_rank per partition, filter rank = 2 (main.py:506,
+    527-528 — 'client seen in a second distinct city')."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_type")
+    return (
+        e.select(
+            "user_id", "event_type", F.dense_rank().over(w).alias("rnk")
+        )
+        .filter(F.col("rnk") == 2)
+        .select("user_id", "event_type")
+        .distinct()
+    )
+
+
+@query(
+    "q_topk",
+    oracle="""
+    SELECT o_orderpriority AS priority, o_orderkey, o_totalprice, rn AS rank_in_priority
+    FROM (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    ) WHERE rn <= 3
+    """,
+)
+def q_topk(spark, sf_dir):
+    """Top-K per group: row_number window + filter — the scalable top-k
+    (no global sort; per-partition heaps under AQE)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.select(
+            F.col("o_orderpriority").alias("priority"),
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rank_in_priority"),
+        )
+        .filter(F.col("rank_in_priority") <= 3)
+    )
+
+
+@query(
+    "q_window_running",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,2)))
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DECIMAL(38,4)) AS running_value
+    FROM events
+    """,
+)
+def q_window_running(spark, sf_dir):
+    """Aggregate window with an explicit ROWS frame (running total),
+    decimal-exact so the prefix sums hash identically."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.sum(_dec("value")).over(w).cast(D384).alias("running_value"),
+    )

@@ -1,0 +1,57 @@
+"""Parquet table catalog for the driver-generated test data.
+
+Maps to reference SRC6 (table scans — every ``FROM s_20_*`` /
+``bank.*`` site, e.g. /root/reference/main.py:410-416): in the rebuild a
+"table" is a parquet directory/file; Catalyst gives predicate pushdown,
+column pruning and partition pruning on these scans for free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one parquet table, normalizing physical-type quirks.
+
+    ``events.ts`` is written as INT64(TIMESTAMP(NANOS)) which Spark's
+    reader rejects by default; we read nanos as long
+    (``spark.sql.legacy.parquet.nanosAsLong``) and convert to a
+    microsecond timestamp in the plan — a codegen'd projection, no UDF,
+    no driver round-trip, so it costs nothing at 100 TB scan scale.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
+        # integer division: epoch-nanos overflow double's mantissa, so
+        # `/ 1000` would round the microseconds up
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in TABLE_NAMES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register every table as a temp view (mirrors the DuckDB oracle's
+    pre-registered views) so plans can be written in Spark SQL too."""
+    dfs = load_tables(spark, sf_dir)
+    for n, df in dfs.items():
+        df.createOrReplaceTempView(n)
+    return dfs
