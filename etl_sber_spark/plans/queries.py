@@ -13,6 +13,17 @@ pre-registered views. Contract rules (SURVEY.md §5.3):
 
 Determinism note: testdata doubles are 2-decimal (verified), so
 ``CAST(x AS DECIMAL(18,2))`` is lossless and decimal sums are exact.
+
+Output-type rule (round-2 fix for the 6 hash-red queries): aggregates are
+computed EXACTLY in decimal, then the *output* column is cast to DOUBLE on
+both sides. Rationale: the driver renders values through pandas, where
+DuckDB decimals become float64 but Spark decimals stay ``Decimal`` objects
+— ``Decimal('23720008.4600')`` vs ``23720008.46`` stringify differently
+whenever the decimal has trailing zeros. Casting the same exact decimal to
+double in both engines yields bit-identical IEEE doubles (the scaled
+integer fits in 2**53, so both casts are correctly rounded), hence
+identical renderings. Integer counters: DuckDB ``SUM(CASE…1…)`` returns
+HUGEINT (float64 via pandas) — the oracle casts them to BIGINT.
 """
 
 from __future__ import annotations
@@ -48,9 +59,6 @@ def _dec(col, p: int = 18, s: int = 2):
     return c.cast(T.DecimalType(p, s))
 
 
-D384 = T.DecimalType(38, 4)
-
-
 # ---------------------------------------------------------------------------
 # Flagship (entry point): revenue by region/nation — scan, filter, 5-way
 # broadcast-able join chain, decimal agg, sort. Reference shape: the J6
@@ -63,7 +71,7 @@ D384 = T.DecimalType(38, 4)
     oracle="""
     SELECT r.r_name AS region_name, n.n_name AS nation_name,
            CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
-                    * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
                AS revenue,
            COUNT(*) AS n_items
     FROM lineitem l
@@ -97,7 +105,7 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(r.r_name.alias("region_name"), n.n_name.alias("nation_name"))
         .agg(
             F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount")))
-            .cast(D384)
+            .cast("double")
             .alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
@@ -151,10 +159,10 @@ def q_project_concat(spark, sf_dir):
     "q_cast_decimal",
     oracle="""
     SELECT l_orderkey, l_linenumber,
-           CAST(regexp_replace(
+           CAST(CAST(regexp_replace(
                 replace(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS VARCHAR),
                         '.', ','),
-                ',', '.') AS DECIMAL(20,2)) AS amount
+                ',', '.') AS DECIMAL(20,2)) AS DOUBLE) AS amount
     FROM lineitem
     """,
 )
@@ -166,7 +174,9 @@ def q_cast_decimal(spark, sf_dir):
         _dec("l_extendedprice").cast("string"), F.lit("."), F.lit(",")
     )
     return li.select(
-        "l_orderkey", "l_linenumber", comma_decimal(dirty).alias("amount")
+        "l_orderkey",
+        "l_linenumber",
+        comma_decimal(dirty).cast("double").alias("amount"),
     )
 
 
@@ -295,7 +305,7 @@ def q_changed_rows(spark, sf_dir):
     "q_multiway_join",
     oracle="""
     SELECT n.n_name AS nation_name, c.c_mktsegment AS segment,
-           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,4))
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
                AS total_price,
            COUNT(*) AS n_orders
     FROM orders o
@@ -323,7 +333,7 @@ def q_multiway_join(spark, sf_dir):
             F.col("c_mktsegment").alias("segment"),
         )
         .agg(
-            F.sum(_dec("o_totalprice")).cast(D384).alias("total_price"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("total_price"),
             F.count(F.lit(1)).alias("n_orders"),
         )
     )
@@ -420,10 +430,11 @@ def q_band_window(spark, sf_dir):
         .filter(
             F.col("prev_type").isNotNull()
             & (F.col("prev_type") != F.col("event_type"))
-            & (
-                F.col("ts").cast("long") - F.col("prev_ts").cast("long")
-                <= 3600
-            )
+            # exact (microsecond-preserving) band check: prev_ts <= ts is
+            # implied by the window order, so only the upper bound remains.
+            # Casting to long would truncate to whole seconds and admit
+            # pairs up to 3600.999999s apart — diverging from the oracle.
+            & (F.col("ts") <= F.col("prev_ts") + F.expr("INTERVAL 1 HOUR"))
         )
         .select("user_id", "event_id", "event_type", "prev_type")
     )
@@ -438,10 +449,10 @@ def q_band_window(spark, sf_dir):
     "q_agg_sum_by_key",
     oracle="""
     SELECT l_returnflag AS return_flag, l_linestatus AS line_status,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS sum_qty,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS sum_base_price,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS sum_disc_price,
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
            AVG(l_quantity) AS avg_qty,
            COUNT(*) AS count_order
     FROM lineitem
@@ -460,10 +471,10 @@ def q_agg_sum_by_key(spark, sf_dir):
             F.col("l_linestatus").alias("line_status"),
         )
         .agg(
-            F.sum(_dec("l_quantity")).cast(D384).alias("sum_qty"),
-            F.sum(_dec("l_extendedprice")).cast(D384).alias("sum_base_price"),
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
             F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount")))
-            .cast(D384)
+            .cast("double")
             .alias("sum_disc_price"),
             F.avg("l_quantity").alias("avg_qty"),
             F.count(F.lit(1)).alias("count_order"),
@@ -526,12 +537,12 @@ def q_union_append(spark, sf_dir):
     "q_conditional_agg",
     oracle="""
     SELECT user_id,
-           SUM(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS n_click,
-           SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
-           SUM(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS n_error,
+           CAST(SUM(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+           CAST(SUM(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
            CAST(SUM(CASE WHEN event_type = 'purchase'
                          THEN CAST(value AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END)
-                AS DECIMAL(38,4)) AS purchase_value
+                AS DOUBLE) AS purchase_value
     FROM events GROUP BY user_id
     """,
 )
@@ -554,7 +565,7 @@ def q_conditional_agg(spark, sf_dir):
                 _dec(F.lit(0))
             )
         )
-        .cast(D384)
+        .cast("double")
         .alias("purchase_value"),
     )
 
@@ -563,7 +574,7 @@ def q_conditional_agg(spark, sf_dir):
     "q_rollup",
     oracle="""
     SELECT l_returnflag AS return_flag, l_linestatus AS line_status,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS sum_qty
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
     """,
@@ -575,7 +586,7 @@ def q_rollup(spark, sf_dir):
         li.rollup(
             F.col("l_returnflag").alias("return_flag"),
             F.col("l_linestatus").alias("line_status"),
-        ).agg(F.sum(_dec("l_quantity")).cast(D384).alias("sum_qty"))
+        ).agg(F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"))
     )
 
 
@@ -641,21 +652,38 @@ def q_dense_rank(spark, sf_dir):
     """,
 )
 def q_topk(spark, sf_dir):
-    """Top-K per group: row_number window + filter — the scalable top-k
-    (no global sort; per-partition heaps under AQE)."""
+    """Two-phase top-K per group.
+
+    ``o_orderpriority`` has only 5 distinct values, so a single
+    ``Window.partitionBy(priority)`` would shuffle the WHOLE fact into 5
+    reducer partitions — a scale-killer at 100 TB. Phase 1 takes a local
+    top-3 within each (priority, input-partition) slice — parallelism =
+    input partition count, and each slice emits at most 3 rows. Phase 2
+    ranks the surviving ≤ 3×P rows per priority — a tiny window. The
+    ordering (o_totalprice DESC, o_orderkey) is total, so local top-3 is
+    guaranteed to contain the global top-3.
+    """
     o = load_table(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_orderpriority").orderBy(
+    local = o.select(
+        F.col("o_orderpriority").alias("priority"),
+        "o_orderkey",
+        "o_totalprice",
+        F.spark_partition_id().alias("_slice"),
+    )
+    w_local = Window.partitionBy("priority", "_slice").orderBy(
         F.col("o_totalprice").desc(), F.col("o_orderkey")
     )
-    return (
-        o.select(
-            F.col("o_orderpriority").alias("priority"),
-            "o_orderkey",
-            "o_totalprice",
-            F.row_number().over(w).alias("rank_in_priority"),
-        )
-        .filter(F.col("rank_in_priority") <= 3)
+    survivors = (
+        local.withColumn("_rn", F.row_number().over(w_local))
+        .filter(F.col("_rn") <= 3)
+        .drop("_slice", "_rn")
     )
+    w_global = Window.partitionBy("priority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return survivors.withColumn(
+        "rank_in_priority", F.row_number().over(w_global)
+    ).filter(F.col("rank_in_priority") <= 3)
 
 
 @query(
@@ -665,7 +693,7 @@ def q_topk(spark, sf_dir):
            CAST(SUM(CAST(value AS DECIMAL(18,2)))
                 OVER (PARTITION BY user_id ORDER BY ts, event_id
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                AS DECIMAL(38,4)) AS running_value
+                AS DOUBLE) AS running_value
     FROM events
     """,
 )
@@ -681,5 +709,5 @@ def q_window_running(spark, sf_dir):
     return e.select(
         "event_id",
         "user_id",
-        F.sum(_dec("value")).over(w).cast(D384).alias("running_value"),
+        F.sum(_dec("value")).over(w).cast("double").alias("running_value"),
     )

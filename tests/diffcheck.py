@@ -1,10 +1,23 @@
 """Local replica of the driver's DuckDB differential check.
 
 Runs a Spark DataFrame and the matching DuckDB oracle SQL, canonicalizes
-both result sets (column order by name, normalized value rendering,
+both result sets (column order by name, value *string rendering*,
 order-insensitive row sort) and compares row count + column names + the
 full sorted payload. Stricter than a hash: on mismatch it shows the first
 differing rows for debugging.
+
+Canonicalization deliberately mirrors the driver, which round-1 proved is
+pandas-mediated and rendering-based:
+
+- the DuckDB side is fetched via ``rel.df()`` — DECIMAL and HUGEINT both
+  become float64 there;
+- the Spark side keeps ``decimal.Decimal`` objects (collect/toPandas
+  agree on that);
+- values are compared by their string rendering with NO numeric-type
+  leniency: ``Decimal('1.4600')`` renders ``'1.4600'`` and does NOT match
+  float ``1.46`` — exactly the trailing-zero mismatch that turned six
+  round-1 queries red. Queries must emit output types whose renderings
+  agree (rule: final aggregates as DOUBLE on both sides).
 """
 
 from __future__ import annotations
@@ -39,27 +52,44 @@ def duck_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 
 def _norm(v):
+    """Render one value the way the driver's hash sees it (no type tags)."""
+    import numpy as np
+
     if v is None:
         return "\x00NULL"
-    if isinstance(v, decimal.Decimal):
-        return f"dec:{v.normalize():f}" if v != 0 else "dec:0"
+    if isinstance(v, (np.floating,)):
+        v = float(v)
+    if isinstance(v, (np.integer,)):
+        v = int(v)
     if isinstance(v, float):
         if math.isnan(v):
-            return "f:nan"
-        return f"f:{v!r}"
+            return "nan"
+        return repr(v)
     if isinstance(v, bool):
-        return f"b:{v}"
+        return str(v)
     if isinstance(v, int):
-        return f"i:{v}"
+        return str(v)
+    if isinstance(v, decimal.Decimal):
+        # NOT normalized: trailing zeros stay, mismatching float renderings
+        return str(v)
     if isinstance(v, dt.datetime):
-        return "ts:" + v.replace(tzinfo=None).isoformat()
+        v = v.replace(tzinfo=None)
+        # DATE columns surface as midnight datetime64 on the pandas path;
+        # render exact-midnight datetimes as bare dates so both engines'
+        # DATE renderings agree (symmetric, so no false passes).
+        if v.hour == v.minute == v.second == v.microsecond == 0:
+            return v.date().isoformat()
+        return str(v)
     if isinstance(v, dt.date):
-        return "d:" + v.isoformat()
-    if isinstance(v, (list, tuple)):
-        return "[" + ",".join(_norm(x) for x in v) + "]"
+        return str(v)
+    if isinstance(v, (list, tuple)) or (
+        hasattr(v, "__len__") and hasattr(v, "tolist") and not isinstance(v, str)
+    ):
+        seq = v.tolist() if hasattr(v, "tolist") else v
+        return "[" + ",".join(_norm(x) for x in seq) + "]"
     if isinstance(v, (bytes, bytearray)):
-        return "x:" + bytes(v).hex()
-    return "s:" + str(v)
+        return bytes(v).hex()
+    return str(v)
 
 
 def canonical_rows(cols: list[str], rows: list[tuple]) -> list[tuple]:
@@ -70,11 +100,13 @@ def canonical_rows(cols: list[str], rows: list[tuple]) -> list[tuple]:
 
 
 def compare(name: str, spark_df, con: duckdb.DuckDBPyConnection, sql: str):
+    import pandas as pd  # noqa: F401  (pandas path is the point)
+
     s_cols = list(spark_df.columns)
     s_rows = [tuple(r) for r in spark_df.collect()]
-    rel = con.execute(sql)
-    d_cols = [d[0] for d in rel.description]
-    d_rows = rel.fetchall()
+    pdf = con.execute(sql).df()  # pandas path: decimals/hugeints -> float64
+    d_cols = list(pdf.columns)
+    d_rows = [tuple(r) for r in pdf.itertuples(index=False, name=None)]
 
     assert sorted(s_cols) == sorted(d_cols), (
         f"{name}: column mismatch spark={sorted(s_cols)} duck={sorted(d_cols)}"
