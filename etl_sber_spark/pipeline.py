@@ -1,0 +1,150 @@
+"""Daily batch orchestration — the reference's ``files_load()`` driver
+(main.py:544-580) rebuilt as one deterministic function.
+
+Differences from the reference, all documented in SURVEY.md §3.1/§3.4:
+
+- deterministic processing order (terminals → blacklist → transactions →
+  mart) instead of ``os.listdir`` order, so the fraud view never joins
+  stale dimension versions;
+- ``processing_ts`` parameter instead of ``sysdate`` — replaying a day is
+  reproducible;
+- staging tables become in-memory DataFrames (the reference's
+  drop/create/insert/drop staging churn vanishes);
+- failures raise instead of print-and-continue (main.py's 22 swallowed
+  try/except sites can half-load a day silently).
+
+Warehouse tables (sinks/warehouse.py):
+
+- ``dwh_dim_terminals_hist``  SCD2, atomic versioned overwrite
+- ``dwh_fact_pssprt_blcklst`` append-only SCD1 fact
+- ``dwh_fact_transactions``   append-only fact, partitioned by load_date
+- ``rep_fraud``               mart, append, partitioned by report_dt
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import schemas
+from .plans.fraud import build_fraud_report, data_view
+from .operators.scd import scd1_append, scd2_apply
+from .sinks.warehouse import Warehouse
+from .sources import io as src
+
+TERMINAL_ATTRS = ["terminal_type", "terminal_city", "terminal_address"]
+
+T_HIST = "dwh_dim_terminals_hist"
+T_BLACKLIST = "dwh_fact_pssprt_blcklst"
+T_FACT = "dwh_fact_transactions"
+T_MART = "rep_fraud"
+
+
+def _empty(spark: SparkSession, schema) -> DataFrame:
+    return spark.createDataFrame([], schema)
+
+
+def load_terminals(
+    wh: Warehouse, stg: DataFrame, processing_ts: dt.datetime
+) -> None:
+    """Pipeline T (main.py:556-565): snapshot → SCD2 apply → swap."""
+    hist = (
+        wh.read(T_HIST)
+        if wh.exists(T_HIST)
+        else _empty(wh.spark, schemas.TERMINALS_HIST)
+    )
+    nxt = scd2_apply(hist, stg, "terminal_id", TERMINAL_ATTRS, processing_ts)
+    wh.overwrite_versioned(nxt, T_HIST)
+
+
+def load_blacklist(wh: Warehouse, stg: DataFrame) -> None:
+    """Pipeline P (main.py:548-555): new + changed rows appended."""
+    fact = (
+        wh.read(T_BLACKLIST)
+        if wh.exists(T_BLACKLIST)
+        else _empty(wh.spark, schemas.PASSPORT_BLACKLIST)
+    )
+    delta = scd1_append(fact, stg, "passport_num", ["entry_dt"])
+    wh.append(delta, T_BLACKLIST)
+
+
+def load_transactions(
+    wh: Warehouse, stg: DataFrame, processing_ts: dt.datetime
+) -> None:
+    """Pipeline X (main.py:566-572): typed staging + create_date stamp →
+    append, partitioned by load_date (static pruning for the daily view
+    filter — SURVEY.md §4.3.3)."""
+    fact = stg.withColumn(
+        "create_date", F.lit(processing_ts).cast("timestamp")
+    ).withColumn("load_date", F.to_date(F.lit(processing_ts.date())))
+    wh.append(fact, T_FACT, partition_by=["load_date"])
+
+
+def build_mart(
+    wh: Warehouse,
+    bank_tables: dict[str, DataFrame],
+    processing_ts: dt.datetime,
+    *,
+    faithful_full_history: bool = False,
+) -> DataFrame:
+    """Build the day's fraud report and append it to the mart.
+
+    The view is built ONCE and cached for the three rules (the reference
+    re-evaluates the 5-way join per rule — SURVEY.md §3.3), then
+    unpersisted. Returns the day's report rows."""
+    view = data_view(
+        bank_tables["clients"],
+        bank_tables["accounts"],
+        bank_tables["cards"],
+        wh.read(T_FACT),
+        wh.read(T_HIST),
+        processing_ts,
+        faithful_full_history=faithful_full_history,
+    ).cache()
+    try:
+        blacklist = wh.read(T_BLACKLIST)
+        report = build_fraud_report(view, blacklist, processing_ts)
+        wh.append(report, T_MART, partition_by=["report_dt"])
+        return wh.read(T_MART).filter(
+            F.col("report_dt") == F.lit(processing_ts.date())
+        )
+    finally:
+        view.unpersist()
+
+
+def run_day(
+    spark: SparkSession,
+    inbox: str,
+    warehouse_root: str,
+    bank_tables: dict[str, DataFrame],
+    processing_ts: dt.datetime,
+    *,
+    archive: bool = True,
+    faithful_full_history: bool = False,
+) -> DataFrame:
+    """Process one day's inbox end-to-end; returns the day's mart rows.
+
+    ``bank_tables`` supplies the external ``bank.clients/accounts/cards``
+    DataFrames (pre-existing Oracle tables in the reference,
+    main.py:410-416 — here any DataFrame source: parquet fixtures, JDBC).
+    """
+    wh = Warehouse(spark, warehouse_root)
+    for kind, path in src.scan_inbox(inbox):
+        if kind == "terminals":
+            load_terminals(wh, src.read_terminals_xlsx(spark, path), processing_ts)
+        elif kind == "blacklist":
+            load_blacklist(wh, src.read_blacklist_xlsx(spark, path))
+        elif kind == "transactions":
+            load_transactions(
+                wh, src.read_transactions_csv(spark, path), processing_ts
+            )
+        if archive:
+            src.archive_file(path)
+    return build_mart(
+        wh,
+        bank_tables,
+        processing_ts,
+        faithful_full_history=faithful_full_history,
+    )

@@ -1,0 +1,95 @@
+"""Path-based parquet warehouse (SURVEY.md §2.2 SNK1-SNK6, §4.3.1/.3).
+
+A "table" is a directory of parquet files under a warehouse root — the
+same model as a production data lake, minus a metastore. Three write
+modes cover every sink the reference uses:
+
+- ``append``   — fact loads (INSERT INTO … SELECT, main.py:358-377) and
+  mart appends (main.py:448-529); optionally partitioned (fact by
+  ``load_date``, mart by ``report_dt`` — static partition pruning for
+  the daily filters at 100 TB, SURVEY.md §4.3.3);
+- ``overwrite_versioned`` — the SCD2 history rewrite. Spark cannot
+  overwrite a table it is currently reading (AnalysisException), and a
+  plain directory overwrite is not atomic; we write ``v_<n+1>/`` next to
+  ``v_<n>/`` and flip a one-line ``CURRENT`` pointer with os.replace
+  (atomic on POSIX). Readers that resolved the pointer before the flip
+  keep a consistent old version — snapshot isolation for free;
+- ``drop`` — staging cleanup (DROP TABLE, main.py:191-207).
+
+No Hive/Delta dependency: on a real cluster the same layout works on any
+shared filesystem; swapping in Delta/Iceberg later only changes this
+module.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class Warehouse:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def _dir(self, name: str) -> str:
+        return os.path.join(self.root, name)
+
+    # -- catalog ------------------------------------------------------------
+    def exists(self, name: str) -> bool:
+        d = self._dir(name)
+        if not os.path.isdir(d):
+            return False
+        if os.path.exists(os.path.join(d, "CURRENT")):
+            return True
+        return any(
+            e.endswith(".parquet") or e.startswith(("part-", "load_date=", "report_dt="))
+            for e in os.listdir(d)
+        )
+
+    def drop(self, name: str) -> None:
+        shutil.rmtree(self._dir(name), ignore_errors=True)
+
+    # -- read ---------------------------------------------------------------
+    def read(self, name: str) -> DataFrame:
+        d = self._dir(name)
+        cur = os.path.join(d, "CURRENT")
+        if os.path.exists(cur):
+            with open(cur) as f:
+                version = f.read().strip()
+            return self.spark.read.parquet(os.path.join(d, version))
+        return self.spark.read.parquet(d)
+
+    # -- write --------------------------------------------------------------
+    def append(
+        self, df: DataFrame, name: str, partition_by: list[str] | None = None
+    ) -> None:
+        w = df.write.mode("append")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(self._dir(name))
+
+    def overwrite_versioned(self, df: DataFrame, name: str) -> None:
+        """Write the next version directory, then atomically flip CURRENT."""
+        d = self._dir(name)
+        os.makedirs(d, exist_ok=True)
+        cur = os.path.join(d, "CURRENT")
+        prev = None
+        if os.path.exists(cur):
+            with open(cur) as f:
+                prev = f.read().strip()
+        n = int(prev.split("_")[1]) + 1 if prev else 1
+        version = f"v_{n}"
+        df.write.mode("overwrite").parquet(os.path.join(d, version))
+        tmp = cur + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(version)
+        os.replace(tmp, cur)  # atomic pointer flip
+        # retain only the immediately previous version (cheap time travel
+        # for debugging; older versions are garbage)
+        for e in os.listdir(d):
+            if e.startswith("v_") and e not in (version, prev):
+                shutil.rmtree(os.path.join(d, e), ignore_errors=True)

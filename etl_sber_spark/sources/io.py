@@ -1,0 +1,130 @@
+"""Ingestion readers + inbox protocol (SURVEY.md §2.1 SRC1-SRC4, §2.2 SNK8).
+
+Each reader returns a *typed, normalized* DataFrame: explicit schema, all
+string columns trimmed (§1.4 quirk 2 — canonical deviation: the reference
+lets padded day-2 values reach the warehouse untrimmed except where SQL
+trims ad hoc, main.py:370/399/416), comma-decimal amounts repaired
+(quirk 1), Excel serial dates converted (quirk 5), styled-blank xlsx rows
+dropped (quirk 4), blacklist columns reordered (reference reorders with
+pandas reindex, main.py:214).
+
+Scale design: the transactions CSV is read by Spark executors (splittable,
+schema'd, no inference pass); xlsx dims are parsed driver-side (hundreds
+of rows — see sources/xlsx.py) and parallelized via createDataFrame.
+"""
+
+from __future__ import annotations
+
+import fnmatch
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import schemas
+from ..functions.normalize import comma_decimal, trim_all_strings
+from .xlsx import read_table
+
+
+def read_transactions_csv(spark: SparkSession, path: str) -> DataFrame:
+    """`;`-separated daily transactions file → typed staging DataFrame.
+
+    Reference: pd.read_csv(sep=';') + positional executemany into an
+    all-varchar staging table (main.py:316-333). Here the scan is
+    executor-side with an explicit schema; normalization (trim, comma-
+    decimal, timestamp parse) is a codegen'd projection on top:
+
+    - trim every column (quirk 2: day-2 file pads headers AND values);
+    - ``amount`` ``'1046,40'`` → DECIMAL(20,2) (quirk 1);
+    - ``transaction_date`` → timestamp (main.py:370's
+      to_timestamp(trim(...), 'YYYY-MM-DD HH24:MI:SS')).
+    """
+    raw = (
+        spark.read.option("sep", ";")
+        .option("header", True)
+        .schema(schemas.TRANSACTIONS_RAW)
+        .csv(path)
+    )
+    # day-2's padded header makes Spark map columns by position only if the
+    # names match after trim — normalize header spelling by position
+    # instead: TRANSACTIONS_RAW column order IS the file column order.
+    trimmed = trim_all_strings(raw)
+    return trimmed.select(
+        F.col("transaction_id").alias("trans_id"),
+        F.to_timestamp("transaction_date", "yyyy-MM-dd HH:mm:ss").alias(
+            "trans_date"
+        ),
+        comma_decimal("amount").alias("amt"),
+        F.col("card_num"),
+        F.col("oper_type"),
+        F.col("oper_result"),
+        F.col("terminal"),
+    )
+
+
+def read_terminals_xlsx(spark: SparkSession, path: str) -> DataFrame:
+    """Terminal snapshot xlsx → typed staging DataFrame (main.py:18-19)."""
+    header, rows = read_table(path)
+    expected = [f.name for f in schemas.TERMINALS.fields]
+    # map by header name (files ship the canonical order, but don't rely on it)
+    idx = [header.index(c) for c in expected]
+    data = [[r[i] for i in idx] for r in rows]
+    df = spark.createDataFrame(data, schemas.TERMINALS)
+    return trim_all_strings(df)
+
+
+def read_blacklist_xlsx(spark: SparkSession, path: str) -> DataFrame:
+    """Passport-blacklist xlsx → typed staging DataFrame.
+
+    File columns are (date, passport) — reversed relative to the target
+    (passport_num, entry_dt); the reference reorders with
+    ``df.reindex(columns=['passport','date'])`` and stringifies the date
+    for ``to_date(?, 'YYYY-MM-DD')`` (main.py:212-223). Styled-blank rows
+    (quirk 4) are dropped by the sheet reader; serials → dates (quirk 5).
+    """
+    header, rows = read_table(path, date_cols=("date",))
+    pi, di = header.index("passport"), header.index("date")
+    data = [[r[pi], r[di]] for r in rows]
+    df = spark.createDataFrame(data, schemas.PASSPORT_BLACKLIST)
+    return trim_all_strings(df)
+
+
+# ---------------------------------------------------------------------------
+# Inbox protocol (SRC1 + SNK8)
+# ---------------------------------------------------------------------------
+
+#: fnmatch patterns → logical source kind, in DETERMINISTIC processing
+#: order: terminals before blacklist before transactions, so the fraud
+#: view never joins stale dimension versions (fixes the reference's
+#: os.listdir-order hazard — SURVEY.md §3.1).
+INBOX_PATTERNS = (
+    ("terminals", "terminals*"),
+    ("blacklist", "passport*"),
+    ("transactions", "transactions*"),
+)
+
+
+def scan_inbox(inbox: str) -> list[tuple[str, str]]:
+    """List (kind, absolute_path) for every recognized inbox file, in
+    deterministic order: by kind (terminals → blacklist → transactions),
+    then by name (which sorts by date for the DDMMYYYY names within one
+    month — callers replaying multiple days should pass one day at a
+    time, as the cron does)."""
+    names = sorted(os.listdir(inbox))
+    out = []
+    for kind, pat in INBOX_PATTERNS:
+        for n in names:
+            if fnmatch.fnmatch(n, pat):
+                out.append((kind, os.path.join(inbox, n)))
+    return out
+
+
+def archive_file(path: str) -> str:
+    """Move a processed file to <dir>/Archive/<name>.backup
+    (main.py:535-540). Returns the new path."""
+    d, name = os.path.split(path)
+    archive = os.path.join(d, "Archive")
+    os.makedirs(archive, exist_ok=True)
+    dest = os.path.join(archive, name + ".backup")
+    os.rename(path, dest)
+    return dest
