@@ -4,9 +4,10 @@
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec, ...}, "sf": ...}.
 
-Timing = full plan execution materialized via a count over the result
-(write-less action; forces every operator, avoids driver collect cost for
-wide results).
+Timing = full plan execution materialized via a `noop`-format write, so
+every output column is actually computed (a count() would let Catalyst
+prune projection/aggregate expressions and under-measure — flagged in
+round-1 ADVICE).
 """
 
 from __future__ import annotations
@@ -20,8 +21,8 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 if REPO not in sys.path:
     sys.path.insert(0, REPO)
 
-# Headline set: covers scan/filter/agg, multi-join, window, band-join scale
-# path, dedup, and the LLM-pipeline extensions when present.
+# Headline set: scan/filter/agg, multi-join, windows, band-join scale
+# path, dedup/minhash-LSH, similarity search, text stats, multimodal.
 HEADLINE = [
     "q_flagship_revenue",
     "q_agg_sum_by_key",
@@ -34,8 +35,12 @@ HEADLINE = [
     "q_window_running",
     "q_dedup_exact",
     "q_minhash_signatures",
+    "q_lsh_candidates",
     "q_cosine_topk",
+    "q_cosine_lsh",
     "q_text_stats",
+    "q_simhash",
+    "q_multimodal_decode",
 ]
 
 
@@ -45,6 +50,9 @@ def main() -> None:
     from etl_sber_spark.session import get_spark
 
     spark = get_spark("bench")
+    missing = [n for n in HEADLINE if n not in QUERIES]
+    if missing:
+        print(f"bench: skipping unregistered queries: {missing}", file=sys.stderr)
     names = [n for n in HEADLINE if n in QUERIES]
 
     # warm the JVM/codegen once on the smallest table so q1 doesn't pay
@@ -55,7 +63,7 @@ def main() -> None:
     for name in names:
         t0 = time.perf_counter()
         df = QUERIES[name](spark, sf_dir)
-        df.count()
+        df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

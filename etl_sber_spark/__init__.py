@@ -16,12 +16,14 @@ Layout
                  portable hash, text stats, vector math) — all built-ins,
                  codegen-friendly
 - ``operators``  composite relational operators: snapshot-diff, SCD2 apply,
-                 SCD1 upsert, band self-join (+ window rewrite), dedup
-                 (exact / minhash-LSH / simhash / ngram-jaccard), similarity
-                 search, multimodal column plumbing
+                 SCD1 append/keep-latest, dedup (exact / minhash-LSH /
+                 simhash / ngram-jaccard), similarity search (brute-force +
+                 hyperplane-LSH), multimodal column plumbing
+- ``sinks``      parquet warehouse: partitioned append + atomic versioned
+                 overwrite-swap (SCD2 rewrite)
 - ``plans``      end-to-end dataflows: denormalized data view, fraud rules,
-                 run_day orchestration, and the driver-facing query registry
-- ``streaming``  Structured Streaming variant of the file inbox
+                 and the driver-facing query registry
+- ``pipeline``   run_day orchestration (inbox -> warehouse -> mart)
 
 Reference parity is documented per-function with ``main.py:<line>`` cites
 into /root/reference (study-only; no code copied — the reference is Oracle

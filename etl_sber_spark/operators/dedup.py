@@ -1,0 +1,246 @@
+"""Document deduplication operators for LLM-data pipelines.
+
+All four families are pure Catalyst expressions over the ``documents``
+table — no Python UDFs — so they run at parquet-scan speed and shuffle
+only on the keys stated below:
+
+- exact:    md5-based 60-bit fingerprint, one hash-aggregate;
+- minhash:  word-3-gram shingles → K permuted minhashes (one md5 per
+            DISTINCT shingle + K cheap affine maps), one shuffle on
+            doc_id;
+- LSH:      band the signatures and join on (band, band-key) — candidate
+            generation is bucketed, NEVER all-pairs: cost is
+            sum-over-buckets |bucket|², not n²;
+- simhash:  32-bit sign-aggregated token sketch, one shuffle on doc_id;
+- n-gram Jaccard: exact set overlap, evaluated ONLY on LSH candidate
+            pairs (the verify step of the near-dup pipeline).
+
+Every operator has an exact DuckDB rendering (plans/llm_queries.py) so
+the driver can differential-test it; the portable primitive is
+``hash64`` (functions/hashing.py — md5 is built-in in both engines).
+"""
+
+from __future__ import annotations
+
+import functools
+import operator as op
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import hash64
+from ..functions.text import doc_fingerprint
+
+#: Mersenne prime 2^31-1: minhash permutation modulus. h0 is reduced to
+#: 31 bits first so a_k*h31 + b_k stays < 2^62 — no 64-bit overflow in
+#: either engine.
+MERSENNE31 = 2_147_483_647
+
+#: Deterministic (a, b) permutation constants for K=16 minhashes —
+#: literal values, identical in the DuckDB oracle SQL.
+MINHASH_PERMS: tuple[tuple[int, int], ...] = (
+    (1, 0),
+    (1299721, 7),
+    (1299743, 104729),
+    (1299763, 15485863),
+    (1299791, 32452843),
+    (1299811, 49979687),
+    (1299817, 67867967),
+    (1299821, 86028121),
+    (1299827, 104395301),
+    (1299833, 122949823),
+    (1299841, 141650939),
+    (1299853, 160481183),
+    (1299869, 179424673),
+    (1299871, 198491317),
+    (1299887, 217645177),
+    (1299899, 236887691),
+)
+
+N_BANDS = 4  # 4 bands x 4 rows over the 16-wide signature
+
+
+def tokens_expr(text_col: str = "text") -> Column:
+    """Lowercased whitespace tokens."""
+    return F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+
+
+def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, shingle) pairs: DISTINCT word-3-grams per document.
+
+    3-gram construction is an array transform over the token array
+    (1-indexed ``element_at``): shingle_i = toks[i] toks[i+1] toks[i+2]
+    for i in 1..n-2. Documents with < 3 tokens contribute nothing.
+    """
+    toks = df.select(F.col(id_col), tokens_expr(text_col).alias("toks")).filter(
+        F.size("toks") >= 3
+    )
+    sh = toks.select(
+        id_col,
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(1, size(toks)-2), i -> "
+                    "concat_ws(' ', element_at(toks, i), "
+                    "element_at(toks, i+1), element_at(toks, i+2)))"
+                )
+            )
+        ).alias("shingle"),
+    )
+    return sh
+
+
+def exact_duplicates(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact dedup: group by content fingerprint; one hash-aggregate.
+
+    Output: (fingerprint, n_docs, keep_id) — ``keep_id`` = min id is the
+    canonical survivor; rows with n_docs > 1 are the duplicate groups.
+    """
+    return (
+        df.select(
+            F.col(id_col), doc_fingerprint(text_col).alias("fingerprint")
+        )
+        .groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min(id_col).alias("keep_id"),
+        )
+    )
+
+
+def _mh_col(k: int) -> str:
+    return f"mh{k:02d}"
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """K=16 minhash signature per document, one column per component.
+
+    One md5 per distinct shingle (h0, 60-bit), reduced mod 2^31-1, then
+    K affine permutations (a_k*h + b_k) mod M, min-aggregated per doc —
+    the standard one-hash/K-permutations trick, so the expensive hash is
+    computed once, not K times.
+    """
+    sh = shingles(df, id_col, text_col)
+    h31 = (hash64(F.col("shingle")) % MERSENNE31).alias("h31")
+    hashed = sh.select(id_col, h31)
+    aggs = [
+        F.min((F.lit(a) * F.col("h31") + F.lit(b)) % MERSENNE31).alias(_mh_col(k))
+        for k, (a, b) in enumerate(MINHASH_PERMS)
+    ]
+    return hashed.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Banded-LSH candidate generation over minhash signatures.
+
+    Each signature explodes into N_BANDS (band, key) rows where key is
+    the concatenation of that band's 4 minhash components; candidates
+    are pairs sharing any (band, key) bucket — an equi-join on the
+    bucket, cost Σ|bucket|², never the n² cross join. Output:
+    (id_a < id_b, n_shared_bands).
+    """
+    r = len(MINHASH_PERMS) // N_BANDS
+    band_rows = []
+    for b in range(N_BANDS):
+        key = F.concat_ws(
+            ",", *[F.col(_mh_col(b * r + j)).cast("string") for j in range(r)]
+        )
+        band_rows.append(
+            signatures.select(
+                F.col(id_col),
+                F.lit(b).alias("band"),
+                key.alias("band_key"),
+            )
+        )
+    bands = functools.reduce(DataFrame.unionByName, band_rows)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+
+
+def ngram_jaccard(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact 3-gram Jaccard overlap for given (id_a, id_b) pairs.
+
+    The verify step after LSH: only candidate pairs are scored (joins
+    keyed on shingle/doc — linear in candidate volume, not corpus²).
+    Output: (id_a, id_b, n_inter, n_a, n_b) as exact integers; jaccard =
+    n_inter / (n_a + n_b - n_inter).
+    """
+    sh = shingles(df, id_col, text_col)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        pairs.select("id_a", "id_b")
+        .join(sh.alias("sa"), F.col("id_a") == F.col(f"sa.{id_col}"))
+        .join(
+            sh.alias("sb"),
+            (F.col("id_b") == F.col(f"sb.{id_col}"))
+            & (F.col("sa.shingle") == F.col("sb.shingle")),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        pairs.select("id_a", "id_b")
+        .join(inter, ["id_a", "id_b"], "left")
+        .na.fill({"n_inter": 0})
+        .join(
+            sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("n_a")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("n_b")),
+            "id_b",
+        )
+        .select("id_a", "id_b", "n_inter", "n_a", "n_b")
+    )
+
+
+def simhash32(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """32-bit SimHash over distinct tokens.
+
+    bit_j(doc) = 1 iff Σ_tokens (2·bit_j(hash64(tok)) − 1) ≥ 0. One
+    explode + one groupBy with 32 integer sums — entirely JVM-side.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(F.array_distinct(tokens_expr(text_col))).alias("tok")
+    )
+    hashed = toks.select(id_col, hash64(F.col("tok")).alias("h"))
+    sums = hashed.groupBy(id_col).agg(
+        *[
+            F.sum(F.shiftright(F.col("h"), j).bitwiseAND(1) * 2 - 1).alias(f"s{j}")
+            for j in range(32)
+        ]
+    )
+    sim = functools.reduce(
+        op.add,
+        [
+            F.when(F.col(f"s{j}") >= 0, F.lit(2**j)).otherwise(F.lit(0))
+            for j in range(32)
+        ],
+    )
+    return sums.select(F.col(id_col), sim.cast("long").alias("simhash"))

@@ -1,0 +1,121 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Media travels as opaque ``binary`` payloads with a typed metadata
+struct; decode / feature-extraction runs as Arrow-batched
+``mapInPandas`` — the only place in the engine where Python touches row
+data, because media codecs genuinely cannot be expressed in Catalyst.
+
+The decode itself is STUBBED (no image/audio libraries in this
+container): :func:`decode_stub_features` derives deterministic fake
+features from the payload's md5, and :func:`decode_real` raises
+``NotImplementedError`` with the intended library call spelled out. The
+Spark-side contract — schema, Arrow batch shape, partition-parallel
+execution, no driver round-trip — is real and tested; swapping the stub
+for Pillow/ffmpeg changes only the per-batch function body.
+
+Scale design: mapInPandas streams Arrow batches (default 10k rows) per
+partition — payloads never collect to the driver; feature extraction
+parallelizes with the scan. Partition by content-defined key (e.g.
+``pmod(hash(media_id), N)``) upstream if payload sizes are skewed.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: Typed metadata carried alongside every payload.
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),  # image|audio|video
+        T.StructField("payload", T.BinaryType()),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("source", T.StringType()),
+                    T.StructField("n_bytes", T.LongType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+#: Output schema of the decode/feature step.
+FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("payload_hash", T.StringType()),
+    ]
+)
+
+
+def decode_real(payload: bytes, media_type: str):
+    """The production decode hook — intentionally unimplemented here.
+
+    Would be: ``PIL.Image.open(io.BytesIO(payload))`` for images,
+    ``soundfile.read`` for audio, ``av.open`` frame sampling for video.
+    """
+    raise NotImplementedError(
+        "media codecs are not available in this container; "
+        "use decode_stub_features for the pipeline contract"
+    )
+
+
+def _stub_dims(payload: bytes) -> tuple[int, int, int, str]:
+    """Deterministic fake (width, height, n_frames, md5hex) from payload
+    bytes — stable across engines/runs, so tests can be differential."""
+    h = hashlib.md5(payload or b"").hexdigest()
+    width = int(h[:4], 16) % 1920 + 1
+    height = int(h[4:8], 16) % 1080 + 1
+    n_frames = int(h[8:12], 16) % 300 + 1
+    return width, height, n_frames, h
+
+
+def decode_stub_features(df: DataFrame) -> DataFrame:
+    """Arrow-batched decode: binary payload → typed feature rows.
+
+    Real plumbing (mapInPandas, FEATURES_SCHEMA, per-batch vectorized
+    work); fake decode (md5-derived dims — see module docstring).
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            dims = [_stub_dims(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": pdf["media_type"],
+                    "width": [d[0] for d in dims],
+                    "height": [d[1] for d in dims],
+                    "n_frames": [d[2] for d in dims],
+                    "payload_hash": [d[3] for d in dims],
+                }
+            )
+
+    return df.mapInPandas(batches, FEATURES_SCHEMA)
+
+
+def documents_as_media(documents: DataFrame) -> DataFrame:
+    """Adapter for the test corpus: treat each document's UTF-8 bytes as
+    an opaque payload so the multimodal path has real data to chew on
+    (TESTDATA ships no binary column)."""
+    return documents.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("media_type"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.struct(
+            F.col("source"), F.length("text").cast("long").alias("n_bytes")
+        ).alias("meta"),
+    )

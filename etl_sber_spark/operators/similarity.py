@@ -1,0 +1,151 @@
+"""Embedding similarity search over ``embeddings.embedding``
+(array<float>, 64-dim in TESTDATA).
+
+Two strategies, per the scale doctrine (BASELINE north star):
+
+- :func:`cosine_topk_bruteforce` — the exactness baseline: broadcast the
+  (small) query set against every candidate row; cosine is a per-row
+  JVM array fold (functions/vectors.py), so the scan parallelizes
+  perfectly and the only shuffle is the final tiny top-k. Exact, O(n·q).
+- :func:`cosine_topk_lsh` — the scale path: random-hyperplane LSH
+  buckets candidates and queries; only same-bucket pairs are scored.
+  With b hyperplanes the candidate volume drops ~2^b-fold at the cost
+  of recall — the classic ANN trade. Hyperplane signs are a fixed
+  deterministic ±1 pattern (literal arithmetic, identical in the DuckDB
+  oracle) rather than RNG, so differential tests are exact.
+
+Both stay UDF-free: dot products are ``zip_with``/``aggregate`` folds
+(left-to-right, deterministic order — required for cross-engine float
+equality).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine_similarity
+
+#: Number of LSH hyperplanes (buckets = 2^N_PLANES).
+N_PLANES = 8
+
+#: Rounding applied to similarity outputs: floats cross the engine
+#: boundary as their shortest repr, and the two engines may fold sums in
+#: different association orders; 6 decimals is far above ulp noise and
+#: far below the data's similarity gaps.
+SIM_SCALE = 6
+
+
+def plane_sign(p: int | Column, d: int | Column) -> Column:
+    """Deterministic ±1 entry of hyperplane p at dimension d:
+    ``((d*(p+7)) % 13) % 2 * 2 - 1`` — cheap integer arithmetic with an
+    exact SQL rendering (no RNG, no stored plane matrix)."""
+    p = F.lit(p) if isinstance(p, int) else p
+    d = F.lit(d) if isinstance(d, int) else d
+    return ((d * (p + 7)) % 13 % 2) * 2 - 1
+
+
+def bucket_expr(vec_col: str, n_dims: int) -> Column:
+    """LSH bucket id: bit p = sign of <v, plane_p>, planes 0..N_PLANES-1.
+
+    The projection is an integer-weighted sum of vector entries — exact
+    arithmetic order is fixed by the fold, and the sign test uses a
+    rounded value so both engines agree even at ulp distance from 0.
+    """
+    bucket = F.lit(0)
+    for p in range(N_PLANES):
+        dot = F.aggregate(
+            F.zip_with(
+                F.col(vec_col).cast("array<double>"),
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(n_dims)),
+                    lambda d: plane_sign(p, d).cast("double"),
+                ),
+                lambda x, s: x * s,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(F.round(dot, SIM_SCALE) >= 0, F.lit(2**p)).otherwise(
+            F.lit(0)
+        )
+    return bucket
+
+
+def cosine_topk_bruteforce(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors of each query vector (self-matches excluded).
+
+    ``queries`` must be small (it is broadcast); every candidate row is
+    scored in place during the scan — no shuffle until the per-query
+    top-k reduction. Output: (query_id, vec_id, sim rounded, rank).
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    scored = (
+        embeddings.alias("e")
+        .join(F.broadcast(q), F.col("query_id") != F.col(f"e.{id_col}"))
+        .select(
+            "query_id",
+            F.col(f"e.{id_col}").alias(id_col),
+            F.round(cosine_similarity(F.col("q_vec"), F.col(f"e.{vec_col}")), SIM_SCALE).alias(
+                "sim"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col(id_col)
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
+def cosine_topk_lsh(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    n_dims: int,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: score only candidates in the query's LSH bucket.
+
+    At 100 TB the bucket column is computed once at ingest (it is a pure
+    projection) and the candidate side is hash-partitioned by bucket, so
+    a query touches ~n/2^b rows instead of n. Recall is bounded by
+    bucket collision probability; increase recall with multi-probe
+    (union over neighboring buckets) — not needed for the test corpus.
+    """
+    cand = embeddings.withColumn("bucket", bucket_expr(vec_col, n_dims))
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        bucket_expr(vec_col, n_dims).alias("bucket"),
+    )
+    scored = (
+        cand.alias("e")
+        .join(
+            F.broadcast(q.alias("q")),
+            (F.col("e.bucket") == F.col("q.bucket"))
+            & (F.col("q.query_id") != F.col(f"e.{id_col}")),
+        )
+        .select(
+            "query_id",
+            F.col(f"e.{id_col}").alias(id_col),
+            F.round(
+                cosine_similarity(F.col("q_vec"), F.col(f"e.{vec_col}")),
+                SIM_SCALE,
+            ).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

@@ -1,0 +1,355 @@
+"""LLM-data-pipeline queries: dedup, near-dup, similarity, text stats,
+multimodal decode — each a driver-checkable differential test over the
+``documents`` / ``embeddings`` tables.
+
+Oracle strategy: every operator is built on engine-portable primitives —
+md5-based hash64 (functions/hashing.py), integer arithmetic, rounded
+doubles — so the DuckDB SQL here computes the *same algorithm*, not a
+reference answer. Output columns are ints/strings wherever possible
+(rendering-safe across the driver's pandas path); similarities are
+rounded to 6 decimals on both sides (ulp-independent).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions.text import lang_id, token_count
+from ..operators import dedup as dd
+from ..operators import multimodal as mm
+from ..operators import similarity as sim
+from ..sources.tables import load_table
+from .queries import query
+
+# ---------------------------------------------------------------------------
+# Shared DuckDB SQL fragments (kept in lockstep with operators/dedup.py)
+# ---------------------------------------------------------------------------
+
+_HASH64 = "CAST(('0x' || substr(md5({expr} || ':0'), 1, 15)) AS BIGINT)"
+_M31 = dd.MERSENNE31
+
+_SHINGLES_CTE = rf"""
+    toks AS (
+        SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   range(1, len(t) - 1),
+                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
+        FROM toks WHERE len(t) >= 3
+    ),
+    h AS (
+        SELECT doc_id, {_HASH64.format(expr='s')} % {_M31} AS h31 FROM sh
+    )
+"""
+
+_MH_MINS = ",\n           ".join(
+    f"MIN(({a} * h31 + {b}) % {_M31}) AS mh{k:02d}"
+    for k, (a, b) in enumerate(dd.MINHASH_PERMS)
+)
+
+_SIG_CTE = f"""{_SHINGLES_CTE},
+    sig AS (
+        SELECT doc_id,
+           {_MH_MINS}
+        FROM h GROUP BY doc_id
+    )
+"""
+
+_R = len(dd.MINHASH_PERMS) // dd.N_BANDS
+_BANDS_CTE = (
+    _SIG_CTE
+    + ",\n    bands AS (\n"
+    + "\n        UNION ALL\n".join(
+        "        SELECT doc_id, {b} AS band, {key} AS band_key FROM sig".format(
+            b=b,
+            key=" || ',' || ".join(
+                f"CAST(mh{b * _R + j:02d} AS VARCHAR)" for j in range(_R)
+            ),
+        )
+        for b in range(dd.N_BANDS)
+    )
+    + "\n    )"
+)
+
+_LSH_PAIRS_SQL = f"""
+    WITH {_BANDS_CTE}
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared_bands
+    FROM bands a
+    JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+                AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_text_stats",
+    oracle=r"""
+    SELECT doc_id,
+           length(trim(text)) AS n_chars,
+           CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+           length(trim(text))
+             - length(regexp_replace(trim(text), '[^A-Za-z]', '', 'g')) AS n_alpha,
+           CASE WHEN (length(trim(text))
+                      - length(regexp_replace(trim(text), '[^А-яЁё]', '', 'g')))::DOUBLE
+                     / greatest(length(trim(text)), 1) > 0.05 THEN 'ru'
+                WHEN (length(trim(text))
+                      - length(regexp_replace(trim(text), '[^A-Za-z]', '', 'g')))::DOUBLE
+                     / greatest(length(trim(text)), 1) > 0.40 THEN 'en'
+                ELSE 'und' END AS lang_guess
+    FROM documents
+    """,
+)
+def q_text_stats(spark, sf_dir):
+    """Text-quality stats as exact integer counts + the n-gram/char-class
+    language heuristic (functions/text.py) — all codegen'd built-ins, so
+    this runs at parquet-scan speed over 100 TB of documents."""
+    d = load_table(spark, sf_dir, "documents")
+    t = F.trim(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.length(t).alias("n_chars"),
+        token_count(t).alias("n_tokens"),
+        (F.length(t) - F.length(F.regexp_replace(t, "[^A-Za-z]", ""))).alias(
+            "n_alpha"
+        ),
+        lang_id(t).alias("lang_guess"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup family
+# ---------------------------------------------------------------------------
+
+
+_NORM_TEXT = r"lower(regexp_replace(trim(text), '\s+', ' ', 'g'))"
+
+
+@query(
+    "q_dedup_exact",
+    oracle=f"""
+    SELECT {_HASH64.format(expr=_NORM_TEXT)} AS fingerprint,
+           COUNT(*) AS n_docs,
+           MIN(doc_id) AS keep_id
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup via content fingerprint (operators/dedup.py): single
+    hash-aggregate, shuffle only on the 60-bit fingerprint."""
+    d = load_table(spark, sf_dir, "documents")
+    return dd.exact_duplicates(d)
+
+
+@query(
+    "q_minhash_signatures",
+    oracle=f"""
+    WITH {_SIG_CTE}
+    SELECT * FROM sig
+    """,
+)
+def q_minhash_signatures(spark, sf_dir):
+    """K=16 minhash signature per document: one md5 per distinct shingle
+    + 16 affine permutations mod 2^31-1 (operators/dedup.py)."""
+    d = load_table(spark, sf_dir, "documents")
+    return dd.minhash_signatures(d)
+
+
+@query("q_lsh_candidates", oracle=_LSH_PAIRS_SQL)
+def q_lsh_candidates(spark, sf_dir):
+    """Banded-LSH near-dup candidate pairs: 4 bands × 4 rows; equi-join
+    on (band, band_key) buckets — Σ|bucket|², never n² (the 100 TB
+    requirement for near-dup at corpus scale)."""
+    d = load_table(spark, sf_dir, "documents")
+    return dd.lsh_candidate_pairs(dd.minhash_signatures(d))
+
+
+@query(
+    "q_ngram_jaccard",
+    oracle=f"""
+    WITH {_BANDS_CTE},
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+                    AND a.doc_id < b.doc_id
+    ),
+    inter AS (
+        SELECT p.id_a, p.id_b, COUNT(*) AS n_inter
+        FROM pairs p
+        JOIN sh sa ON sa.doc_id = p.id_a
+        JOIN sh sb ON sb.doc_id = p.id_b AND sb.s = sa.s
+        GROUP BY p.id_a, p.id_b
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id)
+    SELECT p.id_a, p.id_b,
+           COALESCE(i.n_inter, 0) AS n_inter,
+           za.n AS n_a, zb.n AS n_b
+    FROM pairs p
+    LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
+    JOIN sizes za ON za.doc_id = p.id_a
+    JOIN sizes zb ON zb.doc_id = p.id_b
+    """,
+)
+def q_ngram_jaccard(spark, sf_dir):
+    """Exact 3-gram overlap, scored ONLY for LSH candidate pairs (the
+    verify stage of the near-dup pipeline); integer outputs — jaccard =
+    n_inter / (n_a + n_b - n_inter)."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = dd.lsh_candidate_pairs(dd.minhash_signatures(d))
+    return dd.ngram_jaccard(d, pairs)
+
+
+_SIMHASH_SUMS = ",\n           ".join(
+    f"SUM(((h >> {j}) & 1) * 2 - 1) AS s{j}" for j in range(32)
+)
+_SIMHASH_BITS = " + ".join(
+    f"(CASE WHEN s{j} >= 0 THEN {2**j} ELSE 0 END)" for j in range(32)
+)
+
+
+@query(
+    "q_simhash",
+    oracle=rf"""
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(list_distinct(
+                   regexp_split_to_array(lower(trim(text)), '\s+'))) AS tok
+        FROM documents
+    ),
+    h AS (SELECT doc_id, {_HASH64.format(expr='tok')} AS h FROM tok),
+    s AS (SELECT doc_id,
+           {_SIMHASH_SUMS}
+          FROM h GROUP BY doc_id)
+    SELECT doc_id, CAST({_SIMHASH_BITS} AS BIGINT) AS simhash FROM s
+    """,
+)
+def q_simhash(spark, sf_dir):
+    """32-bit SimHash sketch per document (operators/dedup.py): one
+    explode + one groupBy with 32 integer sums; near-dups differ in few
+    bits (hamming distance via xor+popcount downstream)."""
+    d = load_table(spark, sf_dir, "documents")
+    return dd.simhash32(d)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+_COSINE = (
+    "round(list_dot_product(qv, ev) / "
+    "(sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(ev, ev))), 6)"
+)
+
+
+@query(
+    "q_cosine_topk",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        FROM embeddings WHERE vec_id < 5
+    ),
+    scored AS (
+        SELECT q.query_id, e.vec_id,
+               {_COSINE.replace('ev', 'CAST(e.embedding AS DOUBLE[])')} AS sim
+        FROM embeddings e CROSS JOIN q
+        WHERE e.vec_id <> q.query_id
+    ),
+    ranked AS (
+        SELECT query_id, vec_id, sim,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY sim DESC, vec_id) AS rank
+        FROM scored
+    )
+    SELECT query_id, vec_id, sim, rank FROM ranked WHERE rank <= 3
+    """,
+)
+def q_cosine_topk(spark, sf_dir):
+    """Exact brute-force cosine top-3 for 5 query vectors: broadcast
+    queries, per-row JVM array fold, tiny final top-k window
+    (operators/similarity.py). The baseline an ANN variant is graded
+    against."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return sim.cosine_topk_bruteforce(e, e.filter(F.col("vec_id") < 5), k=3)
+
+
+def _bucket_sql(vec: str) -> str:
+    terms = []
+    for p in range(sim.N_PLANES):
+        dot = (
+            f"list_dot_product(CAST({vec} AS DOUBLE[]), "
+            f"list_transform(range(1, 65), "
+            f"d -> CAST(((d * ({p} + 7)) % 13 % 2) * 2 - 1 AS DOUBLE)))"
+        )
+        terms.append(f"(CASE WHEN round({dot}, 6) >= 0 THEN {2**p} ELSE 0 END)")
+    return " + ".join(terms)
+
+
+@query(
+    "q_cosine_lsh",
+    oracle=f"""
+    WITH cand AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev,
+               {_bucket_sql('embedding')} AS bucket
+        FROM embeddings
+    ),
+    q AS (
+        SELECT vec_id AS query_id, ev AS qv, bucket FROM cand WHERE vec_id < 5
+    ),
+    scored AS (
+        SELECT q.query_id, e.vec_id, {_COSINE} AS sim
+        FROM cand e JOIN q ON e.bucket = q.bucket AND e.vec_id <> q.query_id
+    ),
+    ranked AS (
+        SELECT query_id, vec_id, sim,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY sim DESC, vec_id) AS rank
+        FROM scored
+    )
+    SELECT query_id, vec_id, sim, rank FROM ranked WHERE rank <= 3
+    """,
+)
+def q_cosine_lsh(spark, sf_dir):
+    """Approximate cosine top-3 via random-hyperplane LSH buckets: only
+    same-bucket candidates are scored — the 100 TB scale path (bucket is
+    an ingest-time projection; candidate volume ~n/2^8)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return sim.cosine_topk_lsh(e, e.filter(F.col("vec_id") < 5), n_dims=64, k=3)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal decode (Arrow-batched mapInPandas, stubbed codec)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_multimodal_decode",
+    oracle="""
+    SELECT doc_id AS media_id,
+           'image' AS media_type,
+           CAST(CAST(('0x' || substr(md5(text), 1, 4)) AS INTEGER) % 1920 + 1
+                AS INTEGER) AS width,
+           CAST(CAST(('0x' || substr(md5(text), 5, 4)) AS INTEGER) % 1080 + 1
+                AS INTEGER) AS height,
+           CAST(CAST(('0x' || substr(md5(text), 9, 4)) AS INTEGER) % 300 + 1
+                AS INTEGER) AS n_frames,
+           md5(text) AS payload_hash
+    FROM documents
+    """,
+)
+def q_multimodal_decode(spark, sf_dir):
+    """Multimodal plumbing end-to-end: binary payload column → Arrow-
+    batched mapInPandas decode (stub codec, operators/multimodal.py).
+    The oracle recomputes the stub's md5 arithmetic in SQL, so the whole
+    Python-batch path is differential-tested."""
+    d = load_table(spark, sf_dir, "documents")
+    return mm.decode_stub_features(mm.documents_as_media(d))

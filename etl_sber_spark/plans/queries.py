@@ -34,10 +34,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..functions.hashing import hash64, hash64_expr_sql
 from ..functions.normalize import comma_decimal
-from ..functions.text import lang_id, quality_score, token_count
-from ..functions.vectors import cosine_similarity
 from ..sources.tables import load_table
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -711,3 +708,9 @@ def q_window_running(spark, sf_dir):
         "user_id",
         F.sum(_dec("value")).over(w).cast("double").alias("running_value"),
     )
+
+
+# Register the LLM-pipeline extension queries (dedup / minhash-LSH /
+# similarity / text stats / multimodal) into the same QUERIES/ORACLE
+# registry. Imported last: llm_queries imports `query` from this module.
+from . import llm_queries  # noqa: E402,F401  (registration side effect)

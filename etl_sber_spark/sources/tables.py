@@ -30,12 +30,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one parquet table, normalizing physical-type quirks.
 
     ``events.ts`` is written as INT64(TIMESTAMP(NANOS)) which Spark's
-    reader rejects by default; we read nanos as long
-    (``spark.sql.legacy.parquet.nanosAsLong``) and convert to a
-    microsecond timestamp in the plan — a codegen'd projection, no UDF,
-    no driver round-trip, so it costs nothing at 100 TB scan scale.
+    reader rejects by default; sessions from session.py set
+    ``spark.sql.legacy.parquet.nanosAsLong`` up front, but the driver
+    brings its own session — set the flag here only if it isn't already
+    (no redundant mutation of shared session state on every call).
+    The long→timestamp conversion is a codegen'd projection: no UDF, no
+    driver round-trip, so it costs nothing at 100 TB scan scale.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    _FLAG = "spark.sql.legacy.parquet.nanosAsLong"
+    if spark.conf.get(_FLAG, None) != "true":
+        spark.conf.set(_FLAG, "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
         # integer division: epoch-nanos overflow double's mantissa, so
