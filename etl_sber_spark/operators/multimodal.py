@@ -90,10 +90,29 @@ def decode_stub_features(df: DataFrame) -> DataFrame:
     work); fake decode (md5-derived dims — see module docstring).
     """
 
+    # NOTE: self-contained closure. Spark pickles nested functions by
+    # value, but references to module globals travel as import pointers —
+    # and the executor Python workers do NOT have this repo on their
+    # sys.path unless the driver happened to run from the repo root. So
+    # the batch fn re-imports stdlib/pandas locally and inlines the stub
+    # instead of calling module-level helpers.
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hashlib
+
+        import pandas as _pd
+
+        def stub(payload: bytes):
+            h = _hashlib.md5(payload or b"").hexdigest()
+            return (
+                int(h[:4], 16) % 1920 + 1,
+                int(h[4:8], 16) % 1080 + 1,
+                int(h[8:12], 16) % 300 + 1,
+                h,
+            )
+
         for pdf in it:
-            dims = [_stub_dims(p) for p in pdf["payload"]]
-            yield pd.DataFrame(
+            dims = [stub(p) for p in pdf["payload"]]
+            yield _pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "media_type": pdf["media_type"],

@@ -116,6 +116,14 @@ def scd2_apply(
     The result is a full replacement of the history table — the caller
     writes it via an atomic swap (the table can't be overwritten while
     being read, SURVEY.md §4.3.1).
+
+    Canonical deviation (found by the property suite, documented per
+    SURVEY.md §7.4): when a previously-deleted key REAPPEARS in a
+    snapshot, its open tombstone is closed alongside the new version.
+    The reference would leave the tombstone's effective_to at the 2999
+    sentinel forever (its close-out UPDATEs only target changed/deleted
+    keys, main.py:131-142) — harmless for its data (no re-adds ever
+    occur) but it breaks the one-open-version-per-key invariant.
     """
     cols = [key, *attrs]
     ts = F.lit(processing_ts).cast("timestamp")
@@ -123,9 +131,18 @@ def scd2_apply(
 
     current = scd2_current(hist, processing_ts)
     diff = snapshot_diff(stg, current, key, attrs)
-    # keys whose open version must be closed; two tiny sets — broadcast
+    # keys whose open version must be closed: changed, deleted, and
+    # reborn (new key that still has an open tombstone). Tiny sets —
+    # broadcast.
+    open_tombstones = hist.filter(
+        (F.col("effective_to") == max_ts_lit()) & (F.col("deleted_flg") == 1)
+    ).select(key)
+    reborn = diff.new.select(key).join(open_tombstones, on=key, how="left_semi")
     to_close = (
-        diff.changed.select(key).unionByName(diff.deleted.select(key)).distinct()
+        diff.changed.select(key)
+        .unionByName(diff.deleted.select(key))
+        .unionByName(reborn)
+        .distinct()
     )
 
     is_open = F.col("effective_to") == max_ts_lit()

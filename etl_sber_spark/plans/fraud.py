@@ -112,17 +112,57 @@ def data_view(
 
 
 def rule_blacklisted_passport(
-    view: DataFrame, blacklist: DataFrame
+    view: DataFrame, blacklist: DataFrame, *, faithful: bool = False
 ) -> DataFrame:
     """Rule 1 (main.py:447-476): operation with an expired or blacklisted
     passport.
 
-    Canonical rewrite of the mixed AND/OR left join (J7): the net effect
-    of the reference's join + GROUP BY + client rejoin + DISTINCT is the
-    distinct (event_dt, passport, fio, phone) of transactions whose
-    passport is (blacklisted with entry_dt <= trans day) OR expired
-    (passport_valid_to < trans day). Two linear arms, no BNLJ:
+    Canonical (default) rewrite of the mixed AND/OR left join (J7): the
+    net effect of the reference's join + GROUP BY + client rejoin +
+    DISTINCT is the distinct (event_dt, passport, fio, phone) of
+    transactions whose passport is (blacklisted with entry_dt <= trans
+    day) OR expired (passport_valid_to < trans day). Two linear arms, no
+    BNLJ.
+
+    ``faithful=True`` reproduces the reference shape literally: left
+    join with the OR condition (Spark plans the OR-arm side as a
+    broadcast nested loop — fine at mart scale, documented cost), group
+    by (client_id, trans_date), inner rejoin on client_id, distinct.
+    tests/test_fraud_parity.py asserts both produce identical rows.
     """
+    if faithful:
+        bl = F.broadcast(blacklist.alias("bl"))
+        v = view.alias("v")
+        joined = v.join(
+            bl,
+            (
+                (F.col("bl.passport_num") == F.col("v.passport_num"))
+                & (F.col("bl.entry_dt") <= F.to_date(F.col("v.trans_date")))
+            )
+            | (F.col("v.passport_valid_to") < F.to_date(F.col("v.trans_date"))),
+            "left",
+        )
+        # GROUP BY with empty select list (main.py:472) ≡ dropDuplicates
+        keys = (
+            joined.filter(F.col("bl.passport_num").isNotNull())
+            .select(
+                F.col("v.client_id").alias("client_id"),
+                F.col("v.trans_date").alias("event_dt"),
+            )
+            .distinct()
+        )
+        return (
+            keys.join(view.alias("t2"), "client_id", "inner")
+            .select(
+                F.col("event_dt"),
+                F.col("t2.passport_num").alias("passport"),
+                F.col("t2.name").alias("fio"),
+                F.col("t2.phone").alias("phone"),
+            )
+            .distinct()
+            .withColumn("event_type", F.lit(EVENT_BLACKLISTED))
+        )
+
     arm_blacklisted = view.join(
         F.broadcast(blacklist),
         (view.passport_num == blacklist.passport_num)

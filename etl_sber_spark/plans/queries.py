@@ -710,6 +710,109 @@ def q_window_running(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# SCD machinery as a flattened differential query (SURVEY §2.6 S1+S2,
+# §7.6 q_scd2_snapshot) + P4 format parsing
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_scd2_snapshot",
+    oracle="""
+    WITH a AS (SELECT l_orderkey AS k, MIN(l_partkey) AS p, MIN(l_quantity) AS q
+               FROM lineitem WHERE l_linenumber = 1 GROUP BY l_orderkey),
+         b AS (SELECT l_orderkey AS k, MIN(l_partkey) AS p, MIN(l_quantity) AS q
+               FROM lineitem WHERE l_linenumber = 2 GROUP BY l_orderkey),
+         changed AS (SELECT a.k FROM a JOIN b ON a.k = b.k
+                     WHERE a.p <> b.p OR a.q <> b.q),
+         deleted AS (SELECT a.k FROM a WHERE a.k NOT IN (SELECT k FROM b)),
+         closing AS (SELECT k FROM changed UNION SELECT k FROM deleted)
+    SELECT a.k AS order_key, a.p AS part_key, a.q AS qty,
+           0 AS deleted_flg,
+           TIMESTAMP '2024-01-01 00:00:00' AS effective_from,
+           CASE WHEN a.k IN (SELECT k FROM closing)
+                THEN TIMESTAMP '2024-01-01 23:59:59'
+                ELSE TIMESTAMP '2999-12-31 23:59:59' END AS effective_to
+    FROM a
+    UNION ALL
+    SELECT b.k, b.p, b.q, 0,
+           TIMESTAMP '2024-01-02 00:00:00', TIMESTAMP '2999-12-31 23:59:59'
+    FROM b WHERE b.k NOT IN (SELECT k FROM a)
+    UNION ALL
+    SELECT b.k, b.p, b.q, 0,
+           TIMESTAMP '2024-01-02 00:00:00', TIMESTAMP '2999-12-31 23:59:59'
+    FROM b WHERE b.k IN (SELECT k FROM changed)
+    UNION ALL
+    SELECT a.k, a.p, a.q, 1,
+           TIMESTAMP '2024-01-02 00:00:00', TIMESTAMP '2999-12-31 23:59:59'
+    FROM a WHERE a.k IN (SELECT k FROM deleted)
+    """,
+)
+def q_scd2_snapshot(spark, sf_dir):
+    """S1+S2 flattened: open an SCD2 history from snapshot A (lineitem
+    linenumber=1 keyed by order), apply snapshot B (linenumber=2) via the
+    engine's snapshot_diff + scd2_apply (operators/scd.py), and emit the
+    complete next history. The oracle recomputes the same close-out /
+    new-version / tombstone algebra in pure SQL — a true differential
+    test of the composite operator the reference runs nightly
+    (main.py:72-188)."""
+    import datetime as dt
+
+    from ..operators.scd import scd2_apply
+    from ..functions.normalize import max_ts_lit
+
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def snap(linenumber: int) -> DataFrame:
+        # the synthetic lineitem repeats linenumbers per order, so a
+        # snapshot needs explicit key-uniqueness: min-aggregate per key
+        return (
+            li.filter(F.col("l_linenumber") == linenumber)
+            .groupBy(F.col("l_orderkey").alias("order_key"))
+            .agg(
+                F.min("l_partkey").alias("part_key"),
+                F.min("l_quantity").alias("qty"),
+            )
+        )
+
+    a, b = snap(1), snap(2)
+    ts0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    ts1 = dt.datetime(2024, 1, 2, 0, 0, 0)
+    hist0 = a.select(
+        "order_key",
+        "part_key",
+        "qty",
+        F.lit(0).cast("int").alias("deleted_flg"),
+        F.lit(ts0).cast("timestamp").alias("effective_from"),
+        max_ts_lit().alias("effective_to"),
+    )
+    return scd2_apply(hist0, b, "order_key", ["part_key", "qty"], ts1)
+
+
+@query(
+    "q_to_timestamp_fmt",
+    oracle="""
+    SELECT event_id,
+           strptime(strftime(ts, '%Y-%m-%d %H:%M:%S'),
+                    '%Y-%m-%d %H:%M:%S') AS ts_parsed
+    FROM events
+    """,
+)
+def q_to_timestamp_fmt(spark, sf_dir):
+    """P4: to_timestamp(str, fmt) — the reference's
+    to_timestamp(trim(trans_date), 'YYYY-MM-DD HH24:MI:SS')
+    (main.py:370) with the Oracle→Java format-dialect translation
+    (SURVEY §2.3 P4). Round-trips through a formatted string so the
+    format PARSER is exercised, not just a cast."""
+    e = load_table(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.to_timestamp(
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss"), "yyyy-MM-dd HH:mm:ss"
+        ).alias("ts_parsed"),
+    )
+
+
 # Register the LLM-pipeline extension queries (dedup / minhash-LSH /
 # similarity / text stats / multimodal) into the same QUERIES/ORACLE
 # registry. Imported last: llm_queries imports `query` from this module.

@@ -45,9 +45,16 @@ def read_transactions_csv(spark: SparkSession, path: str) -> DataFrame:
         .schema(schemas.TRANSACTIONS_RAW)
         .csv(path)
     )
-    # day-2's padded header makes Spark map columns by position only if the
-    # names match after trim — normalize header spelling by position
-    # instead: TRANSACTIONS_RAW column order IS the file column order.
+    return normalize_transactions(raw)
+
+
+def normalize_transactions(raw: DataFrame) -> DataFrame:
+    """Shared staging→typed projection (batch and streaming readers).
+
+    Column mapping is positional via TRANSACTIONS_RAW (day-2's padded
+    header can't break it); every value trimmed, amount comma-repaired,
+    timestamp format-parsed (main.py:370).
+    """
     trimmed = trim_all_strings(raw)
     return trimmed.select(
         F.col("transaction_id").alias("trans_id"),

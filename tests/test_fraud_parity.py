@@ -1,0 +1,75 @@
+"""Canonical-vs-faithful parity for the J7 OR-join rewrite (SURVEY.md
+§2.5 J7, §7.4): the union-of-semi canonical plan must produce exactly
+the reference-shaped left-join-OR plan's rows on real replay data."""
+
+from __future__ import annotations
+
+import datetime as dt
+import shutil
+
+import pytest
+
+from etl_sber_spark.pipeline import T_BLACKLIST, T_FACT, T_HIST, run_day
+from etl_sber_spark.plans.fraud import data_view, rule_blacklisted_passport
+from etl_sber_spark.sinks.warehouse import Warehouse
+
+from .fixtures_bank import build_bank_tables
+
+REF = "/root/reference"
+
+
+@pytest.fixture(scope="module")
+def day1_warehouse(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("parity")
+    inbox = root / "inbox"
+    inbox.mkdir()
+    for pat in (
+        "transactions_01032021.txt",
+        "terminals_01032021.xlsx",
+        "passport_blacklist_01032021.xlsx",
+    ):
+        shutil.copy(f"{REF}/{pat}", inbox / pat)
+    bank = build_bank_tables(spark)
+    wh_root = str(root / "wh")
+    run_day(spark, str(inbox), wh_root, bank, dt.datetime(2021, 3, 1, 23, 50))
+    return Warehouse(spark, wh_root), bank
+
+
+def test_rule1_faithful_equals_canonical(spark, day1_warehouse):
+    wh, bank = day1_warehouse
+    view = data_view(
+        bank["clients"],
+        bank["accounts"],
+        bank["cards"],
+        wh.read(T_FACT),
+        wh.read(T_HIST),
+        dt.datetime(2021, 3, 1, 23, 50),
+    ).cache()
+    bl = wh.read(T_BLACKLIST)
+    canonical = rule_blacklisted_passport(view, bl)
+    faithful = rule_blacklisted_passport(view, bl, faithful=True)
+    c = sorted(tuple(str(v) for v in r) for r in canonical.collect())
+    f = sorted(tuple(str(v) for v in r) for r in faithful.collect())
+    assert len(c) > 0
+    assert c == f
+    view.unpersist()
+
+
+def test_data_view_faithful_full_history_multiplies(spark, day1_warehouse):
+    """J6 trap (main.py:418): after day 1 there is exactly one version
+    per terminal, so faithful-full-history == canonical; the golden
+    3-day test relies on canonical — here we just pin the day-1
+    equivalence so any divergence later is intentional."""
+    wh, bank = day1_warehouse
+    ts = dt.datetime(2021, 3, 1, 23, 50)
+    common = (
+        bank["clients"],
+        bank["accounts"],
+        bank["cards"],
+        wh.read(T_FACT),
+        wh.read(T_HIST),
+        ts,
+    )
+    canonical = data_view(*common)
+    faithful = data_view(*common, faithful_full_history=True)
+    assert canonical.count() == faithful.count()

@@ -1,0 +1,45 @@
+"""Streaming inbox (SURVEY.md §2.9): AvailableNow drain + checkpointed
+exactly-once per file."""
+
+from __future__ import annotations
+
+import datetime as dt
+import shutil
+
+from etl_sber_spark.streaming.inbox import load_transactions_available_now
+
+REF = "/root/reference"
+
+
+def test_available_now_drain_and_exactly_once(spark, tmp_path):
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    out = str(tmp_path / "fact")
+    ckpt = str(tmp_path / "ckpt")
+    shutil.copy(f"{REF}/transactions_01032021.txt", inbox / "transactions_01032021.txt")
+
+    q = load_transactions_available_now(
+        spark, str(inbox), out, ckpt, dt.datetime(2021, 3, 1, 23, 50)
+    )
+    q.awaitTermination(120)
+    df = spark.read.parquet(out)
+    assert df.count() == 15650
+    # typed all the way through the stream: no parse nulls
+    assert df.filter(df.trans_date.isNull() | df.amt.isNull()).count() == 0
+
+    # run 2: day-1 file still present + day-2 file arrives; checkpoint
+    # must skip the processed file (exactly-once, no Archive/ rename)
+    shutil.copy(f"{REF}/transactions_02032021.txt", inbox / "transactions_02032021.txt")
+    q = load_transactions_available_now(
+        spark, str(inbox), out, ckpt, dt.datetime(2021, 3, 2, 23, 50)
+    )
+    q.awaitTermination(120)
+    df = spark.read.parquet(out)
+    assert df.count() == 15650 + 15686
+
+    # run 3: nothing new -> no growth
+    q = load_transactions_available_now(
+        spark, str(inbox), out, ckpt, dt.datetime(2021, 3, 3, 23, 50)
+    )
+    q.awaitTermination(120)
+    assert spark.read.parquet(out).count() == 15650 + 15686
