@@ -144,21 +144,27 @@ def lsh_candidate_pairs(
     are pairs sharing any (band, key) bucket — an equi-join on the
     bucket, cost Σ|bucket|², never the n² cross join. Output:
     (id_a < id_b, n_shared_bands).
+
+    Plan shape matters here (caught by the .explain audit): bands come
+    from ONE ``posexplode`` over an array of band keys — a per-band
+    union would replicate the whole signature subtree N_BANDS times —
+    and the bands DataFrame is cached because the self-join reads it
+    twice (without it Spark recomputes scan→shingle-explode→minhash
+    groupBy once per side; at corpus scale that doubles the dominant
+    cost).
     """
     r = len(MINHASH_PERMS) // N_BANDS
-    band_rows = []
-    for b in range(N_BANDS):
-        key = F.concat_ws(
-            ",", *[F.col(_mh_col(b * r + j)).cast("string") for j in range(r)]
-        )
-        band_rows.append(
-            signatures.select(
-                F.col(id_col),
-                F.lit(b).alias("band"),
-                key.alias("band_key"),
+    keys = F.array(
+        *[
+            F.concat_ws(
+                ",", *[F.col(_mh_col(b * r + j)).cast("string") for j in range(r)]
             )
-        )
-    bands = functools.reduce(DataFrame.unionByName, band_rows)
+            for b in range(N_BANDS)
+        ]
+    )
+    bands = signatures.select(
+        F.col(id_col), F.posexplode(keys).alias("band", "band_key")
+    ).cache()
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -188,8 +194,12 @@ def ngram_jaccard(
     keyed on shingle/doc — linear in candidate volume, not corpus²).
     Output: (id_a, id_b, n_inter, n_a, n_b) as exact integers; jaccard =
     n_inter / (n_a + n_b - n_inter).
+
+    The shingle set is cached: it feeds three joins (sizes, side a,
+    side b) and recomputing the explode per consumer would triple the
+    dominant scan cost.
     """
-    sh = shingles(df, id_col, text_col)
+    sh = shingles(df, id_col, text_col).cache()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     inter = (
         pairs.select("id_a", "id_b")

@@ -813,6 +813,80 @@ def q_to_timestamp_fmt(spark, sf_dir):
     )
 
 
+@query(
+    "q_fraud_rule3_shape",
+    oracle="""
+    WITH pairs AS (
+      SELECT DISTINCT t2.ts AS trans_ts, t1.user_id, t2.event_type
+      FROM events t1
+      JOIN events t2
+        ON t1.user_id = t2.user_id
+       AND t1.event_type <> t2.event_type
+       AND t1.ts <> t2.ts
+       AND t1.ts BETWEEN t2.ts - INTERVAL 1 HOUR AND t2.ts + INTERVAL 1 HOUR
+    ),
+    flagged AS (
+      SELECT trans_ts, user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY trans_ts, event_type) AS next_type,
+             dense_rank() OVER (PARTITION BY user_id
+                                ORDER BY event_type) AS rnk
+      FROM pairs
+    )
+    SELECT DISTINCT trans_ts AS event_dt, user_id
+    FROM flagged
+    WHERE next_type IS NOT NULL AND event_type <> next_type AND rnk = 2
+    """,
+)
+def q_fraud_rule3_shape(spark, sf_dir):
+    """The COMPLETE composed fraud rule 3 (main.py:489-529) on testdata:
+    band self-join (J9) → DISTINCT → lead + dense_rank windows (W1-W2)
+    → residual filters (F8-F9) → distinct projection. Same operator
+    chain as plans/fraud.py:rule_city_hopping with events standing in
+    for the transaction view (user_id≙card, event_type≙city, ts≙trans
+    date) — so the composed pipeline, not just its pieces, is
+    correctness-graded by the driver."""
+    e = load_table(spark, sf_dir, "events")
+    t1 = e.select("user_id", "event_type", "ts").alias("t1")
+    t2 = e.select("user_id", "event_type", "ts").alias("t2")
+    pairs = (
+        t1.join(
+            t2,
+            (F.col("t1.user_id") == F.col("t2.user_id"))
+            & (F.col("t1.event_type") != F.col("t2.event_type"))
+            & (F.col("t1.ts") != F.col("t2.ts"))
+            & F.col("t1.ts").between(
+                F.col("t2.ts") - F.expr("INTERVAL 1 HOUR"),
+                F.col("t2.ts") + F.expr("INTERVAL 1 HOUR"),
+            ),
+        )
+        .select(
+            F.col("t2.ts").alias("trans_ts"),
+            F.col("t1.user_id").alias("user_id"),
+            F.col("t2.event_type").alias("event_type"),
+        )
+        .distinct()
+    )
+    w_lead = Window.partitionBy("user_id").orderBy("trans_ts", "event_type")
+    w_rank = Window.partitionBy("user_id").orderBy("event_type")
+    flagged = pairs.select(
+        "trans_ts",
+        "user_id",
+        "event_type",
+        F.lead("event_type").over(w_lead).alias("next_type"),
+        F.dense_rank().over(w_rank).alias("rnk"),
+    )
+    return (
+        flagged.filter(
+            F.col("next_type").isNotNull()
+            & (F.col("event_type") != F.col("next_type"))
+            & (F.col("rnk") == 2)
+        )
+        .select(F.col("trans_ts").alias("event_dt"), "user_id")
+        .distinct()
+    )
+
+
 # Register the LLM-pipeline extension queries (dedup / minhash-LSH /
 # similarity / text stats / multimodal) into the same QUERIES/ORACLE
 # registry. Imported last: llm_queries imports `query` from this module.
