@@ -41,6 +41,8 @@ HEADLINE = [
     "q_text_stats",
     "q_simhash",
     "q_multimodal_decode",
+    "q_scd2_snapshot",
+    "q_fraud_rule3_shape",
 ]
 
 

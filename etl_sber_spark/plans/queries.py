@@ -887,6 +887,59 @@ def q_fraud_rule3_shape(spark, sf_dir):
     )
 
 
+@query(
+    "q_self_rejoin",
+    oracle="""
+    SELECT k.user_id, k.last_ts, e.event_id, e.event_type
+    FROM (SELECT user_id, MAX(ts) AS last_ts FROM events GROUP BY user_id) k
+    JOIN events e ON e.user_id = k.user_id AND e.ts = k.last_ts
+    """,
+)
+def q_self_rejoin(spark, sf_dir):
+    """J8: derived keys inner-rejoined to the base table to re-attach
+    attributes (main.py:473-474 — derived (client_id, event_dt) ⋈ view).
+    Here: each user's latest timestamp rejoined to recover the event
+    row(s) at that instant."""
+    e = load_table(spark, sf_dir, "events")
+    keys = e.groupBy("user_id").agg(F.max("ts").alias("last_ts"))
+    return keys.join(
+        e, (keys.user_id == e.user_id) & (keys.last_ts == e.ts), "inner"
+    ).select(keys.user_id, "last_ts", "event_id", "event_type")
+
+
+@query(
+    "q_salted_agg",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def q_salted_agg(spark, sf_dir):
+    """Skew-safe two-stage aggregation (operators/skew.py): event_type
+    has only ~5 distinct values — the degenerate-cardinality case where
+    a plain groupBy sends everything to 5 reducers. Stage 1 aggregates
+    on (key, salt); stage 2 merges partials. Result is identical to the
+    plain GROUP BY (the oracle)."""
+    from ..operators.skew import salted_agg
+
+    e = load_table(spark, sf_dir, "events")
+    out = salted_agg(
+        e,
+        keys=["event_type"],
+        partial_aggs={
+            "pv": F.sum(_dec("value")),
+            "pn": F.count(F.lit(1)),
+        },
+        merge_aggs={
+            "total_value": F.sum(F.col("pv")).cast("double"),
+            "n": F.sum(F.col("pn")).cast("long"),
+        },
+    )
+    return out.select("event_type", "total_value", "n")
+
+
 # Register the LLM-pipeline extension queries (dedup / minhash-LSH /
 # similarity / text stats / multimodal) into the same QUERIES/ORACLE
 # registry. Imported last: llm_queries imports `query` from this module.
