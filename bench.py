@@ -43,6 +43,8 @@ HEADLINE = [
     "q_multimodal_decode",
     "q_scd2_snapshot",
     "q_fraud_rule3_shape",
+    "q_window_range",
+    "q_time_bucket_rollup",
 ]
 
 
@@ -57,9 +59,21 @@ def main() -> None:
         print(f"bench: skipping unregistered queries: {missing}", file=sys.stderr)
     names = [n for n in HEADLINE if n in QUERIES]
 
-    # warm the JVM/codegen once on the smallest table so q1 doesn't pay
-    # session startup
-    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    # Warm-up pass: run every headline query once at the smallest SF so
+    # the timed pass measures the PLAN, not JVM startup + whole-stage
+    # codegen compilation (which is per-query-shape, amortized to zero
+    # on any long-running cluster).
+    warm_dir = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_dir):
+        for name in names:
+            try:
+                QUERIES[name](spark, warm_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+            except Exception as exc:  # warmup must never fail the bench
+                print(f"bench: warmup {name} failed: {exc}", file=sys.stderr)
+    else:
+        spark.read.parquet(f"{sf_dir}/region.parquet").count()
 
     timings: dict[str, float] = {}
     for name in names:

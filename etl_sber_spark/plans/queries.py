@@ -765,7 +765,10 @@ def q_scd2_snapshot(spark, sf_dir):
 
     def snap(linenumber: int) -> DataFrame:
         # the synthetic lineitem repeats linenumbers per order, so a
-        # snapshot needs explicit key-uniqueness: min-aggregate per key
+        # snapshot needs explicit key-uniqueness: min-aggregate per key.
+        # Cached: the SCD2 apply reads each snapshot 3× (diff legs +
+        # history complement) — without the cache that is 6 lineitem
+        # scans/aggregations instead of 2.
         return (
             li.filter(F.col("l_linenumber") == linenumber)
             .groupBy(F.col("l_orderkey").alias("order_key"))
@@ -773,6 +776,7 @@ def q_scd2_snapshot(spark, sf_dir):
                 F.min("l_partkey").alias("part_key"),
                 F.min("l_quantity").alias("qty"),
             )
+            .cache()
         )
 
     a, b = snap(1), snap(2)
@@ -938,6 +942,131 @@ def q_salted_agg(spark, sf_dir):
         },
     )
     return out.select("event_type", "total_value", "n")
+
+
+@query(
+    "q_distinct_agg",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY event_type
+    """,
+)
+def q_distinct_agg(spark, sf_dir):
+    """Distinct aggregation alongside plain aggregates — plans an Expand
+    + two-stage aggregate in Spark (a different physical shape than
+    q_agg_sum_by_key); at scale the distinct key shuffles once."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(_dec("value")).cast("double").alias("total_value"),
+    )
+
+
+@query(
+    "q_window_range",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+                PARTITION BY user_id ORDER BY epoch_us(ts)
+                RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+             AS DOUBLE) AS hour_value
+    FROM events
+    """,
+)
+def q_window_range(spark, sf_dir):
+    """RANGE-frame window: per-user rolling 1-hour sum ordered by event
+    time (microsecond epoch) — the time-series rolling aggregate the
+    band-join family approximates, as a single shuffle+sort. Decimal
+    internally (order-independent), DOUBLE out."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.sum(_dec("value")).over(w).cast("double").alias("hour_value"),
+    )
+
+
+@query(
+    "q_time_bucket_rollup",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS bucket, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_time_bucket_rollup(spark, sf_dir):
+    """Hypertable-style time-bucket rollup: hourly × event_type
+    aggregate — the continuous-aggregate shape (one shuffle on (bucket,
+    type); at scale the bucket column is also the natural partition for
+    a materialized rollup table)."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("bucket"),
+        F.col("event_type"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(_dec("value")).cast("double").alias("total_value"),
+    )
+
+
+@query(
+    "q_set_ops",
+    oracle="""
+    SELECT user_id FROM events WHERE event_type = 'click'
+    INTERSECT
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    EXCEPT
+    SELECT user_id FROM events WHERE event_type = 'error'
+    """,
+)
+def q_set_ops(spark, sf_dir):
+    """INTERSECT / EXCEPT (set semantics): users who clicked AND
+    purchased but never errored. Spark's intersect/exceptAll-distinct
+    match SQL set semantics; both plan as aggregated semi/anti joins."""
+    e = load_table(spark, sf_dir, "events")
+
+    def users(t):
+        return e.filter(F.col("event_type") == t).select("user_id")
+
+    return users("click").intersect(users("purchase")).exceptAll(
+        users("error").distinct()
+    ).distinct()
+
+
+@query(
+    "q_tokenize",
+    oracle=r"""
+    SELECT doc_id,
+           CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_ws_tokens,
+           len(regexp_extract_all(lower(trim(text)),
+                                  '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_bpe_tokens
+    FROM documents
+    """,
+)
+def q_tokenize(spark, sf_dir):
+    """Tokenizer surface (functions/text.py): whitespace tokens and the
+    BPE-ish regex token count — both pure regexp built-ins, scan-speed
+    over 100 TB of documents."""
+    from ..functions.text import bpe_ish_tokens, token_count
+
+    d = load_table(spark, sf_dir, "documents")
+    t = F.trim(F.col("text"))
+    return d.select(
+        "doc_id",
+        token_count(t).alias("n_ws_tokens"),
+        F.size(bpe_ish_tokens(t)).alias("n_bpe_tokens"),
+    )
 
 
 # Register the LLM-pipeline extension queries (dedup / minhash-LSH /
