@@ -53,8 +53,8 @@ def lang_id(col: Column | str) -> Column:
     """
     c = _c(col)
     n = F.greatest(F.length(c), F.lit(1))
-    cyr = _char_class_count(c, "[^А-яЁё]")
-    lat = _char_class_count(c, "[^A-Za-z]")
+    cyr = _char_class_count(c, "[А-яЁё]")
+    lat = _char_class_count(c, "[A-Za-z]")
     return (
         F.when(cyr / n > 0.05, F.lit("ru"))
         .when(lat / n > 0.40, F.lit("en"))
@@ -74,8 +74,8 @@ def quality_score(col: Column | str) -> Column:
     c = _c(col)
     n = F.greatest(F.length(c), F.lit(1)).cast("double")
     ntok = F.greatest(token_count(c), F.lit(1)).cast("double")
-    alpha = _char_class_count(c, "[^A-Za-zА-яЁё]").cast("double") / n
-    punct = _char_class_count(c, '[^.,;:!?"]').cast("double") / n
+    alpha = _char_class_count(c, "[A-Za-zА-яЁё]").cast("double") / n
+    punct = _char_class_count(c, '[.,;:!?"]').cast("double") / n
     length_ok = F.least(n / F.lit(100.0), F.lit(1.0))
     mean_tok = n / ntok
     tok_ok = F.when((mean_tok >= 3.0) & (mean_tok <= 12.0), F.lit(1.0)).otherwise(

@@ -107,6 +107,45 @@ def cosine_topk_bruteforce(
     )
 
 
+def embedding_neardup_pairs(
+    embeddings: DataFrame,
+    n_dims: int,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs — the vector analog of the
+    minhash/LSH text pipeline (operators/dedup.py): candidates are
+    same-hyperplane-bucket pairs only, then the rounded cosine gate.
+
+    Scale: bucket assignment is an ingest-time projection; the self-join
+    is an equi-join on the bucket (Σ|bucket|², ~n/2^b per bucket), never
+    the n² cross join. Recall follows LSH collision probability — near
+    duplicates (cosine→1) collide with probability →1.
+    Output: (id_a < id_b, sim).
+    """
+    cand = embeddings.select(
+        F.col(id_col), F.col(vec_col), bucket_expr(vec_col, n_dims).alias("bucket")
+    ).cache()  # self-join reads both sides
+    a, b = cand.alias("a"), cand.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.round(
+                cosine_similarity(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")),
+                SIM_SCALE,
+            ).alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+    )
+
+
 def cosine_topk_lsh(
     embeddings: DataFrame,
     queries: DataFrame,

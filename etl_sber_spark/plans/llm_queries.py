@@ -97,28 +97,35 @@ _LSH_PAIRS_SQL = f"""
            CASE WHEN length(trim(text)) = 0 THEN 0
                 ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
            length(trim(text))
-             - length(regexp_replace(trim(text), '[^A-Za-z]', '', 'g')) AS n_alpha,
+             - length(regexp_replace(trim(text), '[A-Za-z]', '', 'g')) AS n_alpha,
            CASE WHEN (length(trim(text))
-                      - length(regexp_replace(trim(text), '[^А-яЁё]', '', 'g')))::DOUBLE
+                      - length(regexp_replace(trim(text), '[А-яЁё]', '', 'g')))::DOUBLE
                      / greatest(length(trim(text)), 1) > 0.05 THEN 'ru'
                 WHEN (length(trim(text))
-                      - length(regexp_replace(trim(text), '[^A-Za-z]', '', 'g')))::DOUBLE
+                      - length(regexp_replace(trim(text), '[A-Za-z]', '', 'g')))::DOUBLE
                      / greatest(length(trim(text)), 1) > 0.40 THEN 'en'
                 ELSE 'und' END AS lang_guess
     FROM documents
     """,
 )
 def q_text_stats(spark, sf_dir):
-    """Text-quality stats as exact integer counts + the n-gram/char-class
+    """Text-quality stats as exact integer counts + the char-class
     language heuristic (functions/text.py) — all codegen'd built-ins, so
-    this runs at parquet-scan speed over 100 TB of documents."""
+    this runs at parquet-scan speed over 100 TB of documents.
+
+    (Round-2 fix: the round-1 version passed NEGATED classes to the
+    char-class counter, so n_alpha counted non-letters and lang_guess
+    was 'ru' for everything — green against its equally-wrong oracle,
+    semantically garbage. Both sides now count the positive class;
+    the language distribution sanity check lives in tests/test_text.py.)
+    """
     d = load_table(spark, sf_dir, "documents")
     t = F.trim(F.col("text"))
     return d.select(
         "doc_id",
         F.length(t).alias("n_chars"),
         token_count(t).alias("n_tokens"),
-        (F.length(t) - F.length(F.regexp_replace(t, "[^A-Za-z]", ""))).alias(
+        (F.length(t) - F.length(F.regexp_replace(t, "[A-Za-z]", ""))).alias(
             "n_alpha"
         ),
         lang_id(t).alias("lang_guess"),
@@ -324,6 +331,70 @@ def q_cosine_lsh(spark, sf_dir):
     an ingest-time projection; candidate volume ~n/2^8)."""
     e = load_table(spark, sf_dir, "embeddings")
     return sim.cosine_topk_lsh(e, e.filter(F.col("vec_id") < 5), n_dims=64, k=3)
+
+
+@query(
+    "q_quality_score",
+    oracle=r"""
+    WITH b AS (
+        SELECT doc_id,
+               greatest(length(trim(text)), 1)::DOUBLE AS n,
+               greatest(CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\s+')) END,
+                        1)::DOUBLE AS ntok,
+               (length(trim(text))
+                - length(regexp_replace(trim(text), '[A-Za-zА-яЁё]', '', 'g')))::DOUBLE AS n_alpha,
+               (length(trim(text))
+                - length(regexp_replace(trim(text), '[.,;:!?"]', '', 'g')))::DOUBLE AS n_punct
+        FROM documents
+    )
+    SELECT doc_id,
+           round(0.3 * least(n / 100.0, 1.0)
+                 + 0.4 * (n_alpha / n)
+                 + 0.2 * (CASE WHEN n / ntok >= 3.0 AND n / ntok <= 12.0
+                               THEN 1.0 ELSE 0.5 END)
+                 + 0.1 * (1.0 - least((n_punct / n) * 5.0, 1.0)), 4) AS quality
+    FROM b
+    """,
+)
+def q_quality_score(spark, sf_dir):
+    """Composite heuristic quality score in [0,1] (functions/text.py):
+    length / letter-share / token-shape / punctuation terms combined
+    with IDENTICAL parenthesization in both engines — IEEE doubles are
+    deterministic given the same operand order, so even the unrounded
+    float pipeline agrees; the round(…,4) guards the rendering."""
+    from ..functions.text import quality_score
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", quality_score(F.trim(F.col("text"))).alias("quality")
+    )
+
+
+@query(
+    "q_embedding_neardup",
+    oracle=f"""
+    WITH cand AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev,
+               {_bucket_sql('embedding')} AS bucket
+        FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(a.ev, b.ev) /
+                 (sqrt(list_dot_product(a.ev, a.ev))
+                  * sqrt(list_dot_product(b.ev, b.ev))), 6) AS sim
+    FROM cand a JOIN cand b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE round(list_dot_product(a.ev, b.ev) /
+                (sqrt(list_dot_product(a.ev, a.ev))
+                 * sqrt(list_dot_product(b.ev, b.ev))), 6) >= 0.35
+    """,
+)
+def q_embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-dup detection (the vector-side dedup
+    method): hyperplane-LSH bucketing bounds candidates, rounded cosine
+    gates pairs (operators/similarity.py)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return sim.embedding_neardup_pairs(e, n_dims=64, threshold=0.35)
 
 
 # ---------------------------------------------------------------------------

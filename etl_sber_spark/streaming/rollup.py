@@ -1,0 +1,102 @@
+"""Streaming aggregation over the transactions feed (SURVEY.md §2.9
+phase-2 surface): watermarked tumbling-window rollups and a custom
+stateful per-card operator.
+
+Neither exists in the reference (its nightly batch recomputes
+everything); these are the Structured-Streaming-native equivalents a
+live deployment of the same pipeline would use:
+
+- :func:`hourly_rollup` — tumbling 1-hour window × oper_type counts and
+  amounts; the watermark bounds state (late files older than the
+  allowed lateness are dropped, matching the daily-batch cutoff
+  semantics of ``trunc(create_date)=trunc(sysdate)``, main.py:417).
+- :func:`card_running_totals` — ``applyInPandasWithState``: per-card
+  running transaction count/amount maintained across micro-batches —
+  the template for custom stateful operators (sessionization, fraud
+  velocity checks) that windowed aggs can't express.
+
+Scale: state is keyed by (window, type) / card_num — both partition
+uniformly; state store size is bounded by watermark eviction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def hourly_rollup(
+    typed_stream: DataFrame, *, watermark: str = "1 day"
+) -> DataFrame:
+    """Tumbling 1-hour rollup of the typed transactions stream."""
+    return (
+        typed_stream.withWatermark("trans_date", watermark)
+        .groupBy(
+            F.window("trans_date", "1 hour").alias("w"),
+            F.col("oper_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("amt").alias("total_amt"),
+        )
+        .select(
+            F.col("w.start").alias("bucket_start"),
+            "oper_type",
+            "n",
+            "total_amt",
+        )
+    )
+
+
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("total", T.DoubleType()),
+    ]
+)
+
+RUNNING_SCHEMA = T.StructType(
+    [
+        T.StructField("card_num", T.StringType()),
+        T.StructField("n_trans", T.LongType()),
+        T.StructField("total_amt", T.DoubleType()),
+    ]
+)
+
+
+def card_running_totals(typed_stream: DataFrame) -> DataFrame:
+    """Per-card running totals via ``applyInPandasWithState``.
+
+    Emits one (card_num, n_trans, total_amt) row per card per
+    micro-batch, carrying state forward — the minimal template for
+    custom streaming state. The update function is self-contained (no
+    module-global references) so executor workers need no repo on
+    sys.path.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        import pandas as _pd
+
+        n, total = (0, 0.0)
+        if state.exists:
+            n, total = state.get
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["amt"].astype(float).sum())
+        state.update((n, total))
+        yield _pd.DataFrame(
+            {"card_num": [key[0]], "n_trans": [n], "total_amt": [total]}
+        )
+
+    return (
+        typed_stream.groupBy("card_num")
+        .applyInPandasWithState(
+            update,
+            outputStructType=RUNNING_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -1,0 +1,100 @@
+"""Streaming rollup + custom stateful operator (SURVEY.md §2.9)."""
+
+from __future__ import annotations
+
+import shutil
+
+from pyspark.sql import functions as F
+
+from etl_sber_spark.streaming.inbox import stream_transactions
+from etl_sber_spark.streaming.rollup import card_running_totals, hourly_rollup
+
+REF = "/root/reference"
+
+
+def _drain(q):
+    q.awaitTermination(180)
+
+
+def test_hourly_rollup_matches_batch(spark, tmp_path):
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    shutil.copy(
+        f"{REF}/transactions_01032021.txt", inbox / "transactions_01032021.txt"
+    )
+    stream = hourly_rollup(stream_transactions(spark, str(inbox)))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("rollup_t")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    _drain(q)
+    got = {
+        (str(r.bucket_start), r.oper_type): (r.n, r.total_amt)
+        for r in spark.sql("SELECT * FROM rollup_t").collect()
+    }
+    # independent batch recomputation of the same rollup
+    from etl_sber_spark.sources.io import read_transactions_csv
+
+    # the file was consumed (not archived) by the stream; recompute from
+    # the original reference copy
+    batch = read_transactions_csv(spark, f"{REF}/transactions_01032021.txt")
+    want = {
+        (str(r.b), r.oper_type): (r.n, r.t)
+        for r in batch.groupBy(
+            F.date_trunc("hour", "trans_date").alias("b"), "oper_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("amt").alias("t"))
+        .collect()
+    }
+    assert got == want and len(got) >= 24  # 24h x up to 3 types
+
+
+def test_card_running_totals_state_carries_across_batches(spark, tmp_path):
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    # two micro-batches: one file per trigger
+    shutil.copy(
+        f"{REF}/transactions_01032021.txt", inbox / "transactions_01032021.txt"
+    )
+    shutil.copy(
+        f"{REF}/transactions_02032021.txt", inbox / "transactions_02032021.txt"
+    )
+    typed = stream_transactions(spark, str(inbox), max_files_per_trigger=1)
+    q = (
+        card_running_totals(typed)
+        .writeStream.format("memory")
+        .queryName("running_t")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    _drain(q)
+    # update mode appends one row per card per batch; the LAST row per
+    # card is the final running total = the two-day batch total
+    out = spark.sql("SELECT * FROM running_t").toPandas()
+    finals = out.groupby("card_num").last()
+
+    from etl_sber_spark.sources.io import read_transactions_csv
+
+    d1 = read_transactions_csv(spark, f"{REF}/transactions_01032021.txt")
+    d2 = read_transactions_csv(spark, f"{REF}/transactions_02032021.txt")
+    want = (
+        d1.unionByName(d2)
+        .groupBy("card_num")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(F.col("amt").cast("double")).alias("t"))
+        .collect()
+    )
+    want_map = {r.card_num: (r.n, round(r.t, 2)) for r in want}
+    got_map = {
+        c: (int(r.n_trans), round(float(r.total_amt), 2))
+        for c, r in finals.iterrows()
+    }
+    assert got_map == want_map
+    # and state genuinely carried: some cards must appear in BOTH batches
+    multi = out.groupby("card_num").size()
+    assert (multi > 1).any()

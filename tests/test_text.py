@@ -1,0 +1,57 @@
+"""Semantic sanity for the text-analysis helpers — the differential
+harness proves Spark == DuckDB, but both can be identically wrong
+(round 1 shipped lang_id with negated char classes: green vs its
+mirrored oracle, 'ru' for every document). These tests pin the MEANING.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_sber_spark.functions.text import lang_id, quality_score, token_count
+
+
+def test_lang_id_semantics(spark):
+    df = spark.createDataFrame(
+        [
+            ("the quick brown fox jumps over the lazy dog",),
+            ("Съешь же ещё этих мягких французских булок",),
+            ("12345 67890 ()[]{} ----",),
+        ],
+        ["text"],
+    ).select(lang_id(F.col("text")).alias("lang"))
+    assert [r.lang for r in df.collect()] == ["en", "ru", "und"]
+
+
+def test_corpus_lang_distribution(spark):
+    """The synthetic corpus is Latin-script: 'ru' must be (near-)absent
+    and 'en'/'und' dominate — the exact check the round-1 bug failed."""
+    d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    dist = {
+        r.lang: r["count"]
+        for r in d.select(lang_id(F.col("text")).alias("lang"))
+        .groupBy("lang")
+        .count()
+        .collect()
+    }
+    assert dist.get("ru", 0) == 0
+    assert dist.get("en", 0) > 0
+
+
+def test_quality_score_range_and_monotonicity(spark):
+    rows = spark.createDataFrame(
+        [
+            ("good", "a decent length sentence with normal words and flow " * 4),
+            ("bad", "!!! ... ;;; ??? !!!"),
+        ],
+        ["tag", "text"],
+    ).select("tag", quality_score(F.col("text")).alias("q")).collect()
+    q = {r.tag: float(r.q) for r in rows}
+    assert 0.0 <= q["bad"] < q["good"] <= 1.0
+
+
+def test_token_count_edges(spark):
+    df = spark.createDataFrame(
+        [("",), ("   ",), ("one",), ("two words",)], ["text"]
+    ).select(token_count(F.col("text")).alias("n"))
+    assert [r.n for r in df.collect()] == [0, 0, 1, 2]
