@@ -107,6 +107,145 @@ def cosine_topk_bruteforce(
     )
 
 
+def _sq_dist(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a.cast("array<double>"), b.cast("array<double>"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def kmeans_centroids(
+    embeddings: DataFrame,
+    k: int = 16,
+    n_iter: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic mini k-means for IVF coarse quantization.
+
+    Init = the first ``k`` vectors by id (deterministic, no RNG — the
+    repo-wide rule for differential testability); each Lloyd iteration
+    is one broadcast-join (assign: argmin over k centroids, tie-broken
+    by centroid id) + one groupBy (recenter via element-wise array
+    mean). Iterations are Python-driven but each round is a fully
+    distributed job — the classic Spark iterative-algorithm shape; at
+    100 TB you run it on a sample, not the corpus.
+
+    Returns (centroid_id, centroid array<double>).
+    """
+    cents = embeddings.filter(F.col(id_col) < k).select(
+        F.col(id_col).cast("int").alias("centroid_id"),
+        F.col(vec_col).cast("array<double>").alias("centroid"),
+    )
+    n_dims = None
+    for _ in range(n_iter):
+        assigned = assign_to_centroid(embeddings, cents, id_col, vec_col)
+        if n_dims is None:
+            n_dims = len(
+                embeddings.select(vec_col).first()[0]
+            )
+        # element-wise mean: aggregate array sums + count, then divide
+        summed = (
+            assigned.join(
+                embeddings.select(
+                    F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
+                ),
+                id_col,
+            )
+            .groupBy("centroid_id")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                *[
+                    F.sum(F.element_at("v", d + 1)).alias(f"s{d}")
+                    for d in range(n_dims)
+                ],
+            )
+        )
+        cents = summed.select(
+            "centroid_id",
+            F.array(
+                *[(F.col(f"s{d}") / F.col("n")) for d in range(n_dims)]
+            ).alias("centroid"),
+        )
+    return cents
+
+
+def assign_to_centroid(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, centroid_id): nearest centroid per vector (squared L2,
+    deterministic tie-break on centroid_id). Centroids broadcast; the
+    argmin is a window over k rows per vector."""
+    scored = embeddings.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
+    ).join(F.broadcast(centroids))
+    w = Window.partitionBy(id_col).orderBy(
+        F.round(_sq_dist(F.col("v"), F.col("centroid")), SIM_SCALE),
+        F.col("centroid_id"),
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(id_col, "centroid_id")
+    )
+
+
+def cosine_topk_ivf(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    n_lists: int = 16,
+    n_iter: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: k-means coarse quantizer,
+    candidates = vectors in the query's nearest list (nprobe=1).
+
+    The production shape: centroids trained once (on a sample),
+    assignments materialized at ingest as a partition/cluster column;
+    a query then scans ~n/n_lists rows. Recall vs the exact baseline is
+    measured in tests/test_ivf.py.
+    """
+    cents = kmeans_centroids(embeddings, n_lists, n_iter, id_col, vec_col)
+    assigned = assign_to_centroid(embeddings, cents, id_col, vec_col)
+    cand = embeddings.join(assigned, id_col)
+    q = (
+        queries.join(
+            assign_to_centroid(queries, cents, id_col, vec_col), id_col
+        )
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("q_vec"),
+            F.col("centroid_id"),
+        )
+    )
+    scored = (
+        cand.alias("e")
+        .join(
+            F.broadcast(q.alias("q")),
+            (F.col("e.centroid_id") == F.col("q.centroid_id"))
+            & (F.col("q.query_id") != F.col(f"e.{id_col}")),
+        )
+        .select(
+            "query_id",
+            F.col(f"e.{id_col}").alias(id_col),
+            F.round(
+                cosine_similarity(F.col("q_vec"), F.col(f"e.{vec_col}")),
+                SIM_SCALE,
+            ).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
 def embedding_neardup_pairs(
     embeddings: DataFrame,
     n_dims: int,

@@ -72,6 +72,27 @@ class Warehouse:
             w = w.partitionBy(*partition_by)
         w.parquet(self._dir(name))
 
+    def save_bucketed(
+        self,
+        df: DataFrame,
+        name: str,
+        bucket_col: str,
+        n_buckets: int = 32,
+        sort: bool = True,
+    ) -> None:
+        """Write a catalog-managed table bucketed (and sorted) by the
+        join key — the co-located-join path for big fact⋈fact joins
+        (SURVEY.md §4.3 / SCALE.md): two tables bucketed on the same key
+        with the same bucket count sort-merge-join with NO Exchange on
+        either side. Bucketed writes require the session catalog
+        (``saveAsTable``), so these live in the metastore warehouse dir,
+        not the path-based layout above — both are 'tables' to readers.
+        """
+        w = df.write.mode("overwrite").bucketBy(n_buckets, bucket_col)
+        if sort:
+            w = w.sortBy(bucket_col)
+        w.saveAsTable(name)
+
     def overwrite_versioned(self, df: DataFrame, name: str) -> None:
         """Write the next version directory, then atomically flip CURRENT."""
         d = self._dir(name)

@@ -1,0 +1,50 @@
+"""IVF approximate nearest-neighbor: structural determinism + measured
+recall against the exact brute-force baseline."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_sber_spark.operators.similarity import (
+    cosine_topk_bruteforce,
+    cosine_topk_ivf,
+    kmeans_centroids,
+)
+
+from .conftest import SF_MED
+
+
+def _load(spark):
+    return spark.read.parquet(f"{SF_MED}/embeddings.parquet")
+
+
+def test_kmeans_deterministic(spark):
+    e = _load(spark)
+    a = kmeans_centroids(e, k=8, n_iter=2).collect()
+    b = kmeans_centroids(e, k=8, n_iter=2).collect()
+    fmt = lambda rows: sorted(
+        (r.centroid_id, tuple(round(x, 9) for x in r.centroid)) for r in rows
+    )
+    assert fmt(a) == fmt(b)
+    assert len(a) == 8
+
+
+def test_ivf_recall_vs_bruteforce(spark):
+    """nprobe=1 IVF must still find most true neighbors on the test
+    corpus — and must be exact whenever query and neighbor share a
+    list. Recall@3 ≥ 0.5 is the (deliberately loose) floor; the exact
+    value is deterministic, so regressions show as a hard fail."""
+    e = _load(spark)
+    q = e.filter(F.col("vec_id") < 20)
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in cosine_topk_bruteforce(e, q, k=3).collect()
+    }
+    approx = {
+        (r.query_id, r.vec_id)
+        for r in cosine_topk_ivf(e, q, k=3, n_lists=8).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"recall@3={recall:.3f}"
+    # every query produced results (no empty lists)
+    assert len({a for a, _ in approx}) == 20
