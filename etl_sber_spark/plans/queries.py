@@ -1044,6 +1044,32 @@ def q_set_ops(spark, sf_dir):
 
 
 @query(
+    "q_percentile",
+    oracle="""
+    SELECT event_type,
+           quantile_cont(value, 0.5) AS med_value,
+           quantile_cont(value, 0.9) AS p90_value,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def q_percentile(spark, sf_dir):
+    """Exact interpolated percentiles (median/p90) per group — Spark's
+    percentile and DuckDB's quantile_cont share the standard
+    (1-f)*lo + f*hi interpolation, verified bit-identical on this data.
+    Exact percentile sorts per group; the approximate sketch path
+    (approx_percentile/t-digest) is the 100 TB default when a 1%% error
+    is acceptable — bounds-tested in tests/test_approx.py since sketches
+    are not cross-engine comparable."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med_value"),
+        F.percentile("value", F.lit(0.9)).alias("p90_value"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
     "q_tokenize",
     oracle=r"""
     SELECT doc_id,
