@@ -1070,6 +1070,59 @@ def q_percentile(spark, sf_dir):
 
 
 @query(
+    "q_string_funcs",
+    oracle="""
+    SELECT c_custkey,
+           upper(c_name) AS name_upper,
+           lower(c_mktsegment) AS seg_lower,
+           substr(c_name, 1, 8) AS name_prefix,
+           lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS key_padded,
+           replace(c_name, '#', '-') AS name_dashed,
+           length(c_name) AS name_len
+    FROM customer
+    """,
+)
+def q_string_funcs(spark, sf_dir):
+    """String-function surface (P-family breadth): upper/lower/substr/
+    lpad/replace/length — all JVM built-ins with identical semantics in
+    DuckDB for positive arguments (negative substr indexes differ
+    between engines and are avoided by contract)."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.lower("c_mktsegment").alias("seg_lower"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("key_padded"),
+        F.replace(F.col("c_name"), F.lit("#"), F.lit("-")).alias("name_dashed"),
+        F.length("c_name").alias("name_len"),
+    )
+
+
+@query(
+    "q_cube",
+    oracle="""
+    SELECT l_returnflag AS return_flag, l_linestatus AS line_status,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def q_cube(spark, sf_dir):
+    """CUBE grouping sets (all 4 combinations) — completes the
+    grouping-sets family next to q_rollup; one Expand + one shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube(
+        F.col("l_returnflag").alias("return_flag"),
+        F.col("l_linestatus").alias("line_status"),
+    ).agg(
+        F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
     "q_tokenize",
     oracle=r"""
     SELECT doc_id,

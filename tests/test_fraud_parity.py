@@ -73,3 +73,42 @@ def test_data_view_faithful_full_history_multiplies(spark, day1_warehouse):
     canonical = data_view(*common)
     faithful = data_view(*common, faithful_full_history=True)
     assert canonical.count() == faithful.count()
+
+
+def test_data_view_faithful_multiplies_after_day2(spark, day1_warehouse, tmp_path):
+    """Day 2 changes two terminals (P6934, A8966 → 2 history versions
+    each); the reference's full-history join then DOUBLE-counts their
+    transactions (main.py:418). The faithful mode must reproduce that
+    multiplication; canonical (as-of-current) must not."""
+    wh, bank = day1_warehouse
+    inbox = tmp_path / "inbox2"
+    inbox.mkdir()
+    for pat in ("transactions_02032021.txt", "terminals_02032021.xlsx"):
+        shutil.copy(f"{REF}/{pat}", inbox / pat)
+    run_day(
+        spark, str(inbox), wh.root, bank, dt.datetime(2021, 3, 2, 23, 50)
+    )
+    ts = dt.datetime(2021, 3, 2, 23, 50)
+    common = (
+        bank["clients"],
+        bank["accounts"],
+        bank["cards"],
+        wh.read(T_FACT),
+        wh.read(T_HIST),
+        ts,
+    )
+    canonical = data_view(*common)
+    faithful = data_view(*common, faithful_full_history=True)
+    n_can, n_faith = canonical.count(), faithful.count()
+    assert n_faith > n_can
+    # the excess is exactly the changed terminals' day-2 transactions:
+    # each has 2 history versions, so faithful counts them twice
+    import pyspark.sql.functions as F
+
+    fact_day2 = wh.read(T_FACT).filter(
+        F.to_date("create_date") == F.lit("2021-03-02")
+    )
+    n_changed = fact_day2.filter(
+        F.col("terminal").isin("P6934", "A8966")
+    ).count()
+    assert n_faith - n_can == n_changed
