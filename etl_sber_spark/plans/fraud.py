@@ -271,13 +271,19 @@ def rule_city_hopping(view: DataFrame) -> DataFrame:
 
 
 def build_fraud_report(
-    view: DataFrame, blacklist: DataFrame, processing_ts: dt.datetime
+    view: DataFrame,
+    blacklist: DataFrame,
+    processing_ts: dt.datetime,
+    *,
+    faithful: bool = False,
 ) -> DataFrame:
     """All three rules, unioned into one atomic mart append
     (main.py:445-529 runs three INSERTs; §2.8 — one write is atomic).
-    ``report_dt`` = the reference's ``sysdate`` default (main.py:437)."""
+    ``report_dt`` = the reference's ``sysdate`` default (main.py:437).
+    ``faithful=True`` switches rule 1 to the literal OR-join shape
+    (proven row-identical in tests/test_fraud_parity.py)."""
     rules = (
-        rule_blacklisted_passport(view, blacklist)
+        rule_blacklisted_passport(view, blacklist, faithful=faithful)
         .unionByName(rule_invalid_contract(view))
         .unionByName(rule_city_hopping(view))
     )

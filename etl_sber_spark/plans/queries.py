@@ -1123,6 +1123,100 @@ def q_cube(spark, sf_dir):
 
 
 @query(
+    "q_correlated_exists",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_totalprice > 400000)
+      AND NOT EXISTS (SELECT 1 FROM orders o2
+                      WHERE o2.o_custkey = c.c_custkey
+                        AND o2.o_orderstatus = 'F')
+    """,
+)
+def q_correlated_exists(spark, sf_dir):
+    """Correlated EXISTS / NOT EXISTS through the Spark SQL surface —
+    Catalyst decorrelates both into semi/anti joins (the same physical
+    shape as q_left_semi/q_left_anti, but exercising the subquery
+    rewrite path rather than hand-written joins)."""
+    from ..sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 400000)
+          AND NOT EXISTS (SELECT 1 FROM orders o2
+                          WHERE o2.o_custkey = c.c_custkey
+                            AND o2.o_orderstatus = 'F')
+        """
+    )
+
+
+@query(
+    "q_array_funcs",
+    oracle=r"""
+    SELECT doc_id,
+           array_to_string(list_sort(list_distinct(
+               regexp_split_to_array(lower(trim(text)), '\s+')))[1:5], ',')
+               AS first_tokens,
+           len(list_distinct(
+               regexp_split_to_array(lower(trim(text)), '\s+'))) AS n_unique,
+           list_contains(regexp_split_to_array(lower(trim(text)), '\s+'),
+                         'spark') AS has_spark
+    FROM documents
+    """,
+)
+def q_array_funcs(spark, sf_dir):
+    """Array-function surface over tokenized text: sort, distinct,
+    slice, size, contains — all JVM array built-ins (the column-typed
+    path LLM pipelines use for token/shingle features). The array output
+    is serialized with array_join: raw array columns render as numpy
+    arrays on the driver's DuckDB-pandas path ("['a' 'b']") but Python
+    lists on the Spark side ("['a', 'b']") — a guaranteed hash mismatch,
+    so arrays cross the comparison boundary as strings."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    return d.select(
+        "doc_id",
+        F.array_join(
+            F.slice(F.array_sort(F.array_distinct(toks)), 1, 5), ","
+        ).alias("first_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_unique"),
+        F.array_contains(toks, "spark").alias("has_spark"),
+    )
+
+
+@query(
+    "q_null_funcs",
+    oracle="""
+    SELECT event_id,
+           coalesce(nullif(event_type, 'error'), 'ERR') AS type_or_err,
+           CASE WHEN value IS NULL THEN -1.0 ELSE value END AS value_filled,
+           (props IS NOT NULL) AS has_props
+    FROM events
+    """,
+)
+def q_null_funcs(spark, sf_dir):
+    """NULL-handling surface: coalesce / nullif / null-test projection —
+    the Oracle NVL/NVL2 idioms (reference §2.4 F1/F8 family) as
+    codegen'd expressions."""
+    e = load_table(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.coalesce(
+            F.nullif(F.col("event_type"), F.lit("error")), F.lit("ERR")
+        ).alias("type_or_err"),
+        F.when(F.col("value").isNull(), F.lit(-1.0))
+        .otherwise(F.col("value"))
+        .alias("value_filled"),
+        F.col("props").isNotNull().alias("has_props"),
+    )
+
+
+@query(
     "q_tokenize",
     oracle=r"""
     SELECT doc_id,
