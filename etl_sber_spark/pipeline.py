@@ -71,15 +71,28 @@ def load_blacklist(wh: Warehouse, stg: DataFrame) -> None:
 
 
 def load_transactions(
-    wh: Warehouse, stg: DataFrame, processing_ts: dt.datetime
+    wh: Warehouse,
+    stg: DataFrame,
+    processing_ts: dt.datetime,
+    *,
+    idempotent: bool = False,
 ) -> None:
     """Pipeline X (main.py:566-572): typed staging + create_date stamp →
-    append, partitioned by load_date (static pruning for the daily view
-    filter — SURVEY.md §4.3.3)."""
+    partitioned write by load_date (static pruning for the daily view
+    filter — SURVEY.md §4.3.3).
+
+    ``idempotent=True`` replaces the day's partition (dynamic partition
+    overwrite) instead of appending — re-running a day becomes a no-op
+    correction instead of a duplication. Default is the reference's
+    faithful append (its re-run WOULD duplicate, main.py:358-377).
+    """
     fact = stg.withColumn(
         "create_date", F.lit(processing_ts).cast("timestamp")
     ).withColumn("load_date", F.to_date(F.lit(processing_ts.date())))
-    wh.append(fact, T_FACT, partition_by=["load_date"])
+    if idempotent:
+        wh.overwrite_partitions(fact, T_FACT, partition_by=["load_date"])
+    else:
+        wh.append(fact, T_FACT, partition_by=["load_date"])
 
 
 def build_mart(
@@ -88,25 +101,42 @@ def build_mart(
     processing_ts: dt.datetime,
     *,
     faithful_full_history: bool = False,
+    idempotent: bool = False,
 ) -> DataFrame:
     """Build the day's fraud report and append it to the mart.
 
     The view is built ONCE and cached for the three rules (the reference
     re-evaluates the 5-way join per rule — SURVEY.md §3.3), then
-    unpersisted. Returns the day's report rows."""
+    unpersisted. ``idempotent=True`` overwrites the day's report_dt
+    partition instead of appending. Returns the day's report rows."""
+    # missing tables read as empty — the reference's swallowed
+    # create-if-absent DDL guarantees (possibly empty) tables exist even
+    # when a day ships no file of that kind (main.py:21-28, 229-236)
+    def _read_or_empty(name: str, schema) -> DataFrame:
+        return wh.read(name) if wh.exists(name) else _empty(wh.spark, schema)
+
+    fact = _read_or_empty(
+        T_FACT,
+        schemas.FACT_TRANSACTIONS.add("load_date", "date"),
+    )
     view = data_view(
         bank_tables["clients"],
         bank_tables["accounts"],
         bank_tables["cards"],
-        wh.read(T_FACT),
-        wh.read(T_HIST),
+        fact,
+        _read_or_empty(T_HIST, schemas.TERMINALS_HIST),
         processing_ts,
         faithful_full_history=faithful_full_history,
     ).cache()
     try:
-        blacklist = wh.read(T_BLACKLIST)
+        blacklist = _read_or_empty(T_BLACKLIST, schemas.PASSPORT_BLACKLIST)
         report = build_fraud_report(view, blacklist, processing_ts)
-        wh.append(report, T_MART, partition_by=["report_dt"])
+        if idempotent:
+            wh.overwrite_partitions(report, T_MART, partition_by=["report_dt"])
+        else:
+            wh.append(report, T_MART, partition_by=["report_dt"])
+        if not wh.exists(T_MART):  # zero-row day: nothing was written
+            return report
         return wh.read(T_MART).filter(
             F.col("report_dt") == F.lit(processing_ts.date())
         )
@@ -123,12 +153,15 @@ def run_day(
     *,
     archive: bool = True,
     faithful_full_history: bool = False,
+    idempotent: bool = False,
 ) -> DataFrame:
     """Process one day's inbox end-to-end; returns the day's mart rows.
 
     ``bank_tables`` supplies the external ``bank.clients/accounts/cards``
     DataFrames (pre-existing Oracle tables in the reference,
     main.py:410-416 — here any DataFrame source: parquet fixtures, JDBC).
+    ``idempotent=True`` makes a day replay a partition-level correction
+    (fact + mart) instead of the reference's faithful duplication.
     """
     wh = Warehouse(spark, warehouse_root)
     for kind, path in src.scan_inbox(inbox):
@@ -138,7 +171,10 @@ def run_day(
             load_blacklist(wh, src.read_blacklist_xlsx(spark, path))
         elif kind == "transactions":
             load_transactions(
-                wh, src.read_transactions_csv(spark, path), processing_ts
+                wh,
+                src.read_transactions_csv(spark, path),
+                processing_ts,
+                idempotent=idempotent,
             )
         if archive:
             src.archive_file(path)
@@ -147,4 +183,5 @@ def run_day(
         bank_tables,
         processing_ts,
         faithful_full_history=faithful_full_history,
+        idempotent=idempotent,
     )

@@ -1217,6 +1217,51 @@ def q_null_funcs(spark, sf_dir):
 
 
 @query(
+    "q_referential_check",
+    oracle="""
+    SELECT 'orders_without_customer' AS check_name,
+           CAST(COUNT(*) AS BIGINT) AS n_violations
+    FROM orders o
+    WHERE NOT EXISTS (SELECT 1 FROM customer c
+                      WHERE c.c_custkey = o.o_custkey)
+    UNION ALL
+    SELECT 'lineitem_without_order' AS check_name,
+           CAST(COUNT(*) AS BIGINT) AS n_violations
+    FROM lineitem l
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_orderkey = l.l_orderkey)
+    """,
+)
+def q_referential_check(spark, sf_dir):
+    """Data-quality gate (operators/quality.py): referential-integrity
+    violation counts across the star schema — anti-joins keyed on the
+    FK, one shuffle each; the publish gate a production load runs
+    between fact append and mart build."""
+    from ..operators.quality import referential_violations
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    li = load_table(spark, sf_dir, "lineitem")
+    checks = [
+        (
+            "orders_without_customer",
+            referential_violations(o, "o_custkey", c, "c_custkey"),
+        ),
+        (
+            "lineitem_without_order",
+            referential_violations(li, "l_orderkey", o, "o_orderkey"),
+        ),
+    ]
+    parts = [
+        v.agg(F.count(F.lit(1)).alias("n_violations")).select(
+            F.lit(name).alias("check_name"), "n_violations"
+        )
+        for name, v in checks
+    ]
+    return parts[0].unionByName(parts[1])
+
+
+@query(
     "q_tokenize",
     oracle=r"""
     SELECT doc_id,

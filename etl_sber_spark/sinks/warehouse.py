@@ -72,6 +72,51 @@ class Warehouse:
             w = w.partitionBy(*partition_by)
         w.parquet(self._dir(name))
 
+    def overwrite_partitions(
+        self, df: DataFrame, name: str, partition_by: list[str]
+    ) -> None:
+        """Dynamic partition overwrite: replace ONLY the partitions
+        present in ``df``, leave the rest untouched — the idempotent
+        daily-load primitive (re-running a day replaces that day's
+        partition instead of duplicating it). Path-based equivalent of
+        ``INSERT OVERWRITE ... PARTITION`` with
+        ``partitionOverwriteMode=dynamic``.
+        """
+        (
+            df.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(*partition_by)
+            .parquet(self._dir(name))
+        )
+
+    def compact_partition(
+        self,
+        name: str,
+        partition_col: str,
+        partition_value,
+        target_files: int = 4,
+    ) -> int:
+        """Small-file compaction for one partition: rewrite it into
+        ``target_files`` files via dynamic partition overwrite.
+
+        Daily appends accumulate one file set per micro-batch/run; at
+        100 TB the metadata and open-file overhead of thousands of tiny
+        files dominates scan setup — nightly compaction of closed
+        partitions is standard warehouse hygiene. Returns the partition
+        row count (sanity signal for the caller)."""
+        from pyspark.sql import functions as F
+
+        part = self.read(name).filter(F.col(partition_col) == partition_value)
+        n = part.count()
+        (
+            part.repartition(target_files)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(partition_col)
+            .parquet(self._dir(name))
+        )
+        return n
+
     def save_bucketed(
         self,
         df: DataFrame,

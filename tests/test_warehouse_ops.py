@@ -1,0 +1,111 @@
+"""Warehouse maintenance + data-quality operators: idempotent day
+replay, partition compaction, DQ checks."""
+
+from __future__ import annotations
+
+import datetime as dt
+import glob
+import shutil
+
+from pyspark.sql import functions as F
+
+from etl_sber_spark.operators.quality import (
+    dq_summary,
+    null_violations,
+    referential_violations,
+    uniqueness_violations,
+)
+from etl_sber_spark.pipeline import T_FACT, T_MART, run_day
+from etl_sber_spark.sinks.warehouse import Warehouse
+
+from .fixtures_bank import build_bank_tables
+
+REF = "/root/reference"
+
+
+def _inbox(tmp_path, tag):
+    inbox = tmp_path / f"inbox_{tag}"
+    inbox.mkdir()
+    for pat in (
+        "transactions_01032021.txt",
+        "terminals_01032021.xlsx",
+        "passport_blacklist_01032021.xlsx",
+    ):
+        shutil.copy(f"{REF}/{pat}", inbox / pat)
+    return str(inbox)
+
+
+def test_idempotent_day_replay(spark, tmp_path):
+    """Replaying the same day with idempotent=True replaces the day's
+    fact/mart partitions; the faithful default would duplicate."""
+    bank = build_bank_tables(spark)
+    wh_root = str(tmp_path / "wh")
+    ts = dt.datetime(2021, 3, 1, 23, 50)
+    run_day(spark, _inbox(tmp_path, "a"), wh_root, bank, ts, idempotent=True)
+    wh = Warehouse(spark, wh_root)
+    n1_fact = wh.read(T_FACT).count()
+    n1_mart = wh.read(T_MART).count()
+    # replay the SAME day
+    run_day(spark, _inbox(tmp_path, "b"), wh_root, bank, ts, idempotent=True)
+    assert wh.read(T_FACT).count() == n1_fact == 15650
+    assert wh.read(T_MART).count() == n1_mart > 0
+
+
+def test_compact_partition(spark, tmp_path):
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    df = spark.range(0, 10_000).select(
+        F.col("id"),
+        (F.col("id") % 2).alias("part"),
+    )
+    # simulate many tiny appends
+    for _ in range(5):
+        wh.append(df.repartition(8), "t", partition_by=["part"])
+    files_before = len(
+        glob.glob(str(tmp_path / "wh" / "t" / "part=0" / "*.parquet"))
+    )
+    n = wh.compact_partition("t", "part", 0, target_files=2)
+    files_after = len(
+        glob.glob(str(tmp_path / "wh" / "t" / "part=0" / "*.parquet"))
+    )
+    assert n == 25_000  # 5 appends x 5k rows in partition 0
+    assert files_after == 2 < files_before
+    # other partition untouched, total rows preserved
+    assert wh.read("t").count() == 50_000
+
+
+def test_dq_checks(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (2, "b"), (4, "c")], ["k", "v"]
+    )
+    parent = spark.createDataFrame([(1,), (2,)], ["pk"])
+    assert null_violations(df, ["v"]).count() == 1
+    assert uniqueness_violations(df, ["k"]).collect()[0].n_rows == 2
+    assert referential_violations(df, "k", parent, "pk").count() == 1  # k=4
+    summary = {
+        r.check: r.n
+        for r in dq_summary(
+            df,
+            {
+                "nulls": null_violations(df, ["v"]),
+                "dup_keys": uniqueness_violations(df, ["k"]),
+            },
+        ).collect()
+    }
+    assert summary == {"total_rows": 4, "nulls": 1, "dup_keys": 1}
+
+
+def test_dq_clean_on_pipeline_fact(spark, tmp_path):
+    """The loaded transaction fact passes its declared DQ gates — ties
+    the quality operators to the real pipeline output."""
+    bank = build_bank_tables(spark)
+    wh_root = str(tmp_path / "wh")
+    run_day(
+        spark,
+        _inbox(tmp_path, "dq"),
+        wh_root,
+        bank,
+        dt.datetime(2021, 3, 1, 23, 50),
+    )
+    fact = Warehouse(spark, wh_root).read(T_FACT)
+    assert null_violations(fact, ["trans_id", "trans_date", "amt"]).count() == 0
+    assert uniqueness_violations(fact, ["trans_id"]).count() == 0
