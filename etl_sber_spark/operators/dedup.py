@@ -228,6 +228,54 @@ def ngram_jaccard(
     )
 
 
+#: Rolling-hash parameters: polynomial base and Mersenne modulus.
+ROLLING_BASE = 1_000_003
+ROLLING_WINDOW = 8
+
+
+def rolling_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = ROLLING_WINDOW,
+) -> DataFrame:
+    """Rabin-style rolling fingerprints over word windows (the
+    document-fingerprinting primitive for sub-document dedup /
+    plagiarism-style overlap detection).
+
+    fp(i) = Σ_j base^(window-1-j) · h(tok[i+j])  mod 2^31-1, one row per
+    window position. Computed as an array transform over precomputed
+    per-token hashes (one md5 per token position) — O(n·w) arithmetic
+    inside codegen, no Python. Emitting every position is deliberate:
+    downstream selects the winnowing minimum per block or joins
+    fingerprints across docs; both are plain relational ops.
+    """
+    toks = df.select(
+        F.col(id_col), tokens_expr(text_col).alias("toks")
+    ).filter(F.size("toks") >= window)
+    # per-position 31-bit token hashes (portable md5 base)
+    hashed = toks.select(
+        id_col,
+        F.expr(
+            f"transform(toks, t -> CAST(conv(substring(md5(concat(t, ':0')), 1, 15), 16, 10) AS BIGINT) % {MERSENNE31})"
+        ).alias("th"),
+    )
+    # powers base^(w-1-j) mod M as a literal array, folded per window
+    powers = [pow(ROLLING_BASE, window - 1 - j, MERSENNE31) for j in range(window)]
+    terms = " + ".join(
+        f"(({p} * element_at(th, i + {j})) % {MERSENNE31})"
+        for j, p in enumerate(powers)
+    )
+    return hashed.select(
+        id_col,
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, size(th) - {window - 1}), i -> ({terms}) % {MERSENNE31})"
+            )
+        ).alias("pos", "fingerprint"),
+    )
+
+
 def simhash32(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

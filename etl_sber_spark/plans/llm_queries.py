@@ -216,6 +216,46 @@ def q_ngram_jaccard(spark, sf_dir):
     return dd.ngram_jaccard(d, pairs)
 
 
+_ROLL_W = dd.ROLLING_WINDOW
+_ROLL_POWERS = [
+    pow(dd.ROLLING_BASE, _ROLL_W - 1 - j, dd.MERSENNE31) for j in range(_ROLL_W)
+]
+_ROLL_TERMS = " + ".join(
+    f"(({p} * th[i + {j}]) % {dd.MERSENNE31})"
+    for j, p in enumerate(_ROLL_POWERS)
+)
+
+
+@query(
+    "q_rolling_hash",
+    oracle=rf"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+        FROM documents
+    ),
+    h AS (
+        SELECT doc_id,
+               list_transform(t, s ->
+                   CAST(('0x' || substr(md5(s || ':0'), 1, 15)) AS BIGINT)
+                   % {dd.MERSENNE31}) AS th
+        FROM toks WHERE len(t) >= {_ROLL_W}
+    )
+    SELECT doc_id,
+           CAST(unnest(range(1, len(th) - {_ROLL_W - 1} + 1)) - 1 AS INTEGER) AS pos,
+           unnest(list_transform(range(1, len(th) - {_ROLL_W - 1} + 1),
+                  i -> ({_ROLL_TERMS}) % {dd.MERSENNE31})) AS fingerprint
+    FROM h
+    """,
+)
+def q_rolling_hash(spark, sf_dir):
+    """Rolling-hash document fingerprinting (operators/dedup.py): a
+    Rabin-style polynomial fingerprint per {w}-word window, one md5 per
+    token + integer arithmetic — the sub-document dedup primitive
+    (winnow or join fingerprints downstream).""".format(w=_ROLL_W)
+    d = load_table(spark, sf_dir, "documents")
+    return dd.rolling_fingerprints(d)
+
+
 _SIMHASH_SUMS = ",\n           ".join(
     f"SUM(((h >> {j}) & 1) * 2 - 1) AS s{j}" for j in range(32)
 )

@@ -1058,7 +1058,7 @@ def q_percentile(spark, sf_dir):
     percentile and DuckDB's quantile_cont share the standard
     (1-f)*lo + f*hi interpolation, verified bit-identical on this data.
     Exact percentile sorts per group; the approximate sketch path
-    (approx_percentile/t-digest) is the 100 TB default when a 1%% error
+    (approx_percentile/t-digest) is the 100 TB default when a 1% error
     is acceptable — bounds-tested in tests/test_approx.py since sketches
     are not cross-engine comparable."""
     e = load_table(spark, sf_dir, "events")
