@@ -45,6 +45,8 @@ HEADLINE = [
     "q_fraud_rule3_shape",
     "q_window_range",
     "q_time_bucket_rollup",
+    "q_rolling_hash",
+    "q_doc_overlap",
 ]
 
 

@@ -256,6 +256,96 @@ def q_rolling_hash(spark, sf_dir):
     return dd.rolling_fingerprints(d)
 
 
+@query(
+    "q_winnow",
+    oracle=rf"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+        FROM documents
+    ),
+    h AS (
+        SELECT doc_id,
+               list_transform(t, s ->
+                   CAST(('0x' || substr(md5(s || ':0'), 1, 15)) AS BIGINT)
+                   % {dd.MERSENNE31}) AS th
+        FROM toks WHERE len(t) >= {_ROLL_W}
+    ),
+    fp AS (
+        SELECT doc_id,
+               CAST(unnest(range(1, len(th) - {_ROLL_W - 1} + 1)) - 1 AS INTEGER) AS pos,
+               unnest(list_transform(range(1, len(th) - {_ROLL_W - 1} + 1),
+                      i -> ({_ROLL_TERMS}) % {dd.MERSENNE31})) AS fingerprint
+        FROM h
+    )
+    SELECT doc_id, CAST(pos // 4 AS INTEGER) AS block,
+           MIN(fingerprint) AS winnowed_fp
+    FROM fp GROUP BY doc_id, pos // 4
+    """,
+)
+def q_winnow(spark, sf_dir):
+    """Winnowing (the MOSS selection step): keep the MINIMUM rolling
+    fingerprint per 4-position block — guarantees any sufficiently long
+    shared passage contributes at least one identical selected
+    fingerprint, while storing ~1/4 of them. One groupBy after the
+    fingerprint projection."""
+    d = load_table(spark, sf_dir, "documents")
+    fp = dd.rolling_fingerprints(d)
+    return fp.groupBy(
+        "doc_id", (F.col("pos") / 4).cast("int").alias("block")
+    ).agg(F.min("fingerprint").alias("winnowed_fp"))
+
+
+@query(
+    "q_doc_overlap",
+    oracle=rf"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+        FROM documents
+    ),
+    h AS (
+        SELECT doc_id,
+               list_transform(t, s ->
+                   CAST(('0x' || substr(md5(s || ':0'), 1, 15)) AS BIGINT)
+                   % {dd.MERSENNE31}) AS th
+        FROM toks WHERE len(t) >= {_ROLL_W}
+    ),
+    fp AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(range(1, len(th) - {_ROLL_W - 1} + 1),
+                      i -> ({_ROLL_TERMS}) % {dd.MERSENNE31})) AS fingerprint
+        FROM h
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           COUNT(*) AS n_shared_windows
+    FROM fp a JOIN fp b ON a.fingerprint = b.fingerprint
+                       AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    """,
+)
+def q_doc_overlap(spark, sf_dir):
+    """Sub-document overlap detection: join DISTINCT rolling
+    fingerprints across documents — pairs sharing ≥1 identical 8-word
+    window, with the shared-window count. The join key is the
+    fingerprint (hash-uniform buckets), so cost is Σ|bucket|², never
+    corpus² — the plagiarism/copy-paste detector at 100 TB."""
+    d = load_table(spark, sf_dir, "documents")
+    fp = (
+        dd.rolling_fingerprints(d).select("doc_id", "fingerprint").distinct().cache()
+    )
+    a, b = fp.alias("a"), fp.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fingerprint") == F.col("b.fingerprint"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared_windows"))
+    )
+
+
 _SIMHASH_SUMS = ",\n           ".join(
     f"SUM(((h >> {j}) & 1) * 2 - 1) AS s{j}" for j in range(32)
 )

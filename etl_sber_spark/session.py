@@ -54,6 +54,12 @@ def get_spark(
         .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
         # parquet writers downstream: stable timestamp physical type
         .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+        # scan granularity: size map tasks so a partition fits executor
+        # memory at the target SF (SCALE.md); default 128m, env-tunable
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "134217728"),
+        )
         # the events table is written with nanosecond timestamps; read them
         # as long and convert to microsecond timestamps at scan (tables.py)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
