@@ -20,6 +20,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from .. import schemas
 from ..functions.normalize import comma_decimal, trim_all_strings
@@ -67,6 +68,54 @@ def normalize_transactions(raw: DataFrame) -> DataFrame:
         F.col("oper_result"),
         F.col("terminal"),
     )
+
+
+def read_transactions_csv_quarantine(
+    spark: SparkSession, path: str
+) -> tuple[DataFrame, DataFrame]:
+    """Quarantining variant of :func:`read_transactions_csv`:
+    returns (good, bad) instead of failing the whole load on one
+    malformed row.
+
+    The strict reader raises on the first unparseable timestamp/amount
+    (ANSI mode) — correct for the golden pipeline, operationally harsh
+    for a landing zone fed by third parties. Here parsing uses
+    ``try_to_timestamp``/try-cast semantics: rows where any required
+    field fails to parse land in ``bad`` (with the raw values intact
+    for forensics); ``good`` carries the same schema as the strict
+    reader. Pure projections + one filter each — still codegen, still
+    one scan (Spark shares it).
+    """
+    raw = (
+        spark.read.option("sep", ";")
+        .option("header", True)
+        .schema(schemas.TRANSACTIONS_RAW)
+        .csv(path)
+    )
+    trimmed = trim_all_strings(raw).withColumns(
+        {
+            "_ts": F.try_to_timestamp(
+                F.col("transaction_date"), F.lit("yyyy-MM-dd HH:mm:ss")
+            ),
+            "_amt": F.try_to_number(
+                F.regexp_replace("amount", ",", "."), F.lit("999999999999999999.99")
+            ),
+        }
+    )
+    ok = F.col("_ts").isNotNull() & F.col("_amt").isNotNull() & F.col(
+        "transaction_id"
+    ).isNotNull()
+    good = trimmed.filter(ok).select(
+        F.col("transaction_id").alias("trans_id"),
+        F.col("_ts").alias("trans_date"),
+        F.col("_amt").cast(T.DecimalType(20, 2)).alias("amt"),
+        F.col("card_num"),
+        F.col("oper_type"),
+        F.col("oper_result"),
+        F.col("terminal"),
+    )
+    bad = trimmed.filter(~ok).drop("_ts", "_amt")
+    return good, bad
 
 
 def read_terminals_xlsx(spark: SparkSession, path: str) -> DataFrame:
