@@ -65,6 +65,69 @@ RUNNING_SCHEMA = T.StructType(
 )
 
 
+VELOCITY_STATE = T.StructType(
+    [T.StructField("recent_ts", T.ArrayType(T.TimestampType()))]
+)
+
+VELOCITY_SCHEMA = T.StructType(
+    [
+        T.StructField("card_num", T.StringType()),
+        T.StructField("alert_ts", T.TimestampType()),
+        T.StructField("n_last_hour", T.LongType()),
+    ]
+)
+
+
+def velocity_alerts(
+    typed_stream: DataFrame, max_per_hour: int = 5
+) -> DataFrame:
+    """Streaming fraud velocity rule: alert when a card exceeds
+    ``max_per_hour`` transactions inside any trailing 1-hour window.
+
+    The streaming-native sibling of batch rule 3: per-card state is the
+    list of transaction timestamps still inside the trailing hour
+    (pruned each batch, so state is bounded by the card's 1-hour burst
+    size). Emits one alert row per offending transaction. Self-contained
+    closure (executors have no repo on sys.path).
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        import datetime as _dt
+
+        import pandas as _pd
+
+        recent: list = list(state.get[0]) if state.exists else []
+        alerts_ts, alerts_n = [], []
+        new_ts = []
+        for pdf in pdfs:
+            new_ts.extend(_pd.to_datetime(pdf["trans_date"]).tolist())
+        for ts in sorted(new_ts):
+            ts = ts.to_pydatetime() if hasattr(ts, "to_pydatetime") else ts
+            cutoff = ts - _dt.timedelta(hours=1)
+            recent = [t for t in recent if t > cutoff]
+            recent.append(ts)
+            if len(recent) > max_per_hour:
+                alerts_ts.append(ts)
+                alerts_n.append(len(recent))
+        state.update((recent,))
+        yield _pd.DataFrame(
+            {
+                "card_num": [key[0]] * len(alerts_ts),
+                "alert_ts": alerts_ts,
+                "n_last_hour": alerts_n,
+            }
+        )
+
+    return typed_stream.groupBy("card_num").applyInPandasWithState(
+        update,
+        outputStructType=VELOCITY_SCHEMA,
+        stateStructType=VELOCITY_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def card_running_totals(typed_stream: DataFrame) -> DataFrame:
     """Per-card running totals via ``applyInPandasWithState``.
 
