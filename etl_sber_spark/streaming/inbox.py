@@ -65,6 +65,9 @@ def load_transactions_available_now(
     out_dir: str,
     checkpoint_dir: str,
     processing_ts: dt.datetime,
+    *,
+    dedup_ids: bool = False,
+    watermark: str = "1 day",
 ) -> StreamingQuery:
     """Drain the inbox into the partitioned fact directory, then stop.
 
@@ -72,8 +75,18 @@ def load_transactions_available_now(
     time are loaded exactly once; already-checkpointed files are
     skipped). The fact layout matches the batch path: ``create_date``
     stamp + ``load_date`` partition (pipeline.py).
+
+    ``dedup_ids=True`` additionally enforces RECORD-level exactly-once:
+    ``dropDuplicates`` on trans_id under a watermark, so a transaction
+    re-shipped in a later file (supplier re-sends, overlapping exports)
+    lands once. State is bounded by the watermark horizon — the
+    streaming analog of the blacklist anti-join idiom (SURVEY §2.5 J3).
     """
     typed = stream_transactions(spark, inbox)
+    if dedup_ids:
+        typed = typed.withWatermark("trans_date", watermark).dropDuplicates(
+            ["trans_id"]
+        )
     fact = typed.withColumn(
         "create_date", F.lit(processing_ts).cast("timestamp")
     ).withColumn("load_date", F.to_date(F.lit(processing_ts.date())))

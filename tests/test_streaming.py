@@ -43,3 +43,43 @@ def test_available_now_drain_and_exactly_once(spark, tmp_path):
     )
     q.awaitTermination(120)
     assert spark.read.parquet(out).count() == 15650 + 15686
+
+
+def test_record_level_dedup_across_files(spark, tmp_path):
+    """dedup_ids=True: a transaction re-shipped in a second file lands
+    exactly once (dropDuplicates state under the watermark spans
+    micro-batches)."""
+    import os
+    import time
+
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    header = (
+        "transaction_id;transaction_date;amount;card_num;oper_type;"
+        "oper_result;terminal\n"
+    )
+    (inbox / "transactions_a.txt").write_text(
+        header
+        + "1;2021-03-01 10:00:00;1,00;c1;PAYMENT;SUCCESS;P1\n"
+        + "2;2021-03-01 11:00:00;2,00;c2;PAYMENT;SUCCESS;P1\n"
+    )
+    (inbox / "transactions_b.txt").write_text(
+        header
+        + "2;2021-03-01 11:00:00;2,00;c2;PAYMENT;SUCCESS;P1\n"  # re-ship
+        + "3;2021-03-01 12:00:00;3,00;c3;PAYMENT;SUCCESS;P1\n"
+    )
+    now = time.time()
+    os.utime(inbox / "transactions_a.txt", (now - 60, now - 60))
+    os.utime(inbox / "transactions_b.txt", (now, now))
+
+    q = load_transactions_available_now(
+        spark,
+        str(inbox),
+        str(tmp_path / "out"),
+        str(tmp_path / "ck"),
+        dt.datetime(2021, 3, 1, 23, 50),
+        dedup_ids=True,
+    )
+    q.awaitTermination(120)
+    df = spark.read.parquet(str(tmp_path / "out"))
+    assert sorted(r.trans_id for r in df.collect()) == ["1", "2", "3"]
