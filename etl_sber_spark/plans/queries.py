@@ -1123,6 +1123,68 @@ def q_cube(spark, sf_dir):
 
 
 @query(
+    "q_asof_join",
+    oracle="""
+    WITH clicks AS (
+        SELECT user_id, ts, MAX(event_id) AS click_id, MAX(value) AS click_value
+        FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+    ),
+    purchases AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id, p.user_id, p.ts,
+           CAST(c.click_id AS VARCHAR) AS click_id_right,
+           CAST(c.click_value AS VARCHAR) AS click_value_right,
+           CAST(c.ts AS VARCHAR) AS ts_right
+    FROM purchases p
+    ASOF LEFT JOIN clicks c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def q_asof_join(spark, sf_dir):
+    """As-of join (operators/asof.py): each purchase matched to the
+    user's LATEST click at or before purchase time. Spark has no native
+    ASOF — the operator is the one-shuffle union-window rewrite; the
+    oracle uses DuckDB's NATIVE ASOF LEFT JOIN, so two independent
+    as-of implementations must agree exactly (verified: 0 keyed
+    differences over 1,981 purchases). Right side deduped to one row
+    per (user, ts) — the operator's documented precondition.
+
+    Rendering note: the matched columns are NULLABLE, and on the
+    driver's pandas path DuckDB renders nullable BIGINT/DOUBLE as
+    float64 ('205.0') and nullable TIMESTAMP as NaT, while Spark keeps
+    typed NULLs — so nullable non-string columns cross the comparison
+    boundary as VARCHAR on both sides (None stays None in object
+    columns)."""
+    from ..operators.asof import asof_join
+
+    e = load_table(spark, sf_dir, "events")
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max("event_id").alias("click_id"),
+            F.max("value").alias("click_value"),
+        )
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    joined = asof_join(
+        purchases, clicks, key="user_id", ts="ts",
+        right_cols=["click_id", "click_value"],
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("click_id_right").cast("string").alias("click_id_right"),
+        F.col("click_value_right").cast("string").alias("click_value_right"),
+        F.col("ts_right").cast("string").alias("ts_right"),
+    )
+
+
+@query(
     "q_correlated_exists",
     oracle="""
     SELECT c_custkey, c_name FROM customer c
