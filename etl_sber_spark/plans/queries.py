@@ -1185,6 +1185,48 @@ def q_asof_join(spark, sf_dir):
 
 
 @query(
+    "q_range_join",
+    oracle="""
+    SELECT i.o_orderkey AS interval_id,
+           CAST(COUNT(*) AS BIGINT) AS n_points
+    FROM lineitem p
+    JOIN (SELECT o_orderkey, o_orderdate AS iv_start,
+                 o_orderdate + INTERVAL 7 DAY AS iv_end
+          FROM orders WHERE o_totalprice > 480000) i
+      ON p.l_shipdate BETWEEN i.iv_start AND i.iv_end
+    GROUP BY i.o_orderkey
+    """,
+)
+def q_range_join(spark, sf_dir):
+    """Range join (operators/rangejoin.py): lineitem ship events counted
+    into 7-day order windows. The naive BETWEEN join is a BNLJ
+    (O(points × intervals)); the bin-bucketed rewrite equi-joins on the
+    time bin with the BETWEEN as residual — hash join, explode factor
+    ≤ 2. The oracle computes the naive join, so the rewrite's exactness
+    is what's being graded."""
+    from ..operators.rangejoin import point_in_interval_join
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    intervals = o.filter(F.col("o_totalprice") > 480000).select(
+        "o_orderkey",
+        F.col("o_orderdate").alias("iv_start"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 7 DAY")).alias("iv_end"),
+    )
+    joined = point_in_interval_join(
+        li.select("l_orderkey", "l_shipdate"),
+        "l_shipdate",
+        intervals,
+        "iv_start",
+        "iv_end",
+        bin_days=7,
+    )
+    return joined.groupBy(F.col("o_orderkey").alias("interval_id")).agg(
+        F.count(F.lit(1)).alias("n_points")
+    )
+
+
+@query(
     "q_correlated_exists",
     oracle="""
     SELECT c_custkey, c_name FROM customer c
