@@ -81,6 +81,12 @@ class Warehouse:
         partition instead of duplicating it). Path-based equivalent of
         ``INSERT OVERWRITE ... PARTITION`` with
         ``partitionOverwriteMode=dynamic``.
+
+        Isolation caveat (unlike :meth:`overwrite_versioned`): a reader
+        holding a DataFrame over the overwritten partition re-executes
+        against deleted files (FAILED_READ_FILE). Acceptable for
+        closed-partition corrections in a nightly batch; tables read
+        concurrently with rewrites belong in the versioned layout.
         """
         (
             df.write.mode("overwrite")
