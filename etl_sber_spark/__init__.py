@@ -10,20 +10,28 @@ Layout
 ------
 - ``session``    SparkSession builder (AQE on, UTC, shuffle partitions ~ cores)
 - ``schemas``    explicit StructTypes for every input (never infer)
-- ``sources``    readers: semicolon-CSV, XLSX (driver-side), parquet tables,
+- ``sources``    readers: semicolon-CSV (strict + quarantining), XLSX
+                 (stdlib OOXML, driver-side), parquet tables, JDBC,
                  file-inbox scan/dispatch/archive
 - ``functions``  scalar expression helpers (comma-decimal repair, trim-all,
                  portable hash, text stats, vector math) — all built-ins,
                  codegen-friendly
 - ``operators``  composite relational operators: snapshot-diff, SCD2 apply,
-                 SCD1 append/keep-latest, dedup (exact / minhash-LSH /
-                 simhash / ngram-jaccard), similarity search (brute-force +
-                 hyperplane-LSH), multimodal column plumbing
-- ``sinks``      parquet warehouse: partitioned append + atomic versioned
-                 overwrite-swap (SCD2 rewrite)
+                 SCD1 append/keep-latest, as-of join, bin-bucketed range
+                 join, dedup (exact / minhash-LSH / simhash /
+                 ngram-jaccard / rolling-hash+winnow), similarity search
+                 (brute-force / hyperplane-LSH / IVF), multimodal column
+                 plumbing, salted aggregation, data-quality gates,
+                 incremental rollup maintenance
+- ``sinks``      parquet warehouse: partitioned append, atomic versioned
+                 overwrite-swap (SCD2 rewrite), dynamic partition
+                 overwrite, compaction, bucketed tables
 - ``plans``      end-to-end dataflows: denormalized data view, fraud rules,
                  and the driver-facing query registry
 - ``pipeline``   run_day orchestration (inbox -> warehouse -> mart)
+- ``streaming``  AvailableNow inbox (file + record exactly-once),
+                 watermarked rollups, stateful running totals and
+                 velocity alerts
 
 Reference parity is documented per-function with ``main.py:<line>`` cites
 into /root/reference (study-only; no code copied — the reference is Oracle
