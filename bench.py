@@ -47,6 +47,13 @@ HEADLINE = [
     "q_time_bucket_rollup",
     "q_rolling_hash",
     "q_doc_overlap",
+    # round 3: graded-but-previously-unbenched heavy queries so
+    # round-over-round deltas keep meaning as the registry grows
+    # (BENCH_r03 keys ⊇ BENCH_r02 keys).
+    "q_asof_join",
+    "q_range_join",
+    "q_winnow",
+    "q_percentile",
 ]
 
 

@@ -124,19 +124,34 @@ def kmeans_centroids(
 ) -> DataFrame:
     """Deterministic mini k-means for IVF coarse quantization.
 
-    Init = the first ``k`` vectors by id (deterministic, no RNG — the
-    repo-wide rule for differential testability); each Lloyd iteration
-    is one broadcast-join (assign: argmin over k centroids, tie-broken
-    by centroid id) + one groupBy (recenter via element-wise array
-    mean). Iterations are Python-driven but each round is a fully
+    Init = the ``k`` smallest vectors by id — ``orderBy(id).limit(k)``,
+    deterministic for ANY id domain (sparse, offset, or non-numeric
+    ids), not the round-2 ``id < k`` filter, which silently seeded
+    fewer than k centroids unless ids were dense integers from 0. No
+    RNG — the repo-wide rule for differential testability. Each Lloyd
+    iteration is one broadcast-join (assign: argmin over k centroids,
+    tie-broken by centroid id) + one groupBy (recenter via element-wise
+    array mean). Iterations are Python-driven but each round is a fully
     distributed job — the classic Spark iterative-algorithm shape; at
     100 TB you run it on a sample, not the corpus.
 
-    Returns (centroid_id, centroid array<double>).
+    A cluster left empty by an iteration drops out of the result (its
+    centroid has no mean), so the returned list may hold fewer than
+    ``k`` rows — callers read the actual list size rather than assuming
+    k (documented shrinkage; re-seeding would break determinism).
+
+    Returns (centroid_id, centroid array<double>). centroid_id is the
+    dense rank of the seed vector's id, 0..k-1.
     """
-    cents = embeddings.filter(F.col(id_col) < k).select(
-        F.col(id_col).cast("int").alias("centroid_id"),
-        F.col(vec_col).cast("array<double>").alias("centroid"),
+    cents = (
+        embeddings.orderBy(F.col(id_col))
+        .limit(k)
+        .select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("centroid"))
+        .withColumn(
+            "centroid_id",
+            (F.row_number().over(Window.orderBy(F.col(id_col))) - 1).cast("int"),
+        )
+        .select("centroid_id", "centroid")
     )
     n_dims = None
     for _ in range(n_iter):

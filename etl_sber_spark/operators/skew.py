@@ -26,9 +26,17 @@ def salted_agg(
 
     ``partial_aggs`` run per (keys, salt); ``merge_aggs`` combine the
     partials per keys (referencing the partial output columns). For a
-    plain sum: partial = sum(x) AS s, merge = sum(s) AS s. The salt is
-    a uniform projection of ``spark_partition_id`` — deterministic
-    within a job, requires no data column.
+    plain sum: partial = sum(x) AS s, merge = sum(s) AS s.
+
+    The salt is PER ROW — ``pmod(hash(monotonically_increasing_id()),
+    n_salts)`` — not per input partition. A per-partition salt
+    (``spark_partition_id``, the round-2 version) degenerates exactly in
+    the scenario salting targets: a hot key clustered into few input
+    partitions (pre-shuffled or sorted input) would see only those few
+    distinct salt values, so stage 1 would not spread it.
+    ``monotonically_increasing_id`` is deterministic within a job
+    (partition index × ordinal), and the salt column never leaves
+    stage 1, so cross-job id instability cannot leak into results.
 
     Stage-1 cardinality is |keys| × n_salts, so a single hot key spreads
     over ``n_salts`` reducers instead of one; stage 2 shuffles only the
@@ -37,7 +45,7 @@ def salted_agg(
     per-key state is large (collect-style aggs) or AQE is disabled.
     """
     salted = df.withColumn(
-        "_salt", F.spark_partition_id() % F.lit(n_salts)
+        "_salt", F.pmod(F.hash(F.monotonically_increasing_id()), F.lit(n_salts))
     )
     stage1 = salted.groupBy(*keys, "_salt").agg(
         *[c.alias(n) for n, c in partial_aggs.items()]

@@ -45,8 +45,16 @@ class Warehouse:
             return False
         if os.path.exists(os.path.join(d, "CURRENT")):
             return True
+        # Any Hive-style partition directory counts ("<col>=<value>"), not
+        # just the two column names this warehouse happens to use most —
+        # a table partitioned by e.g. day= or part= must not read as
+        # absent. _SUCCESS alone also counts: a committed empty write IS
+        # an existing (empty) table.
         return any(
-            e.endswith(".parquet") or e.startswith(("part-", "load_date=", "report_dt="))
+            e.endswith(".parquet")
+            or e.startswith("part-")
+            or e == "_SUCCESS"
+            or ("=" in e and not e.startswith(("_", ".")))
             for e in os.listdir(d)
         )
 

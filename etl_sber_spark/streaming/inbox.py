@@ -77,16 +77,22 @@ def load_transactions_available_now(
     stamp + ``load_date`` partition (pipeline.py).
 
     ``dedup_ids=True`` additionally enforces RECORD-level exactly-once:
-    ``dropDuplicates`` on trans_id under a watermark, so a transaction
+    ``dropDuplicatesWithinWatermark`` on trans_id, so a transaction
     re-shipped in a later file (supplier re-sends, overlapping exports)
-    lands once. State is bounded by the watermark horizon — the
-    streaming analog of the blacklist anti-join idiom (SURVEY §2.5 J3).
+    lands once — the streaming analog of the blacklist anti-join idiom
+    (SURVEY §2.5 J3). Plain ``dropDuplicates(['trans_id'])`` would NOT
+    bound state here: Spark only evicts dropDuplicates state when the
+    event-time column is part of the dedup keys, so id-only dedup state
+    grows with lifetime distinct ids. The WithinWatermark variant
+    (Spark 3.5+) evicts each id once it is older than the watermark
+    horizon, trading the unbounded guarantee for "no duplicate arrives
+    more than ``watermark`` late" — exactly the re-shipped-file window.
     """
     typed = stream_transactions(spark, inbox)
     if dedup_ids:
-        typed = typed.withWatermark("trans_date", watermark).dropDuplicates(
-            ["trans_id"]
-        )
+        typed = typed.withWatermark(
+            "trans_date", watermark
+        ).dropDuplicatesWithinWatermark(["trans_id"])
     fact = typed.withColumn(
         "create_date", F.lit(processing_ts).cast("timestamp")
     ).withColumn("load_date", F.to_date(F.lit(processing_ts.date())))

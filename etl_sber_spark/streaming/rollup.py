@@ -79,24 +79,43 @@ VELOCITY_SCHEMA = T.StructType(
 
 
 def velocity_alerts(
-    typed_stream: DataFrame, max_per_hour: int = 5
+    typed_stream: DataFrame,
+    max_per_hour: int = 5,
+    idle_timeout_min: int = 61,
 ) -> DataFrame:
     """Streaming fraud velocity rule: alert when a card exceeds
     ``max_per_hour`` transactions inside any trailing 1-hour window.
 
     The streaming-native sibling of batch rule 3: per-card state is the
     list of transaction timestamps still inside the trailing hour
-    (pruned each batch, so state is bounded by the card's 1-hour burst
-    size). Emits one alert row per offending transaction. Self-contained
-    closure (executors have no repo on sys.path).
+    (pruned each batch, so per-card state is bounded by the card's
+    1-hour burst size). Emits one alert row per offending transaction.
+    Self-contained closure (executors have no repo on sys.path).
+
+    TOTAL state is bounded too (round-3 fix, ADVICE r2): a
+    ProcessingTimeTimeout evicts the entry for any card idle longer
+    than ``idle_timeout_min``. Eviction is semantics-preserving here —
+    after >1h of silence the trailing-hour window is empty anyway, so
+    a returning card rebuilds identical state — which is why the
+    default is just past the rule window. Round-2's NoTimeout grew
+    state with lifetime distinct-card cardinality.
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
+
+    timeout_ms = idle_timeout_min * 60_000
 
     def update(key, pdfs, state):
         import datetime as _dt
 
         import pandas as _pd
 
+        empty = _pd.DataFrame(
+            {"card_num": [], "alert_ts": [], "n_last_hour": []}
+        )
+        if state.hasTimedOut:
+            state.remove()
+            yield empty
+            return
         recent: list = list(state.get[0]) if state.exists else []
         alerts_ts, alerts_n = [], []
         new_ts = []
@@ -111,6 +130,7 @@ def velocity_alerts(
                 alerts_ts.append(ts)
                 alerts_n.append(len(recent))
         state.update((recent,))
+        state.setTimeoutDuration(timeout_ms)
         yield _pd.DataFrame(
             {
                 "card_num": [key[0]] * len(alerts_ts),
@@ -124,11 +144,13 @@ def velocity_alerts(
         outputStructType=VELOCITY_SCHEMA,
         stateStructType=VELOCITY_STATE,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
 
 
-def card_running_totals(typed_stream: DataFrame) -> DataFrame:
+def card_running_totals(
+    typed_stream: DataFrame, idle_timeout_hours: int = 24
+) -> DataFrame:
     """Per-card running totals via ``applyInPandasWithState``.
 
     Emits one (card_num, n_trans, total_amt) row per card per
@@ -136,12 +158,31 @@ def card_running_totals(typed_stream: DataFrame) -> DataFrame:
     custom streaming state. The update function is self-contained (no
     module-global references) so executor workers need no repo on
     sys.path.
+
+    State TTL (round-3 fix, ADVICE r2): a ProcessingTimeTimeout drops
+    the counters of any card idle longer than ``idle_timeout_hours``,
+    bounding total state by the active-card working set instead of
+    lifetime distinct-card cardinality. Unlike velocity_alerts this IS
+    a semantic trade: a card returning after the TTL restarts its
+    totals from zero. The last emitted row before eviction holds the
+    final totals — a downstream sink keyed on card_num retains them —
+    so the contract is "running totals over activity sessions gapped
+    by < TTL"; for exact lifetime totals, aggregate the fact table in
+    batch (q_agg_sum_by_key) instead of holding unbounded stream state.
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
+
+    timeout_ms = idle_timeout_hours * 3_600_000
 
     def update(key, pdfs, state):
         import pandas as _pd
 
+        if state.hasTimedOut:
+            state.remove()
+            yield _pd.DataFrame(
+                {"card_num": [], "n_trans": [], "total_amt": []}
+            )
+            return
         n, total = (0, 0.0)
         if state.exists:
             n, total = state.get
@@ -149,6 +190,7 @@ def card_running_totals(typed_stream: DataFrame) -> DataFrame:
             n += len(pdf)
             total += float(pdf["amt"].astype(float).sum())
         state.update((n, total))
+        state.setTimeoutDuration(timeout_ms)
         yield _pd.DataFrame(
             {"card_num": [key[0]], "n_trans": [n], "total_amt": [total]}
         )
@@ -160,6 +202,6 @@ def card_running_totals(typed_stream: DataFrame) -> DataFrame:
             outputStructType=RUNNING_SCHEMA,
             stateStructType=STATE_SCHEMA,
             outputMode="update",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
         )
     )

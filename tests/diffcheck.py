@@ -28,6 +28,10 @@ import math
 
 import duckdb
 
+# pandas.Timestamp ns-range bounds, hardcoded so _norm needs no pandas import
+_PD_TS_MIN = dt.datetime(1677, 9, 21, 0, 12, 43, 145224)
+_PD_TS_MAX = dt.datetime(2262, 4, 11, 23, 47, 16, 854775)
+
 TABLES = (
     "region",
     "nation",
@@ -74,6 +78,20 @@ def _norm(v):
         return str(v)
     if isinstance(v, dt.datetime):
         v = v.replace(tzinfo=None)
+        # The driver converts BOTH engines' results through pandas, whose
+        # ns-resolution Timestamp covers only ~1677..2262. A value outside
+        # that range (e.g. an SCD2 open-version sentinel 2999-12-31) may
+        # happen to survive this local harness yet die in the driver with
+        # OutOfBoundsDatetime (round-2 q_scd2_snapshot). Refuse it here so
+        # local green predicts driver green: queries must format such
+        # timestamps as strings in their output projection.
+        if not (_PD_TS_MIN <= v <= _PD_TS_MAX):
+            raise AssertionError(
+                f"timestamp {v} is outside the pandas ns range "
+                f"[{_PD_TS_MIN}, {_PD_TS_MAX}]; the driver's rendering "
+                "would raise OutOfBoundsDatetime — emit this column as a "
+                "formatted string instead"
+            )
         # DATE columns surface as midnight datetime64 on the pandas path;
         # render exact-midnight datetimes as bare dates so both engines'
         # DATE renderings agree (symmetric, so no false passes).
