@@ -419,16 +419,32 @@ def q_cosine_topk(spark, sf_dir):
     return sim.cosine_topk_bruteforce(e, e.filter(F.col("vec_id") < 5), k=3)
 
 
+def _plane_dot_sql(vec: str, p: int) -> str:
+    return (
+        f"list_dot_product(CAST({vec} AS DOUBLE[]), "
+        f"list_transform(range(1, 65), "
+        f"d -> CAST(((d * ({p} + 7)) % 13 % 2) * 2 - 1 AS DOUBLE)))"
+    )
+
+
 def _bucket_sql(vec: str) -> str:
     terms = []
     for p in range(sim.N_PLANES):
-        dot = (
-            f"list_dot_product(CAST({vec} AS DOUBLE[]), "
-            f"list_transform(range(1, 65), "
-            f"d -> CAST(((d * ({p} + 7)) % 13 % 2) * 2 - 1 AS DOUBLE)))"
-        )
+        dot = _plane_dot_sql(vec, p)
         terms.append(f"(CASE WHEN round({dot}, 6) >= 0 THEN {2**p} ELSE 0 END)")
     return " + ".join(terms)
+
+
+def _flip_bit_sql(vec: str) -> str:
+    """Mirror of probe_buckets_expr's closest-plane choice: the bit of
+    the hyperplane with the smallest |rounded projection| (bit as
+    tie-break) — struct list_sort is field-order lexicographic in both
+    engines."""
+    structs = ", ".join(
+        f"{{'adot': abs(round({_plane_dot_sql(vec, p)}, 6)), 'bit': {2**p}}}"
+        for p in range(sim.N_PLANES)
+    )
+    return f"list_sort([{structs}])[1].bit"
 
 
 @query(
@@ -440,11 +456,14 @@ def _bucket_sql(vec: str) -> str:
         FROM embeddings
     ),
     q AS (
-        SELECT vec_id AS query_id, ev AS qv, bucket FROM cand WHERE vec_id < 5
+        SELECT vec_id AS query_id, ev AS qv,
+               [bucket, xor(bucket, {_flip_bit_sql('ev')})] AS probes
+        FROM cand WHERE vec_id < 5
     ),
     scored AS (
         SELECT q.query_id, e.vec_id, {_COSINE} AS sim
-        FROM cand e JOIN q ON e.bucket = q.bucket AND e.vec_id <> q.query_id
+        FROM cand e JOIN q
+          ON list_contains(q.probes, e.bucket) AND e.vec_id <> q.query_id
     ),
     ranked AS (
         SELECT query_id, vec_id, sim,
@@ -456,11 +475,17 @@ def _bucket_sql(vec: str) -> str:
     """,
 )
 def q_cosine_lsh(spark, sf_dir):
-    """Approximate cosine top-3 via random-hyperplane LSH buckets: only
-    same-bucket candidates are scored — the 100 TB scale path (bucket is
-    an ingest-time projection; candidate volume ~n/2^8)."""
+    """Approximate cosine top-3 via random-hyperplane LSH, MULTI-PROBE
+    (n_probe=2, round 3): each query scores its own bucket plus the
+    Hamming-1 neighbor across its closest hyperplane — the 100 TB scale
+    path (bucket is an ingest-time projection; candidate volume
+    ~n·n_probe/2^8). The oracle replicates the probe-selection algebra
+    in SQL, so the probing logic itself is hash-graded, not just the
+    cosine."""
     e = load_table(spark, sf_dir, "embeddings")
-    return sim.cosine_topk_lsh(e, e.filter(F.col("vec_id") < 5), n_dims=64, k=3)
+    return sim.cosine_topk_lsh(
+        e, e.filter(F.col("vec_id") < 5), n_dims=64, k=3, n_probe=2
+    )
 
 
 @query(
