@@ -45,16 +45,15 @@ def plane_sign(p: int | Column, d: int | Column) -> Column:
     return ((d * (p + 7)) % 13 % 2) * 2 - 1
 
 
-def bucket_expr(vec_col: str, n_dims: int) -> Column:
-    """LSH bucket id: bit p = sign of <v, plane_p>, planes 0..N_PLANES-1.
-
-    The projection is an integer-weighted sum of vector entries — exact
-    arithmetic order is fixed by the fold, and the sign test uses a
-    rounded value so both engines agree even at ulp distance from 0.
-    """
-    bucket = F.lit(0)
-    for p in range(N_PLANES):
-        dot = F.aggregate(
+def _plane_dots(vec_col: str, n_dims: int) -> Column:
+    """array<double> of the N_PLANES projections <v, plane_p>, one
+    nested loop in codegen (transform over planes × fold over dims)
+    instead of N_PLANES unrolled 64-wide fold chains — the unrolled
+    form compiled to a janino method large enough to dominate the
+    query's wall-clock at small SF."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(N_PLANES - 1)),
+        lambda p: F.aggregate(
             F.zip_with(
                 F.col(vec_col).cast("array<double>"),
                 F.transform(
@@ -65,11 +64,46 @@ def bucket_expr(vec_col: str, n_dims: int) -> Column:
             ),
             F.lit(0.0),
             lambda acc, x: acc + x,
-        )
-        bucket = bucket + F.when(F.round(dot, SIM_SCALE) >= 0, F.lit(2**p)).otherwise(
-            F.lit(0)
-        )
-    return bucket
+        ),
+    )
+
+
+def _bits() -> Column:
+    """Literal [1, 2, 4, ...] — bit value of plane p at index p+1.
+    Built lazily: F.lit needs an active SparkContext in classic mode,
+    so a module-level constant would break import-before-session."""
+    return F.array(*[F.lit(2**p) for p in range(N_PLANES)])
+
+
+def _let(value: Column, body) -> Column:
+    """Let-binding for column expressions: evaluate ``value`` ONCE and
+    reference it as a lambda variable in ``body``. ``transform`` over a
+    singleton array binds its element as a variable, so the (large)
+    ``value`` subtree appears once in the plan instead of once per use
+    — Catalyst's CollapseProject would otherwise inline a
+    ``withColumn`` copy into every consumer."""
+    return F.element_at(F.transform(F.array(value), body), 1)
+
+
+def _bucket_from_dots(dots: Column) -> Column:
+    return F.aggregate(
+        F.sequence(F.lit(1), F.lit(N_PLANES)),
+        F.lit(0),
+        lambda acc, i: acc
+        + F.when(
+            F.round(F.element_at(dots, i), SIM_SCALE) >= 0, F.element_at(_bits(), i)
+        ).otherwise(F.lit(0)),
+    )
+
+
+def bucket_expr(vec_col: str, n_dims: int) -> Column:
+    """LSH bucket id: bit p = sign of <v, plane_p>, planes 0..N_PLANES-1.
+
+    The projection is an integer-weighted sum of vector entries — exact
+    arithmetic order is fixed by the fold, and the sign test uses a
+    rounded value so both engines agree even at ulp distance from 0.
+    """
+    return _let(_plane_dots(vec_col, n_dims), _bucket_from_dots)
 
 
 def probe_buckets_expr(vec_col: str, n_dims: int, n_probe: int) -> Column:
@@ -85,34 +119,28 @@ def probe_buckets_expr(vec_col: str, n_dims: int, n_probe: int) -> Column:
     broken by plane bit — exact SQL rendering exists for the oracle.
     Returns array<int> of ``min(n_probe, N_PLANES + 1)`` distinct ids.
     """
-    planes = []
-    for p in range(N_PLANES):
-        dot = F.aggregate(
-            F.zip_with(
-                F.col(vec_col).cast("array<double>"),
-                F.transform(
-                    F.sequence(F.lit(1), F.lit(n_dims)),
-                    lambda d: plane_sign(p, d).cast("double"),
-                ),
-                lambda x, s: x * s,
+
+    def probes(dots: Column) -> Column:
+        planes = F.transform(
+            F.sequence(F.lit(1), F.lit(N_PLANES)),
+            lambda i: F.struct(
+                F.abs(F.round(F.element_at(dots, i), SIM_SCALE)).alias("adot"),
+                F.element_at(_bits(), i).alias("bit"),
             ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
         )
-        planes.append(
-            F.struct(
-                F.abs(F.round(dot, SIM_SCALE)).alias("adot"),
-                F.lit(2**p).alias("bit"),
+
+        def flips_from(base: Column) -> Column:
+            # array_sort on structs is lexicographic: nearest plane
+            # first, bit as the deterministic tie-break.
+            flips = F.transform(
+                F.slice(F.array_sort(planes), 1, max(n_probe - 1, 0)),
+                lambda s: base.bitwiseXOR(s["bit"]),
             )
-        )
-    base = bucket_expr(vec_col, n_dims)
-    # array_sort on structs is lexicographic: nearest plane first,
-    # bit as the deterministic tie-break.
-    flips = F.transform(
-        F.slice(F.array_sort(F.array(*planes)), 1, max(n_probe - 1, 0)),
-        lambda s: base.bitwiseXOR(s["bit"]),
-    )
-    return F.concat(F.array(base), flips)
+            return F.concat(F.array(base), flips)
+
+        return _let(_bucket_from_dots(dots), flips_from)
+
+    return _let(_plane_dots(vec_col, n_dims), probes)
 
 
 def cosine_topk_bruteforce(

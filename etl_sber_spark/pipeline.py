@@ -52,7 +52,7 @@ def load_terminals(
     """Pipeline T (main.py:556-565): snapshot → SCD2 apply → swap."""
     hist = (
         wh.read(T_HIST)
-        if wh.exists(T_HIST)
+        if wh.has_data(T_HIST)
         else _empty(wh.spark, schemas.TERMINALS_HIST)
     )
     nxt = scd2_apply(hist, stg, "terminal_id", TERMINAL_ATTRS, processing_ts)
@@ -63,7 +63,7 @@ def load_blacklist(wh: Warehouse, stg: DataFrame) -> None:
     """Pipeline P (main.py:548-555): new + changed rows appended."""
     fact = (
         wh.read(T_BLACKLIST)
-        if wh.exists(T_BLACKLIST)
+        if wh.has_data(T_BLACKLIST)
         else _empty(wh.spark, schemas.PASSPORT_BLACKLIST)
     )
     delta = scd1_append(fact, stg, "passport_num", ["entry_dt"])
@@ -113,7 +113,7 @@ def build_mart(
     # create-if-absent DDL guarantees (possibly empty) tables exist even
     # when a day ships no file of that kind (main.py:21-28, 229-236)
     def _read_or_empty(name: str, schema) -> DataFrame:
-        return wh.read(name) if wh.exists(name) else _empty(wh.spark, schema)
+        return wh.read(name) if wh.has_data(name) else _empty(wh.spark, schema)
 
     fact = _read_or_empty(
         T_FACT,
@@ -135,7 +135,7 @@ def build_mart(
             wh.overwrite_partitions(report, T_MART, partition_by=["report_dt"])
         else:
             wh.append(report, T_MART, partition_by=["report_dt"])
-        if not wh.exists(T_MART):  # zero-row day: nothing was written
+        if not wh.has_data(T_MART):  # zero-row day: no readable files yet
             return report
         return wh.read(T_MART).filter(
             F.col("report_dt") == F.lit(processing_ts.date())

@@ -18,6 +18,11 @@ flags with the reference cite:
 - J7: rule 1's mixed AND/OR left join (main.py:467-471) is canonically a
   union of two linear arms (blacklisted-and-active ∪ expired-passport);
   the faithful literal OR-join would plan as BNLJ.
+- J9: rule 3's band self-join (main.py:516-525) exists only to feed a
+  DISTINCT, so the canonical default is the O(n log n) window EXISTS
+  rewrite (operators/bandjoin.py — SURVEY §4.3.2's 100× doctrine);
+  ``faithful=True`` keeps the literal join. Row-identical either way —
+  this flag changes the PLAN, not the result.
 """
 
 from __future__ import annotations
@@ -28,6 +33,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.normalize import full_name
+from ..operators.bandjoin import exists_band_partner
 from ..operators.scd import scd2_current
 
 #: Mart event-type literals — exact reference strings (main.py:454, 484,
@@ -197,13 +203,21 @@ def rule_invalid_contract(view: DataFrame) -> DataFrame:
     )
 
 
-def rule_city_hopping(view: DataFrame) -> DataFrame:
+def rule_city_hopping(view: DataFrame, *, faithful: bool = False) -> DataFrame:
     """Rule 3 (main.py:489-529): operations in different cities within one
     hour.
 
-    Shape faithful to the reference: band self-join on card_num (±1h,
-    city≠, ts≠ — J9), then DISTINCT, then lead/dense_rank windows over
-    the deduplicated pairs, then the rank=2 / next≠city filters.
+    Reference shape: band self-join on card_num (±1h, city≠, ts≠ — J9),
+    then DISTINCT, then lead/dense_rank windows over the deduplicated
+    pairs, then the rank=2 / next≠city filters. The join exists only to
+    feed the DISTINCT — an EXISTS test — so the DEFAULT here is the
+    O(n log n) window rewrite (operators/bandjoin.py): per-card range
+    windows mark transactions with a different-city different-ts partner
+    in the band, no pair product ever materializes. ``faithful=True``
+    keeps the literal join shape (row-identical by construction; the
+    driver-graded q_fraud_rule3_shape runs the rewrite against the
+    literal-join DuckDB oracle, hash-proving equivalence — SURVEY
+    §4.3.2's 100× doctrine, made the default in round 3).
 
     Two deliberate canonicalizations (SURVEY.md §2.7, §7.4):
     - window ORDER BY carries a unique tiebreak (trans_date, terminal_city)
@@ -213,35 +227,29 @@ def rule_city_hopping(view: DataFrame) -> DataFrame:
       over the duplicated join product, making lead() depend on the
       duplication factor — an accident of Oracle evaluation order, not a
       semantic).
-
-    Scale: the equi key card_num bounds the band join's quadratic term
-    per card; the O(n log n) lag-window rewrite of the same predicate is
-    benchmarked as q_band_window (plans/queries.py).
     """
-    t1 = view.select(
-        "card_num", "terminal_city", "trans_date", "passport_num", "name", "phone"
-    ).alias("t1")
-    t2 = view.select("card_num", "terminal_city", "trans_date").alias("t2")
-    pairs = (
-        t1.join(
-            t2,
-            (F.col("t1.card_num") == F.col("t2.card_num"))
-            & (F.col("t1.terminal_city") != F.col("t2.terminal_city"))
-            & (F.col("t1.trans_date") != F.col("t2.trans_date"))
-            & F.col("t1.trans_date").between(
-                F.col("t2.trans_date") - F.expr("INTERVAL 1 HOUR"),
-                F.col("t2.trans_date") + F.expr("INTERVAL 1 HOUR"),
-            ),
+    if faithful:
+        pairs = _hop_pairs_bandjoin(view)
+    else:
+        pairs = (
+            exists_band_partner(
+                view.select(
+                    "card_num",
+                    "terminal_city",
+                    "trans_date",
+                    "passport_num",
+                    "name",
+                    "phone",
+                ),
+                ["card_num"],
+                "trans_date",
+                "terminal_city",
+            )
+            .select(
+                "trans_date", "passport_num", "name", "phone", "terminal_city"
+            )
+            .distinct()
         )
-        .select(
-            F.col("t2.trans_date").alias("trans_date"),
-            F.col("t1.passport_num").alias("passport_num"),
-            F.col("t1.name").alias("name"),
-            F.col("t1.phone").alias("phone"),
-            F.col("t2.terminal_city").alias("terminal_city"),
-        )
-        .distinct()
-    )
     w_lead = Window.partitionBy("name").orderBy("trans_date", "terminal_city")
     w_rank = Window.partitionBy("name").orderBy("terminal_city")
     flagged = pairs.select(
@@ -270,6 +278,35 @@ def rule_city_hopping(view: DataFrame) -> DataFrame:
     )
 
 
+def _hop_pairs_bandjoin(view: DataFrame) -> DataFrame:
+    """The reference-literal pair generation: J9 band self-join +
+    DISTINCT (kept behind ``faithful=True``)."""
+    t1 = view.select(
+        "card_num", "terminal_city", "trans_date", "passport_num", "name", "phone"
+    ).alias("t1")
+    t2 = view.select("card_num", "terminal_city", "trans_date").alias("t2")
+    return (
+        t1.join(
+            t2,
+            (F.col("t1.card_num") == F.col("t2.card_num"))
+            & (F.col("t1.terminal_city") != F.col("t2.terminal_city"))
+            & (F.col("t1.trans_date") != F.col("t2.trans_date"))
+            & F.col("t1.trans_date").between(
+                F.col("t2.trans_date") - F.expr("INTERVAL 1 HOUR"),
+                F.col("t2.trans_date") + F.expr("INTERVAL 1 HOUR"),
+            ),
+        )
+        .select(
+            F.col("t2.trans_date").alias("trans_date"),
+            F.col("t1.passport_num").alias("passport_num"),
+            F.col("t1.name").alias("name"),
+            F.col("t1.phone").alias("phone"),
+            F.col("t2.terminal_city").alias("terminal_city"),
+        )
+        .distinct()
+    )
+
+
 def build_fraud_report(
     view: DataFrame,
     blacklist: DataFrame,
@@ -280,12 +317,14 @@ def build_fraud_report(
     """All three rules, unioned into one atomic mart append
     (main.py:445-529 runs three INSERTs; §2.8 — one write is atomic).
     ``report_dt`` = the reference's ``sysdate`` default (main.py:437).
-    ``faithful=True`` switches rule 1 to the literal OR-join shape
-    (proven row-identical in tests/test_fraud_parity.py)."""
+    ``faithful=True`` switches rule 1 to the literal OR-join shape and
+    rule 3 to the literal band self-join (both proven row-identical in
+    tests/test_fraud_parity.py; defaults are the linear/log-linear
+    rewrites)."""
     rules = (
         rule_blacklisted_passport(view, blacklist, faithful=faithful)
         .unionByName(rule_invalid_contract(view))
-        .unionByName(rule_city_hopping(view))
+        .unionByName(rule_city_hopping(view, faithful=faithful))
     )
     return rules.select(
         "event_dt",

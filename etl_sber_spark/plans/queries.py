@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..functions.normalize import comma_decimal
+from ..operators.bandjoin import band_partner_groups
 from ..sources.tables import load_table
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -836,33 +837,24 @@ def q_scd2_snapshot(spark, sf_dir):
     """,
 )
 def q_fraud_rule3_shape(spark, sf_dir):
-    """The COMPLETE composed fraud rule 3 (main.py:489-529) on testdata:
-    band self-join (J9) → DISTINCT → lead + dense_rank windows (W1-W2)
-    → residual filters (F8-F9) → distinct projection. Same operator
-    chain as plans/fraud.py:rule_city_hopping with events standing in
-    for the transaction view (user_id≙card, event_type≙city, ts≙trans
-    date) — so the composed pipeline, not just its pieces, is
-    correctness-graded by the driver."""
+    """The COMPLETE composed fraud rule 3 (main.py:489-529) on testdata,
+    in its round-3 DEFAULT plan shape: window EXISTS rewrite of the band
+    self-join (operators/bandjoin.py — no pair product materializes) →
+    lead + dense_rank windows (W1-W2) → residual filters (F8-F9) →
+    distinct projection. Same operator chain as
+    plans/fraud.py:rule_city_hopping with events standing in for the
+    transaction view (user_id≙card, event_type≙city, ts≙trans date).
+    The DuckDB oracle still runs the LITERAL band join + DISTINCT, so
+    the driver's hash compare proves the rewrite row-identical to the
+    reference shape — the composed pipeline AND the join-elimination
+    algebra are both correctness-graded."""
     e = load_table(spark, sf_dir, "events")
-    t1 = e.select("user_id", "event_type", "ts").alias("t1")
-    t2 = e.select("user_id", "event_type", "ts").alias("t2")
-    pairs = (
-        t1.join(
-            t2,
-            (F.col("t1.user_id") == F.col("t2.user_id"))
-            & (F.col("t1.event_type") != F.col("t2.event_type"))
-            & (F.col("t1.ts") != F.col("t2.ts"))
-            & F.col("t1.ts").between(
-                F.col("t2.ts") - F.expr("INTERVAL 1 HOUR"),
-                F.col("t2.ts") + F.expr("INTERVAL 1 HOUR"),
-            ),
-        )
-        .select(
-            F.col("t2.ts").alias("trans_ts"),
-            F.col("t1.user_id").alias("user_id"),
-            F.col("t2.event_type").alias("event_type"),
-        )
-        .distinct()
+    pairs = band_partner_groups(
+        e.select("user_id", "event_type", "ts"), ["user_id"], "ts", "event_type"
+    ).select(
+        F.col("ts").alias("trans_ts"),
+        "user_id",
+        "event_type",
     )
     w_lead = Window.partitionBy("user_id").orderBy("trans_ts", "event_type")
     w_rank = Window.partitionBy("user_id").orderBy("event_type")

@@ -58,6 +58,25 @@ class Warehouse:
             for e in os.listdir(d)
         )
 
+    def has_data(self, name: str) -> bool:
+        """exists() AND ``read()`` can infer a schema. A zero-row
+        partitioned write commits only ``_SUCCESS`` — the table exists
+        but holds no parquet footer, so a read-or-create caller gating
+        on exists() alone would die on UNABLE_TO_INFER_SCHEMA."""
+        d = self._dir(name)
+        cur = os.path.join(d, "CURRENT")
+        if os.path.exists(cur):
+            with open(cur) as f:
+                d = os.path.join(d, f.read().strip())
+        if not os.path.isdir(d):
+            return False
+        for sub, _dirs, files in os.walk(d):
+            if any(
+                f.endswith(".parquet") or f.startswith("part-") for f in files
+            ):
+                return True
+        return False
+
     def drop(self, name: str) -> None:
         shutil.rmtree(self._dir(name), ignore_errors=True)
 

@@ -1,0 +1,171 @@
+"""operators/bandjoin.py: the window EXISTS rewrite of the J9 band
+self-join (fraud rule 3's scale default since round 3, SURVEY §4.3.2).
+
+Parity is asserted two ways: directly against the literal join on the
+events table (every qualifying row, no more, no less), and at the
+fraud-rule level on real replay data (tests/test_fraud_parity.py).
+Plan shape is pinned so a future edit can't silently reintroduce the
+pair product into the default path.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from etl_sber_spark.operators.bandjoin import (
+    band_partner_groups,
+    exists_band_partner,
+)
+from etl_sber_spark.plans.fraud import rule_city_hopping
+from etl_sber_spark.sources.tables import load_table
+
+from .conftest import SF_SMALL
+
+
+def _events(spark):
+    return load_table(spark, SF_SMALL, "events").select(
+        "user_id", "event_type", "ts"
+    )
+
+
+def _literal_band_groups(e):
+    """The reference-literal shape: band self-join + DISTINCT."""
+    t1 = e.alias("t1")
+    t2 = e.alias("t2")
+    return (
+        t1.join(
+            t2,
+            (F.col("t1.user_id") == F.col("t2.user_id"))
+            & (F.col("t1.event_type") != F.col("t2.event_type"))
+            & (F.col("t1.ts") != F.col("t2.ts"))
+            & F.col("t1.ts").between(
+                F.col("t2.ts") - F.expr("INTERVAL 1 HOUR"),
+                F.col("t2.ts") + F.expr("INTERVAL 1 HOUR"),
+            ),
+        )
+        .select(
+            F.col("t2.user_id").alias("user_id"),
+            F.col("t2.event_type").alias("event_type"),
+            F.col("t2.ts").alias("ts"),
+        )
+        .distinct()
+    )
+
+
+def test_groups_match_literal_join(spark):
+    e = _events(spark)
+    got = {
+        (r.user_id, r.event_type, r.ts)
+        for r in band_partner_groups(
+            e, ["user_id"], "ts", "event_type"
+        ).collect()
+    }
+    want = {
+        (r.user_id, r.event_type, r.ts)
+        for r in _literal_band_groups(e).collect()
+    }
+    assert len(want) > 0, "fixture produced no band pairs — test is vacuous"
+    assert got == want
+
+
+def test_exists_preserves_all_columns_and_duplicates(spark):
+    """exists_band_partner semi-joins the ORIGINAL rows: extra columns
+    survive, and a duplicated qualifying row stays duplicated (the
+    dedup happens in group space only)."""
+    e = _events(spark).withColumn("extra", F.lit("x"))
+    doubled = e.unionAll(e)
+    out = exists_band_partner(doubled, ["user_id"], "ts", "event_type")
+    assert out.columns == ["user_id", "event_type", "ts", "extra"]
+    n_single = exists_band_partner(
+        e, ["user_id"], "ts", "event_type"
+    ).count()
+    assert n_single > 0
+    assert out.count() == 2 * n_single
+
+
+def test_null_rows_dropped_like_inner_join(spark):
+    """A NULL key/ts/diff row can satisfy neither side of the join
+    predicate — it must neither qualify nor act as a partner."""
+    base = dt.datetime(2021, 3, 1, 12, 0)
+    rows = [
+        # u1: real partner pair (different city, 30 min apart)
+        (1, "a", base),
+        (1, "b", base + dt.timedelta(minutes=30)),
+        # u2: only a NULL-city partner -> must NOT qualify
+        (2, "a", base),
+        (2, None, base + dt.timedelta(minutes=30)),
+        # NULL key rows must not partner each other
+        (None, "a", base),
+        (None, "b", base + dt.timedelta(minutes=30)),
+        # u3: only a same-ts different-city partner -> the literal join
+        # requires ts <> ts, so u3 must NOT qualify
+        (3, "a", base),
+        (3, "b", base),
+    ]
+    df = spark.createDataFrame(rows, "user_id int, event_type string, ts timestamp")
+    got = {
+        (r.user_id, r.event_type)
+        for r in band_partner_groups(
+            df, ["user_id"], "ts", "event_type"
+        ).collect()
+    }
+    assert got == {(1, "a"), (1, "b")}
+
+
+def test_tolerance_boundary_is_inclusive_and_exact(spark):
+    """BETWEEN is inclusive: exactly 1h apart qualifies; 1h + 1s does
+    not (microsecond-exact range frame, not a seconds truncation)."""
+    base = dt.datetime(2021, 3, 1, 12, 0)
+    rows = [
+        (1, "a", base),
+        (1, "b", base + dt.timedelta(hours=1)),
+        (2, "a", base),
+        (2, "b", base + dt.timedelta(hours=1, seconds=1)),
+    ]
+    df = spark.createDataFrame(rows, "user_id int, event_type string, ts timestamp")
+    got = {
+        r.user_id
+        for r in band_partner_groups(
+            df, ["user_id"], "ts", "event_type"
+        ).collect()
+    }
+    assert got == {1}
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue().split("\n\n")[0]
+
+
+def test_default_rule3_plan_has_no_band_selfjoin(spark):
+    """The mart's default rule-3 plan must contain no join at all on a
+    join-free view (windows only in group space, then one LeftSemi);
+    faithful=True is the only way to get the literal band join back."""
+    base = dt.datetime(2021, 3, 1, 12, 0)
+    view = spark.createDataFrame(
+        [
+            ("c1", "Moscow", base, "p1", "A B", "111"),
+            ("c1", "Kazan", base + dt.timedelta(minutes=10), "p1", "A B", "111"),
+        ],
+        "card_num string, terminal_city string, trans_date timestamp, "
+        "passport_num string, name string, phone string",
+    )
+    default_plan = _plan(rule_city_hopping(view))
+    joins = [
+        ln for ln in default_plan.splitlines() if "Join" in ln
+    ]
+    assert all("LeftSemi" in ln for ln in joins), default_plan
+    assert "BroadcastNestedLoopJoin" not in default_plan
+
+    faithful_plan = _plan(rule_city_hopping(view, faithful=True))
+    assert any(
+        "Join" in ln and "LeftSemi" not in ln
+        for ln in faithful_plan.splitlines()
+    ), faithful_plan

@@ -10,7 +10,11 @@ import shutil
 import pytest
 
 from etl_sber_spark.pipeline import T_BLACKLIST, T_FACT, T_HIST, run_day
-from etl_sber_spark.plans.fraud import data_view, rule_blacklisted_passport
+from etl_sber_spark.plans.fraud import (
+    data_view,
+    rule_blacklisted_passport,
+    rule_city_hopping,
+)
 from etl_sber_spark.sinks.warehouse import Warehouse
 
 from .fixtures_bank import build_bank_tables
@@ -51,6 +55,26 @@ def test_rule1_faithful_equals_canonical(spark, day1_warehouse):
     c = sorted(tuple(str(v) for v in r) for r in canonical.collect())
     f = sorted(tuple(str(v) for v in r) for r in faithful.collect())
     assert len(c) > 0
+    assert c == f
+    view.unpersist()
+
+
+def test_rule3_faithful_equals_canonical(spark, day1_warehouse):
+    """Round 3: the window EXISTS rewrite (default) must produce exactly
+    the literal band self-join's rows on real replay data."""
+    wh, bank = day1_warehouse
+    view = data_view(
+        bank["clients"],
+        bank["accounts"],
+        bank["cards"],
+        wh.read(T_FACT),
+        wh.read(T_HIST),
+        dt.datetime(2021, 3, 1, 23, 50),
+    ).cache()
+    canonical = rule_city_hopping(view)
+    faithful = rule_city_hopping(view, faithful=True)
+    c = sorted(tuple(str(v) for v in r) for r in canonical.collect())
+    f = sorted(tuple(str(v) for v in r) for r in faithful.collect())
     assert c == f
     view.unpersist()
 

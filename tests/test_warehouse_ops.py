@@ -109,3 +109,23 @@ def test_dq_clean_on_pipeline_fact(spark, tmp_path):
     fact = Warehouse(spark, wh_root).read(T_FACT)
     assert null_violations(fact, ["trans_id", "trans_date", "amt"]).count() == 0
     assert uniqueness_violations(fact, ["trans_id"]).count() == 0
+
+
+def test_empty_partitioned_write_exists_but_has_no_data(spark, tmp_path):
+    """A zero-row partitioned append commits only _SUCCESS: the table
+    EXISTS (committed) but read() cannot infer a schema, so read-or-
+    create gates must use has_data(). Regression for the round-3 bug
+    where build_mart read a _SUCCESS-only mart and died on
+    UNABLE_TO_INFER_SCHEMA."""
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    empty = spark.createDataFrame([], "k int, part date")
+    wh.append(empty, "t_empty", partition_by=["part"])
+    assert wh.exists("t_empty")
+    assert not wh.has_data("t_empty")
+    wh.append(
+        spark.createDataFrame([(1, dt.date(2021, 3, 1))], "k int, part date"),
+        "t_empty",
+        partition_by=["part"],
+    )
+    assert wh.has_data("t_empty")
+    assert wh.read("t_empty").count() == 1
