@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 
 from ..functions.hashing import hash64
 from ..functions.text import doc_fingerprint
+from .spread import spread
 
 #: Mersenne prime 2^31-1: minhash permutation modulus. h0 is reduced to
 #: 31 bits first so a_k*h31 + b_k stays < 2^62 — no 64-bit overflow in
@@ -72,9 +73,9 @@ def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> D
     (1-indexed ``element_at``): shingle_i = toks[i] toks[i+1] toks[i+2]
     for i in 1..n-2. Documents with < 3 tokens contribute nothing.
     """
-    toks = df.select(F.col(id_col), tokens_expr(text_col).alias("toks")).filter(
-        F.size("toks") >= 3
-    )
+    toks = spread(df).select(
+        F.col(id_col), tokens_expr(text_col).alias("toks")
+    ).filter(F.size("toks") >= 3)
     sh = toks.select(
         id_col,
         F.explode(
@@ -250,7 +251,7 @@ def rolling_fingerprints(
     downstream selects the winnowing minimum per block or joins
     fingerprints across docs; both are plain relational ops.
     """
-    toks = df.select(
+    toks = spread(df).select(
         F.col(id_col), tokens_expr(text_col).alias("toks")
     ).filter(F.size("toks") >= window)
     # per-position 31-bit token hashes (portable md5 base)

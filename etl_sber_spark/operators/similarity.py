@@ -25,6 +25,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.vectors import cosine_similarity
+from .spread import spread
 
 #: Number of LSH hyperplanes (buckets = 2^N_PLANES).
 N_PLANES = 8
@@ -160,7 +161,7 @@ def cosine_topk_bruteforce(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     )
     scored = (
-        embeddings.alias("e")
+        spread(embeddings).alias("e")
         .join(F.broadcast(q), F.col("query_id") != F.col(f"e.{id_col}"))
         .select(
             "query_id",
@@ -269,7 +270,7 @@ def assign_to_centroid(
     (vector, probed list). n_probe=1 is plain assignment; >1 is the
     multi-probe recall knob for IVF queries. Centroids broadcast; the
     arg-top-n is a window over k rows per vector."""
-    scored = embeddings.select(
+    scored = spread(embeddings).select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
     ).join(F.broadcast(centroids))
     w = Window.partitionBy(id_col).orderBy(
@@ -358,7 +359,7 @@ def embedding_neardup_pairs(
     duplicates (cosine→1) collide with probability →1.
     Output: (id_a < id_b, sim).
     """
-    cand = embeddings.select(
+    cand = spread(embeddings).select(
         F.col(id_col), F.col(vec_col), bucket_expr(vec_col, n_dims).alias("bucket")
     ).cache()  # self-join reads both sides
     a, b = cand.alias("a"), cand.alias("b")
@@ -402,7 +403,7 @@ def cosine_topk_lsh(
     still lives in exactly one bucket, so probing never duplicates a
     scored pair. Measured recall ladder: tests/test_lsh_multiprobe.py.
     """
-    cand = embeddings.withColumn("bucket", bucket_expr(vec_col, n_dims))
+    cand = spread(embeddings).withColumn("bucket", bucket_expr(vec_col, n_dims))
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
