@@ -81,14 +81,40 @@ class Warehouse:
         shutil.rmtree(self._dir(name), ignore_errors=True)
 
     # -- read ---------------------------------------------------------------
-    def read(self, name: str) -> DataFrame:
+    def read(self, name: str, version: int | None = None) -> DataFrame:
+        """Read a table; for versioned tables ``version=n`` reads the
+        retained historical version ``v_n`` instead of CURRENT — the
+        AS-OF debugging primitive on the SCD2 swap layout ("what did the
+        history table hold before last night's load?"). Raises
+        ValueError for a version that was never written or has been
+        garbage-collected past the retention window."""
         d = self._dir(name)
         cur = os.path.join(d, "CURRENT")
+        if version is not None:
+            vdir = os.path.join(d, f"v_{version}")
+            if not os.path.isdir(vdir):
+                raise ValueError(
+                    f"{name} has no retained version {version}; "
+                    f"available: {self.versions(name)}"
+                )
+            return self.spark.read.parquet(vdir)
         if os.path.exists(cur):
             with open(cur) as f:
-                version = f.read().strip()
-            return self.spark.read.parquet(os.path.join(d, version))
+                current = f.read().strip()
+            return self.spark.read.parquet(os.path.join(d, current))
         return self.spark.read.parquet(d)
+
+    def versions(self, name: str) -> list[int]:
+        """Retained version numbers of a versioned table, ascending
+        (the last one is CURRENT). Empty for path/partitioned tables."""
+        d = self._dir(name)
+        if not os.path.isdir(d):
+            return []
+        return sorted(
+            int(e.split("_")[1])
+            for e in os.listdir(d)
+            if e.startswith("v_") and e.split("_")[1].isdigit()
+        )
 
     # -- write --------------------------------------------------------------
     def append(
@@ -171,8 +197,18 @@ class Warehouse:
             w = w.sortBy(bucket_col)
         w.saveAsTable(name)
 
-    def overwrite_versioned(self, df: DataFrame, name: str) -> None:
-        """Write the next version directory, then atomically flip CURRENT."""
+    def overwrite_versioned(
+        self, df: DataFrame, name: str, keep_versions: int = 2
+    ) -> None:
+        """Write the next version directory, then atomically flip CURRENT.
+
+        ``keep_versions`` retains that many trailing versions (CURRENT
+        included) for :meth:`read` time travel; older ones are deleted.
+        The default keeps CURRENT plus the immediately previous version —
+        enough to diff "before vs after last night's load" — because each
+        retained version is a full copy of the table (dimension-sized
+        here; a fact-sized table at 100 TB would use the partitioned
+        layout, not the swap layout)."""
         d = self._dir(name)
         os.makedirs(d, exist_ok=True)
         cur = os.path.join(d, "CURRENT")
@@ -187,8 +223,7 @@ class Warehouse:
         with open(tmp, "w") as f:
             f.write(version)
         os.replace(tmp, cur)  # atomic pointer flip
-        # retain only the immediately previous version (cheap time travel
-        # for debugging; older versions are garbage)
+        retained = {f"v_{m}" for m in range(n, n - keep_versions, -1)}
         for e in os.listdir(d):
-            if e.startswith("v_") and e not in (version, prev):
+            if e.startswith("v_") and e not in retained:
                 shutil.rmtree(os.path.join(d, e), ignore_errors=True)

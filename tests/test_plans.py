@@ -68,3 +68,49 @@ def test_lsh_candidates_no_subtree_replication(spark):
 def test_band_window_single_shuffle(spark):
     p = plan_of(spark, "q_band_window")
     assert tree_of(p).count("Exchange") == 1  # one shuffle on user_id
+
+
+def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
+    """SURVEY §4.2 claims DPP comes free on the partitioned fact — prove
+    it: a load_date-partitioned fact joined to a filtered calendar dim on
+    the partition column must carry a dynamicpruning PartitionFilter, so
+    at 100 TB only the reporting window's partitions are scanned."""
+    import datetime as dt
+
+    days = [dt.date(2021, 3, d) for d in range(1, 11)]
+    fact = spark.createDataFrame(
+        [(i, days[i % 10], float(i)) for i in range(1000)],
+        "id int, load_date date, amt double",
+    )
+    p = str(tmp_path / "fact")
+    fact.write.partitionBy("load_date").parquet(p)
+    cal_p = str(tmp_path / "cal")
+    spark.createDataFrame(
+        [(d, "report" if d.day <= 2 else "closed") for d in days],
+        "load_date date, window_tag string",
+    ).write.parquet(cal_p)
+    # the dim must be a file source: a createDataFrame plan has no size
+    # statistics (defaults to Long.Max), which fails DPP's benefit check;
+    # and the dim filter must be a comparison (a bare boolean column is
+    # not "likely selective" to the PartitionPruning rule)
+    cal = spark.read.parquet(cal_p)
+    from pyspark.sql import functions as F
+
+    # at test scale Spark would broadcast the tiny FACT side and skip
+    # pruning entirely; pin the 100 TB shape (fact too big to broadcast,
+    # dim hint-broadcast) so the DPP decision is what's under test
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.read.parquet(p).join(
+            F.broadcast(cal.filter(F.col("window_tag") == "report")),
+            "load_date",
+        )
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            j.explain("formatted")
+        plan = buf.getvalue()
+        assert "dynamicpruning" in plan.lower(), plan
+        assert j.count() == 200
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)

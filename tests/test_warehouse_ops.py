@@ -129,3 +129,23 @@ def test_empty_partitioned_write_exists_but_has_no_data(spark, tmp_path):
     )
     assert wh.has_data("t_empty")
     assert wh.read("t_empty").count() == 1
+
+
+def test_versioned_time_travel(spark, tmp_path):
+    """read(name, version=n) is the AS-OF primitive on the swap layout:
+    retained versions stay readable, pruned ones raise with the list of
+    what IS available, and keep_versions widens the retention window."""
+    import pytest
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    for i in (1, 2, 3):
+        wh.overwrite_versioned(spark.range(i).toDF("k"), "t")
+    assert wh.versions("t") == [2, 3]
+    assert wh.read("t").count() == 3
+    assert wh.read("t", version=2).count() == 2
+    with pytest.raises(ValueError, match="available: \\[2, 3\\]"):
+        wh.read("t", version=1)
+    wh.overwrite_versioned(spark.range(4).toDF("k"), "t", keep_versions=3)
+    assert wh.versions("t") == [2, 3, 4]
+    assert wh.read("t", version=2).count() == 2
+    assert wh.read("t").count() == 4
