@@ -1,0 +1,131 @@
+"""Corpus curation: the composed training-data pipeline.
+
+Every primitive here is individually driver-graded (exact dedup
+q_dedup_exact, minhash/LSH/jaccard q_minhash_signatures /
+q_lsh_candidates / q_ngram_jaccard, lang/quality/tokens
+q_quality_score / q_text_stats / q_tokenize); this module is the
+composition a real training-data pipeline runs — one call that takes a
+raw document table and returns it annotated with keep/drop decisions
+and the reason.
+
+Gate order is the cost ladder (the 100 TB discipline): per-row column
+gates first (language, length, quality — pure projections, zero
+shuffles) so the expensive near-dup machinery only sees survivors;
+exact dedup next (one hash-aggregate); minhash/LSH/jaccard near-dup
+last, restricted to exact-dedup survivors. Each stage's input is the
+previous stage's keep-set, so candidate volume only ever shrinks.
+
+Determinism: every survivor choice is min-id (no RNG anywhere), so the
+same corpus always curates identically — the repo-wide differential
+testability rule.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import doc_fingerprint, lang_id, quality_score, token_count
+from .dedup import lsh_candidate_pairs, minhash_signatures, ngram_jaccard
+
+
+def curate_corpus(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    allowed_langs: tuple[str, ...] = ("en", "ru"),
+    min_tokens: int = 5,
+    min_quality: float = 0.4,
+    near_dup_jaccard: float = 0.8,
+) -> DataFrame:
+    """Annotate every document with curation columns and a verdict.
+
+    Returns the input columns plus ``cur_lang``, ``cur_n_tokens``,
+    ``cur_quality``, ``cur_fingerprint`` (prefixed: source corpora often
+    carry their own ``lang``-style metadata — the fixture documents
+    table does), and ``drop_reason`` — NULL for keepers, else the FIRST
+    gate that rejected the document, in cost order:
+
+    - ``'lang'``       language not in ``allowed_langs``;
+    - ``'too_short'``  fewer than ``min_tokens`` whitespace tokens;
+    - ``'quality'``    heuristic quality below ``min_quality``;
+    - ``'exact_dup'``  identical normalized content as a kept doc with a
+      smaller id (the min-id doc of each group survives);
+    - ``'near_dup'``   3-gram Jaccard ≥ ``near_dup_jaccard`` against a
+      kept doc with a smaller id, via minhash-LSH candidates only —
+      never an all-pairs comparison.
+
+    One row in, one row out — downstream chooses
+    ``.filter('drop_reason IS NULL')`` for the clean corpus or groups by
+    ``drop_reason`` for the rejection report.
+    """
+    annotated = df.select(
+        "*",
+        lang_id(text_col).alias("cur_lang"),
+        token_count(text_col).alias("cur_n_tokens"),
+        quality_score(text_col).alias("cur_quality"),
+        doc_fingerprint(text_col).alias("cur_fingerprint"),
+    )
+    cheap_reason = (
+        F.when(~F.col("cur_lang").isin(*allowed_langs), F.lit("lang"))
+        .when(F.col("cur_n_tokens") < min_tokens, F.lit("too_short"))
+        .when(F.col("cur_quality") < min_quality, F.lit("quality"))
+    )
+    annotated = annotated.withColumn("_cheap_reason", cheap_reason).cache()
+
+    clean = annotated.filter(F.col("_cheap_reason").isNull())
+
+    # exact dedup among cheap-gate survivors: min-id per fingerprint wins
+    keepers = clean.groupBy("cur_fingerprint").agg(
+        F.min(id_col).alias("_keep_id")
+    )
+    exact_drops = (
+        clean.join(keepers, "cur_fingerprint")
+        .filter(F.col(id_col) != F.col("_keep_id"))
+        .select(F.col(id_col).alias("_drop_id"))
+    )
+
+    # near-dup among exact-dedup survivors: LSH candidates -> exact
+    # jaccard verify -> drop the larger id of each confirmed pair
+    survivors = clean.join(
+        exact_drops, clean[id_col] == exact_drops["_drop_id"], "left_anti"
+    )
+    pairs = lsh_candidate_pairs(
+        minhash_signatures(survivors, id_col, text_col), id_col
+    )
+    verified = ngram_jaccard(survivors, pairs, id_col, text_col).filter(
+        F.col("n_inter")
+        / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+        >= near_dup_jaccard
+    )
+    near_drops = verified.select(
+        F.col("id_b").alias("_drop_id")
+    ).distinct()  # id_a < id_b by construction: smaller id survives
+
+    out = (
+        annotated.join(
+            exact_drops.withColumn("_exact", F.lit(True)),
+            annotated[id_col] == exact_drops["_drop_id"],
+            "left",
+        )
+        .drop("_drop_id")
+        .join(
+            near_drops.withColumn("_near", F.lit(True)),
+            annotated[id_col] == near_drops["_drop_id"],
+            "left",
+        )
+        .drop("_drop_id")
+    )
+    return out.select(
+        *df.columns,
+        "cur_lang",
+        "cur_n_tokens",
+        "cur_quality",
+        "cur_fingerprint",
+        F.coalesce(
+            F.col("_cheap_reason"),
+            F.when(F.col("_exact"), F.lit("exact_dup")),
+            F.when(F.col("_near"), F.lit("near_dup")),
+        ).alias("drop_reason"),
+    )
