@@ -193,6 +193,8 @@ def kmeans_centroids(
     n_iter: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    *,
+    train_mod: int | None = None,
 ) -> DataFrame:
     """Deterministic mini k-means for IVF coarse quantization.
 
@@ -204,8 +206,15 @@ def kmeans_centroids(
     iteration is one broadcast-join (assign: argmin over k centroids,
     tie-broken by centroid id) + one groupBy (recenter via element-wise
     array mean). Iterations are Python-driven but each round is a fully
-    distributed job — the classic Spark iterative-algorithm shape; at
-    100 TB you run it on a sample, not the corpus.
+    distributed job — the classic Spark iterative-algorithm shape.
+
+    ``train_mod=m`` is the 100 TB path: Lloyd iterations see only the
+    deterministic ~1/m training sample ``hash64(id) % m == 0`` (hash
+    sampling, not ``DataFrame.sample`` — no RNG, so the same corpus
+    always trains the same quantizer). Assignment of the full corpus to
+    the trained centroids (``assign_to_centroid``) is unaffected:
+    training cost drops m-fold, query recall follows centroid quality,
+    not sample identity. ``None`` trains on everything.
 
     A cluster left empty by an iteration drops out of the result (its
     centroid has no mean), so the returned list may hold fewer than
@@ -215,6 +224,12 @@ def kmeans_centroids(
     Returns (centroid_id, centroid array<double>). centroid_id is the
     dense rank of the seed vector's id, 0..k-1.
     """
+    if train_mod:
+        from ..functions.hashing import hash64
+
+        embeddings = embeddings.filter(
+            hash64(F.col(id_col).cast("string")) % train_mod == 0
+        )
     cents = (
         embeddings.orderBy(F.col(id_col))
         .limit(k)

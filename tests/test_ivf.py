@@ -74,3 +74,29 @@ def test_ivf_multiprobe_recall_ladder(spark):
     assert r1 <= r4 <= r8
     assert r4 >= 0.8
     assert r8 == 1.0  # probing every list == brute force
+
+
+def test_kmeans_hash_sampled_training(spark):
+    """train_mod=m trains the quantizer on the deterministic ~1/m hash
+    sample (the 100 TB path): same k centroids out, bit-identical across
+    runs, and full-corpus assignment still reaches every vector."""
+    from etl_sber_spark.operators.similarity import assign_to_centroid
+
+    e = _load(spark)
+    a = kmeans_centroids(e, k=8, n_iter=2, train_mod=2).collect()
+    b = kmeans_centroids(e, k=8, n_iter=2, train_mod=2).collect()
+    fmt = lambda rows: sorted(
+        (r.centroid_id, tuple(round(x, 9) for x in r.centroid)) for r in rows
+    )
+    assert fmt(a) == fmt(b)
+    assert len(a) == 8
+    # sampled training must differ from full training (proves the
+    # sample was actually used) yet assign the whole corpus
+    full = kmeans_centroids(e, k=8, n_iter=2).collect()
+    assert fmt(a) != fmt(full)
+    cents = spark.createDataFrame(
+        [(r.centroid_id, list(r.centroid)) for r in a],
+        "centroid_id int, centroid array<double>",
+    )
+    assigned = assign_to_centroid(e, cents)
+    assert assigned.count() == e.count()
