@@ -53,8 +53,13 @@ def curate_corpus(
     - ``'exact_dup'``  identical normalized content as a kept doc with a
       smaller id (the min-id doc of each group survives);
     - ``'near_dup'``   3-gram Jaccard ≥ ``near_dup_jaccard`` against a
-      kept doc with a smaller id, via minhash-LSH candidates only —
-      never an all-pairs comparison.
+      SMALLER-id survivor of the earlier stages, via minhash-LSH
+      candidates only — never an all-pairs comparison. Dedup is greedy
+      and transitive over similarity chains: with A<B<C, A~B and B~C,
+      both B and C drop even if A≁C — the MINIMUM id of each chain is
+      the one guaranteed survivor (it never has a smaller partner).
+      This is the standard corpus-dedup contract; pair-exact semantics
+      would need an iterative fixpoint for no retrieval benefit.
 
     One row in, one row out — downstream chooses
     ``.filter('drop_reason IS NULL')`` for the clean corpus or groups by
@@ -72,7 +77,15 @@ def curate_corpus(
         .when(F.col("cur_n_tokens") < min_tokens, F.lit("too_short"))
         .when(F.col("cur_quality") < min_quality, F.lit("quality"))
     )
-    annotated = annotated.withColumn("_cheap_reason", cheap_reason).cache()
+    # localCheckpoint, not cache(): the annotation projection feeds ~4
+    # consumers (dedup keys, survivors, final joins) and must be
+    # materialized once — but a cache() entry would outlive the call
+    # (CacheManager holds it until an explicit unpersist nobody can
+    # issue on an internal frame). A local checkpoint is freed by the
+    # ContextCleaner once the returned DataFrame is dropped.
+    annotated = annotated.withColumn(
+        "_cheap_reason", cheap_reason
+    ).localCheckpoint(eager=True)
 
     clean = annotated.filter(F.col("_cheap_reason").isNull())
 

@@ -70,9 +70,15 @@ class Warehouse:
                 d = os.path.join(d, f.read().strip())
         if not os.path.isdir(d):
             return False
-        for sub, _dirs, files in os.walk(d):
+        for _sub, dirs, files in os.walk(d):
+            # match the reader's visibility rules: Spark ignores
+            # '_'/'.'-prefixed paths (_temporary crash debris, _SUCCESS),
+            # so files under them must not count as readable data
+            dirs[:] = [e for e in dirs if not e.startswith(("_", "."))]
             if any(
-                f.endswith(".parquet") or f.startswith("part-") for f in files
+                (f.endswith(".parquet") or f.startswith("part-"))
+                and not f.startswith(("_", "."))
+                for f in files
             ):
                 return True
         return False

@@ -81,7 +81,7 @@ VELOCITY_SCHEMA = T.StructType(
 def velocity_alerts(
     typed_stream: DataFrame,
     max_per_hour: int = 5,
-    idle_timeout_min: int = 61,
+    idle_timeout_min: int = 360,
 ) -> DataFrame:
     """Streaming fraud velocity rule: alert when a card exceeds
     ``max_per_hour`` transactions inside any trailing 1-hour window.
@@ -94,11 +94,17 @@ def velocity_alerts(
 
     TOTAL state is bounded too (round-3 fix, ADVICE r2): a
     ProcessingTimeTimeout evicts the entry for any card idle longer
-    than ``idle_timeout_min``. Eviction is semantics-preserving here —
-    after >1h of silence the trailing-hour window is empty anyway, so
-    a returning card rebuilds identical state — which is why the
-    default is just past the rule window. Round-2's NoTimeout grew
-    state with lifetime distinct-card cardinality.
+    than ``idle_timeout_min`` WALL-CLOCK minutes; round-2's NoTimeout
+    grew state with lifetime distinct-card cardinality. The timeout is
+    processing-time, the rule window event-time, so eviction preserves
+    semantics only while ingestion keeps pace: if the SOURCE stalls
+    past the TTL (outage, backpressure) while a card's event-time gap
+    stays under 1h, its rebuilt window under-counts and an alert can be
+    missed. The default therefore sits well past any routine stall —
+    state cost is the ACTIVE-card working set per 6h, still bounded —
+    and deployments needing strict event-time eviction should put a
+    watermark on the stream and use EventTimeTimeout instead (TTL then
+    advances with the data, at the price of dropping late events).
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
 

@@ -84,7 +84,10 @@ def stream_scd2_snapshots(
     If a single micro-batch holds several snapshots (backlog catch-up
     with ``max_files_per_trigger`` > 1), they are applied sequentially
     in timestamp order — byte-identical to having processed them in
-    separate batches.
+    separate batches. Snapshots at or before the history's high-water
+    mark (max ``effective_from``) are SKIPPED with a log line: applying
+    an older snapshot on top of newer history would corrupt it, and a
+    retroactive correction is a rebuild (replay in order), not an apply.
     """
     raw = (
         spark.readStream.option("header", True)
@@ -94,8 +97,8 @@ def stream_scd2_snapshots(
     )
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
-        # runs on the DRIVER (foreachBatch contract); the collect is the
-        # distinct snapshot-timestamp list — metadata-scale
+        # runs on the DRIVER (foreachBatch contract); the collects are
+        # the distinct snapshot-timestamp list and one max — metadata-scale
         stamps = [
             r[0]
             for r in batch_df.select(snapshot_ts_col)
@@ -104,14 +107,28 @@ def stream_scd2_snapshots(
             .collect()
         ]
         for ts in stamps:
-            stg = batch_df.filter(
-                F.col(snapshot_ts_col) == F.lit(ts)
-            ).drop(snapshot_ts_col)
             hist = (
                 wh.read(table)
                 if wh.has_data(table)
                 else empty_history(spark, snapshot_schema, key, attrs)
             )
+            # monotonicity guard: SCD2 apply assumes snapshots arrive in
+            # time order. A re-delivered OLDER snapshot (corrected file,
+            # fresh mtime → new micro-batch) would close newer versions
+            # with an effective_to BEFORE their effective_from and
+            # append stale rows as open — silent history corruption. A
+            # stale snapshot is skipped; correcting history retroactively
+            # is a rebuild (replay the snapshots in order), not an apply.
+            high = hist.agg(F.max("effective_from")).first()[0]
+            if high is not None and ts <= high:
+                print(
+                    f"[stream_scd2] skipping stale snapshot {ts} "
+                    f"(history already at {high})"
+                )
+                continue
+            stg = batch_df.filter(
+                F.col(snapshot_ts_col) == F.lit(ts)
+            ).drop(snapshot_ts_col)
             nxt = scd2_apply(hist, stg, key, attrs, ts)
             wh.overwrite_versioned(nxt, table)
 

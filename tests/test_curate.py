@@ -107,3 +107,24 @@ def test_curate_runs_on_fixture_documents(spark):
     }
     assert report == again
     out.unpersist()
+
+
+def test_near_dup_chain_drops_all_but_min_id(spark):
+    """Greedy transitive dedup (the documented contract): A<B<C with
+    A~B and B~C drops BOTH B and C even though A and C differ more —
+    the chain minimum is the guaranteed survivor."""
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi"
+    )
+    rows = [
+        (1, base + " one two three four five six"),
+        (2, base + " one two three four five seven"),  # ~doc 1
+        (3, base + " one two three four nine seven"),  # ~doc 2, less ~doc 1
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    verdicts = {
+        r.doc_id: r.drop_reason
+        for r in curate_corpus(df, near_dup_jaccard=0.75).collect()
+    }
+    assert verdicts == {1: None, 2: "near_dup", 3: "near_dup"}

@@ -158,3 +158,38 @@ def test_late_snapshot_applies_incrementally(spark, tmp_path):
     assert _rows(wh.read("terminals_hist")) == _rows(
         _batch_history(spark, stamps)
     )
+
+
+def test_stale_snapshot_is_skipped(spark, tmp_path):
+    """A re-delivered OLDER snapshot (corrected file, fresh mtime) must
+    not be applied on top of newer history — it would close newer
+    versions with inverted intervals. The high-water-mark guard skips
+    it and the history is unchanged."""
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    stamps = sorted(DAYS)
+    for ts in stamps:
+        _write_snapshot_csv(str(inbox), ts, DAYS[ts])
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    args = (
+        spark,
+        str(inbox),
+        wh,
+        "terminals_hist",
+        KEY,
+        ATTRS,
+        SNAP_SCHEMA,
+        str(tmp_path / "ckpt"),
+    )
+    stream_scd2_snapshots(*args).awaitTermination(120)
+    want = _rows(wh.read("terminals_hist"))
+
+    # re-deliver day 2 under a NEW name with a fresh mtime (a "corrected"
+    # file) — the file source ingests it, the guard must skip it
+    late = _write_snapshot_csv(str(inbox), stamps[1], DAYS[stamps[1]])
+    fixed = late.replace(".csv", "_corrected.csv")
+    os.rename(late, fixed)
+    now = time.time()
+    os.utime(fixed, (now, now))
+    stream_scd2_snapshots(*args).awaitTermination(120)
+    assert _rows(wh.read("terminals_hist")) == want
