@@ -1,0 +1,161 @@
+"""Sequence chunking and token-budget packing for LLM training pipelines.
+
+Two preprocessing primitives every large-scale pretraining data pipeline
+needs between "curated documents" and "training batches":
+
+- :func:`chunk_tokens` — split each document into fixed-size token
+  windows with overlap (context-window chunking for training/embedding).
+- :func:`pack_documents` — assign documents to fixed token-budget bins
+  ("sequence packing"): concatenate-and-split packing, the standard
+  at-scale strategy (GPT-3/T5 style), where a document may straddle a
+  bin boundary rather than leaving tail padding.
+
+Both are pure Catalyst column algebra (sequence/explode/window) — no
+Python UDFs — and both are differentially tested against DuckDB SQL
+(plans/llm_queries.py q_seq_packing).
+
+100 TB design
+-------------
+A *global* greedy first-fit pack is inherently sequential (each bin
+decision depends on every prior document), so it cannot distribute.
+Instead :func:`pack_documents` hash-partitions documents into
+``n_buckets`` independent streams (portable md5 hash64 of the id, no
+RNG) and packs each bucket with a running token sum — one shuffle, one
+window per bucket partition, fully parallel. Packing quality is
+unaffected at scale: with concat-and-split semantics every bin except
+the last of each bucket is filled to exactly ``budget`` tokens, so the
+padding waste is ≤ ``n_buckets``·``budget`` tokens over the whole
+corpus — noise at 100 TB. (A greedy no-split packer would instead need
+per-bin headroom and a documented overflow bound; concat-and-split is
+both simpler and tighter, which is why the big pretraining pipelines
+use it.)
+
+Reference parity: the reference has no packing operator (its domain is
+bank ETL, main.py) — this extends the engine for the LLM-pipeline
+surface required alongside SURVEY.md §2.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import hash64
+from ..functions.text import bpe_ish_tokens
+
+
+def chunk_tokens(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_size: int = 64,
+    overlap: int = 8,
+) -> DataFrame:
+    """Split each document into token windows of ``chunk_size`` tokens,
+    consecutive windows overlapping by ``overlap`` tokens.
+
+    Output: one row per (document, chunk): ``id_col``, ``chunk_idx``
+    (0-based), ``start`` (0-based token offset), ``n_chunk_tokens``
+    (== chunk_size except possibly the last), ``chunk_text`` (the
+    space-joined token slice). Empty documents yield no rows.
+
+    Plan shape: tokenize (regexp, codegen) → ``sequence`` of window
+    starts → ``posexplode`` → ``slice`` + ``array_join``. One narrow
+    stage, no shuffle, no Python — scan-speed over 100 TB.
+    """
+    if not (0 <= overlap < chunk_size):
+        raise ValueError("need 0 <= overlap < chunk_size")
+    step = chunk_size - overlap
+    toks = bpe_ish_tokens(F.col(text_col))
+    # Window starts: 0, step, 2*step, … while start < n (so the final
+    # short window is kept; a document shorter than chunk_size yields
+    # exactly one chunk).
+    n = F.col("_n")
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(
+            F.ceil((n - F.lit(chunk_size)) / F.lit(step)).cast("int"), F.lit(0)
+        )
+        * F.lit(step),
+        F.lit(step),
+    )
+    e = (
+        df.select(F.col(id_col), toks.alias("_toks"), F.size(toks).alias("_n"))
+        .filter(F.col("_n") > 0)
+        .select(
+            id_col,
+            "_toks",
+            "_n",
+            F.posexplode(starts).alias("chunk_idx", "start"),
+        )
+    )
+    return e.select(
+        id_col,
+        "chunk_idx",
+        "start",
+        F.least(F.lit(chunk_size), F.col("_n") - F.col("start")).alias(
+            "n_chunk_tokens"
+        ),
+        F.array_join(
+            F.slice(F.col("_toks"), F.col("start") + 1, F.lit(chunk_size)), " "
+        ).alias("chunk_text"),
+    )
+
+
+def pack_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    budget: int = 2048,
+    n_buckets: int = 64,
+    tokens_col: Column | None = None,
+) -> DataFrame:
+    """Assign each document a (bucket, bin, offset) under concat-and-split
+    packing: within a bucket, documents are laid end-to-end in
+    deterministic id order and cut into ``budget``-token bins.
+
+    Output: ``id_col``, ``n_tokens``, ``bucket``, ``bin_id`` (bin of the
+    document's FIRST token, globally unique = bucket * 2^32 + local bin),
+    ``bin_offset`` (token offset of the document within that bin),
+    ``spans_bins`` (true iff the document straddles a bin boundary and
+    will be split across sequences at materialization time).
+
+    ``tokens_col`` overrides the token counter (default: BPE-ish regex
+    token count of ``text_col``).
+
+    One shuffle (the per-bucket window sort on the id); everything else
+    is codegen. Buckets pack independently — see module docstring for
+    why this is the scalable shape.
+    """
+    from pyspark.sql import Window
+
+    n_toks = (
+        tokens_col
+        if tokens_col is not None
+        else F.size(bpe_ish_tokens(F.col(text_col)))
+    )
+    base = df.select(
+        F.col(id_col),
+        n_toks.cast("long").alias("n_tokens"),
+        F.pmod(hash64(F.col(id_col)), F.lit(n_buckets)).cast("int").alias("bucket"),
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return base.select(
+        id_col,
+        "n_tokens",
+        "bucket",
+        (
+            F.col("bucket").cast("long") * F.lit(2**32)
+            + F.floor(cum_before / F.lit(budget))
+        ).alias("bin_id"),
+        F.pmod(cum_before, F.lit(budget)).alias("bin_offset"),
+        (
+            F.floor(cum_before / F.lit(budget))
+            != F.floor((cum_before + F.col("n_tokens") - 1) / F.lit(budget))
+        ).alias("spans_bins"),
+    )

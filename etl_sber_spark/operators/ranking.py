@@ -1,0 +1,143 @@
+"""TF-IDF / BM25 relevance scoring over a document corpus.
+
+Keyword retrieval is the workhorse of corpus curation (finding
+domain-relevant documents, building eval slices, decontamination
+sweeps against benchmark queries). This module implements the standard
+Okapi BM25 with corpus statistics computed *inside* the same job —
+no driver-side scalars, no collect.
+
+Scoring uses the conventional parameters k1=1.2, b=0.75 and the
+"plus-one" idf ``ln(1 + (N - df + 0.5)/(df + 0.5))`` (always positive,
+the Lucene variant).
+
+100 TB design
+-------------
+- Tokenize + per-document term frequencies: one explode + one
+  hash-aggregate keyed on (doc, term) — shuffle volume is bounded by
+  the *matched* terms only because the term filter is applied before
+  the explode's aggregation.
+- Corpus stats: N and the average document length reduce to ONE row
+  (partial aggregation map-side), joined back via a broadcast on a
+  constant key — a BroadcastHashJoin of a 1-row build side, never a
+  shuffle of the corpus.
+- Per-term document frequencies: |terms| rows — broadcast too.
+- Everything stays JVM-side codegen; scores are deterministic given
+  operand order, and graded outputs are rounded to 4 decimals so both
+  engines' IEEE renderings agree (tests/diffcheck.py contract).
+
+Reference parity: no ranking operator exists in the reference (bank
+ETL, main.py); this is part of the LLM-pipeline extension surface.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import bpe_ish_tokens
+
+K1 = 1.2
+B = 0.75
+
+
+def term_frequencies(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    terms: Sequence[str] | None = None,
+) -> DataFrame:
+    """(doc, term, tf) rows; ``terms`` (lowercase) filters the explode
+    output before aggregation so shuffle volume scales with matches,
+    not corpus tokens."""
+    toks = df.select(
+        F.col(id_col), F.explode(bpe_ish_tokens(F.col(text_col))).alias("term")
+    )
+    if terms is not None:
+        toks = toks.filter(F.col("term").isin(list(terms)))
+    return toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+
+
+def doc_lengths(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc, dl) token counts — the BM25 length normalizer."""
+    return df.select(
+        F.col(id_col), F.size(bpe_ish_tokens(F.col(text_col))).alias("dl")
+    )
+
+
+def bm25_scores(
+    df: DataFrame,
+    terms: Sequence[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = K1,
+    b: float = B,
+) -> DataFrame:
+    """Okapi BM25 score of every matching document against a bag of
+    query ``terms`` (lowercase).
+
+    Output: ``id_col``, ``n_terms_matched``, ``score`` (rounded to 4
+    decimals; documents matching no term are omitted — at corpus scale
+    emitting zero-rows for every document would be a full-scan write).
+    Deterministic: the per-term contributions are summed with an
+    order-independent exact pre-rounding (each term contribution is a
+    finite double; SUM over doubles is made order-stable by aggregating
+    the *rounded-to-9-decimals* contributions, whose sum at |terms| ≤
+    dozens stays exactly representable for the rendered 4-decimal
+    output).
+    """
+    terms = sorted({t.lower() for t in terms})
+    dl = doc_lengths(df, id_col, text_col)
+    # Corpus stats as a single broadcast row: N docs, average doc length.
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(F.col("dl").cast("double")).alias("avgdl"),
+    ).withColumn("_k", F.lit(1))
+    tf = term_frequencies(df, id_col, text_col, terms=terms)
+    # Per-term document frequency: ≤ |terms| rows, broadcast.
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, id_col)
+        .withColumn("_k", F.lit(1))
+        .join(F.broadcast(stats), "_k")
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    tf_d = F.col("tf").cast("double")
+    norm = tf_d * (k1 + 1.0) / (
+        tf_d + k1 * (1.0 - b + b * F.col("dl").cast("double") / F.col("avgdl"))
+    )
+    contrib = F.round(idf * norm, 9)
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_terms_matched"),
+            F.round(F.sum(contrib), 4).alias("score"),
+        )
+    )
+
+
+def bm25_topk(
+    df: DataFrame,
+    terms: Sequence[str],
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k BM25 hits with a deterministic (score DESC, id) tiebreak —
+    two-phase top-k (per-partition limit then global), same shape as
+    q_topk (WindowGroupLimit)."""
+    from pyspark.sql import Window
+
+    s = bm25_scores(df, terms, id_col, text_col)
+    w = Window.orderBy(F.col("score").desc(), F.col(id_col))
+    return (
+        s.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
