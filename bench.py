@@ -54,6 +54,11 @@ HEADLINE = [
     "q_range_join",
     "q_winnow",
     "q_percentile",
+    # round 3: training-pipeline preprocessing operators
+    "q_stratified_sample",
+    "q_seq_packing",
+    "q_bm25_rank",
+    "q_pii_redact",
 ]
 
 

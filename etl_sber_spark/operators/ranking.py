@@ -82,12 +82,11 @@ def bm25_scores(
     Output: ``id_col``, ``n_terms_matched``, ``score`` (rounded to 4
     decimals; documents matching no term are omitted — at corpus scale
     emitting zero-rows for every document would be a full-scan write).
-    Deterministic: the per-term contributions are summed with an
-    order-independent exact pre-rounding (each term contribution is a
-    finite double; SUM over doubles is made order-stable by aggregating
-    the *rounded-to-9-decimals* contributions, whose sum at |terms| ≤
-    dozens stays exactly representable for the rendered 4-decimal
-    output).
+    Deterministic: each per-term contribution is rounded to 9 decimals,
+    cast to DECIMAL(28,9), and summed as decimals — decimal addition is
+    exact and order-independent, so the score never depends on partial-
+    aggregation order (a raw float SUM would), and the DuckDB oracle
+    running the identical arithmetic hashes bit-identically.
     """
     terms = sorted({t.lower() for t in terms})
     dl = doc_lengths(df, id_col, text_col)
@@ -113,12 +112,14 @@ def bm25_scores(
     norm = tf_d * (k1 + 1.0) / (
         tf_d + k1 * (1.0 - b + b * F.col("dl").cast("double") / F.col("avgdl"))
     )
-    contrib = F.round(idf * norm, 9)
+    from pyspark.sql import types as T
+
+    contrib = F.round(idf * norm, 9).cast(T.DecimalType(28, 9))
     return (
         scored.groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_terms_matched"),
-            F.round(F.sum(contrib), 4).alias("score"),
+            F.round(F.sum(contrib), 4).cast("double").alias("score"),
         )
     )
 

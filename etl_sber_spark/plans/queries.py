@@ -137,23 +137,6 @@ def q_scan_filter(spark, sf_dir):
 
 
 @query(
-    "q_project_concat",
-    oracle="""
-    SELECT c_custkey, concat_ws(' ', c_name, c_mktsegment) AS label
-    FROM customer
-    """,
-)
-def q_project_concat(spark, sf_dir):
-    """P2: Oracle ``||`` concat → concat_ws (NULL-as-empty semantics,
-    main.py:396)."""
-    c = load_table(spark, sf_dir, "customer")
-    return c.select(
-        "c_custkey",
-        F.concat_ws(" ", F.col("c_name"), F.col("c_mktsegment")).alias("label"),
-    )
-
-
-@query(
     "q_cast_decimal",
     oracle="""
     SELECT l_orderkey, l_linenumber,
@@ -188,7 +171,8 @@ def q_cast_decimal(spark, sf_dir):
            CAST(strptime(strftime(ts, '%Y-%m-%d'), '%Y-%m-%d') AS DATE)
                AS date_parsed,
            ts + INTERVAL 1 HOUR  AS ts_plus_1h,
-           ts - INTERVAL 1 SECOND AS ts_minus_1s
+           ts - INTERVAL 1 SECOND AS ts_minus_1s,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val
     FROM events
     """,
 )
@@ -204,7 +188,9 @@ def q_datetime_funcs(spark, sf_dir):
       exercised, not just a cast;
     - P5 to_date(str, fmt) (blacklist date parse, main.py:232-246);
     - P8 Oracle day-fraction arithmetic (sysdate - 1/24/60/60, ±1/24 —
-      main.py:133, 525) → INTERVAL literals."""
+      main.py:133, 525) → INTERVAL literals;
+    - JSON property extraction over events.props (absorbed round-3's
+      q_json_extract — same table, same projection stage)."""
     e = load_table(spark, sf_dir, "events")
     return e.select(
         "event_id",
@@ -217,21 +203,7 @@ def q_datetime_funcs(spark, sf_dir):
         ),
         (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("ts_plus_1h"),
         (F.col("ts") - F.expr("INTERVAL 1 SECOND")).alias("ts_minus_1s"),
-    )
-
-
-@query(
-    "q_json_extract",
-    oracle="""
-    SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val
-    FROM events
-    """,
-)
-def q_json_extract(spark, sf_dir):
-    """Extension: JSON property extraction over events.props."""
-    e = load_table(spark, sf_dir, "events")
-    return e.select(
-        "event_id", F.get_json_object("props", "$.k").cast("int").alias("k_val")
+        F.get_json_object("props", "$.k").cast("int").alias("k_val"),
     )
 
 
@@ -530,13 +502,19 @@ def q_union_append(spark, sf_dir):
            CAST(SUM(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
            CAST(SUM(CASE WHEN event_type = 'purchase'
                          THEN CAST(value AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END)
-                AS DOUBLE) AS purchase_value
+                AS DOUBLE) AS purchase_value,
+           CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
     FROM events GROUP BY user_id
     """,
 )
 def q_conditional_agg(spark, sf_dir):
     """Pivot-shaped conditional aggregation (the scalable form of
-    .pivot(): no second pass to discover pivot values)."""
+    .pivot(): no second pass to discover pivot values), plus a DISTINCT
+    aggregate alongside the plain ones (absorbed round-3's
+    q_distinct_agg) — the mix forces Spark's Expand + two-stage
+    aggregate physical shape; at scale the distinct key shuffles once."""
     e = load_table(spark, sf_dir, "events")
     return e.groupBy("user_id").agg(
         F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias(
@@ -555,6 +533,9 @@ def q_conditional_agg(spark, sf_dir):
         )
         .cast("double")
         .alias("purchase_value"),
+        F.count_distinct("event_type").alias("n_types"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(_dec("value")).cast("double").alias("total_value"),
     )
 
 
@@ -930,28 +911,6 @@ def q_salted_agg(spark, sf_dir):
 
 
 @query(
-    "q_distinct_agg",
-    oracle="""
-    SELECT event_type,
-           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
-           CAST(COUNT(*) AS BIGINT) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
-    FROM events GROUP BY event_type
-    """,
-)
-def q_distinct_agg(spark, sf_dir):
-    """Distinct aggregation alongside plain aggregates — plans an Expand
-    + two-stage aggregate in Spark (a different physical shape than
-    q_agg_sum_by_key); at scale the distinct key shuffles once."""
-    e = load_table(spark, sf_dir, "events")
-    return e.groupBy("event_type").agg(
-        F.count_distinct("user_id").alias("n_users"),
-        F.count(F.lit(1)).alias("n_events"),
-        F.sum(_dec("value")).cast("double").alias("total_value"),
-    )
-
-
-@query(
     "q_window_range",
     oracle="""
     SELECT event_id, user_id,
@@ -1071,6 +1030,7 @@ def q_percentile(spark, sf_dir):
     "q_scalar_funcs",
     oracle="""
     SELECT c_custkey,
+           concat_ws(' ', c_name, c_mktsegment) AS label,
            upper(c_name) AS name_upper,
            lower(c_mktsegment) AS seg_lower,
            substr(c_name, 1, 8) AS name_prefix,
@@ -1086,8 +1046,10 @@ def q_percentile(spark, sf_dir):
 )
 def q_scalar_funcs(spark, sf_dir):
     """Scalar-function surface (consolidates round-2's q_string_funcs +
-    q_null_funcs into one driver row):
+    q_null_funcs, and round-3's q_project_concat, into one driver row):
 
+    - P2 Oracle ``||`` concat → concat_ws (NULL-as-empty semantics,
+      main.py:396) — the ``label`` column;
     - strings: upper/lower/substr/lpad/replace/length — all JVM
       built-ins with identical semantics in DuckDB for positive
       arguments (negative substr indexes differ between engines and are
@@ -1098,6 +1060,7 @@ def q_scalar_funcs(spark, sf_dir):
     c = load_table(spark, sf_dir, "customer")
     return c.select(
         "c_custkey",
+        F.concat_ws(" ", F.col("c_name"), F.col("c_mktsegment")).alias("label"),
         F.upper("c_name").alias("name_upper"),
         F.lower("c_mktsegment").alias("seg_lower"),
         F.substring("c_name", 1, 8).alias("name_prefix"),
@@ -1284,32 +1247,6 @@ def q_array_funcs(spark, sf_dir):
         ).alias("first_tokens"),
         F.size(F.array_distinct(toks)).alias("n_unique"),
         F.array_contains(toks, "spark").alias("has_spark"),
-    )
-
-
-@query(
-    "q_tokenize",
-    oracle=r"""
-    SELECT doc_id,
-           CASE WHEN length(trim(text)) = 0 THEN 0
-                ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_ws_tokens,
-           len(regexp_extract_all(lower(trim(text)),
-                                  '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_bpe_tokens
-    FROM documents
-    """,
-)
-def q_tokenize(spark, sf_dir):
-    """Tokenizer surface (functions/text.py): whitespace tokens and the
-    BPE-ish regex token count — both pure regexp built-ins, scan-speed
-    over 100 TB of documents."""
-    from ..functions.text import bpe_ish_tokens, token_count
-
-    d = load_table(spark, sf_dir, "documents")
-    t = F.trim(F.col("text"))
-    return d.select(
-        "doc_id",
-        token_count(t).alias("n_ws_tokens"),
-        F.size(bpe_ish_tokens(t)).alias("n_bpe_tokens"),
     )
 
 

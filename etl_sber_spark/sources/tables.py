@@ -29,13 +29,23 @@ TABLE_NAMES = (
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one parquet table, normalizing physical-type quirks.
 
-    ``events.ts`` is written as INT64(TIMESTAMP(NANOS)) which Spark's
-    reader rejects by default; sessions from session.py set
-    ``spark.sql.legacy.parquet.nanosAsLong`` up front, but the driver
-    brings its own session — set the flag here only if it isn't already
-    (no redundant mutation of shared session state on every call).
-    The long→timestamp conversion is a codegen'd projection: no UDF, no
-    driver round-trip, so it costs nothing at 100 TB scan scale.
+    The driver has shipped two physical encodings of timestamps across
+    rounds, so the scan tolerates both:
+
+    - INT64(TIMESTAMP(NANOS)), which Spark's reader rejects by default;
+      sessions from session.py set ``spark.sql.legacy.parquet.nanosAsLong``
+      up front, but the driver brings its own session — set the flag here
+      only if it isn't already (no redundant mutation of shared session
+      state on every call).
+    - TIMESTAMP(MICROS) with isAdjustedToUTC=false, which Spark 4 infers
+      as TIMESTAMP_NTZ. The whole engine (SCD sentinels, to_timestamp
+      results, band-join unix_micros keys) speaks TIMESTAMP, and mixing
+      the two types fails analysis (unions, comparisons), so NTZ columns
+      are cast to TIMESTAMP at the scan. Under the UTC session timezone
+      (session.py) the cast is wall-clock- and epoch-identity.
+
+    Both conversions are codegen'd projections: no UDF, no driver
+    round-trip, so they cost nothing at 100 TB scan scale.
     """
     _FLAG = "spark.sql.legacy.parquet.nanosAsLong"
     if spark.conf.get(_FLAG, None) != "true":
@@ -45,6 +55,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # integer division: epoch-nanos overflow double's mantissa, so
         # `/ 1000` would round the microseconds up
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ntz = [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, T.TimestampNTZType)
+    ]
+    if ntz:
+        df = df.withColumns(
+            {c: F.col(c).cast(T.TimestampType()) for c in ntz}
+        )
     return df
 
 

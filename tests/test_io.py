@@ -104,3 +104,24 @@ def test_archive_file(tmp_path):
     import os
 
     assert os.path.exists(dest)
+
+
+def test_load_table_normalizes_timestamp_physical_types(spark):
+    """Round-3 regression: the driver regenerated testdata with
+    TIMESTAMP(MICROS, isAdjustedToUTC=false) columns, which Spark 4
+    infers as TIMESTAMP_NTZ — a type the engine's timestamp algebra
+    (unix_micros band keys, SCD sentinels, NTZ/LTZ unions) rejects.
+    load_table must hand every downstream operator plain TIMESTAMP
+    regardless of the parquet physical encoding (nanos-as-long in
+    rounds 1-2, NTZ micros in round 3)."""
+    from pyspark.sql import types as T
+
+    from etl_sber_spark.sources.tables import load_table
+
+    for table, col in (
+        ("events", "ts"),
+        ("orders", "o_orderdate"),
+        ("lineitem", "l_shipdate"),
+    ):
+        dt = load_table(spark, "/root/testdata/sf0.001", table).schema[col].dataType
+        assert isinstance(dt, T.TimestampType), f"{table}.{col} is {dt}"
