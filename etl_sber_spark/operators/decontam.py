@@ -1,0 +1,107 @@
+"""Benchmark decontamination: flag training documents that overlap an
+evaluation set.
+
+Before training, every serious pipeline sweeps the corpus for
+documents containing benchmark/eval text (the GPT-3 paper's 13-gram
+overlap sweep, Brown et al. 2020 App. C; the standard since). The
+contract: a document is contaminated if it shares at least
+``min_hits`` distinct word ``n``-grams with any probe document.
+
+Mechanics (all relational, no Python):
+
+- Both sides are reduced to DISTINCT hashed word n-grams
+  (portable hash64 so results are engine-checkable).
+- The probe side (benchmarks: thousands of items, not terabytes) is
+  aggregated to distinct gram hashes and BROADCAST — the corpus-side
+  scan is then one broadcast semi-join + one aggregate keyed on
+  doc_id: no corpus shuffle at all until the (small) hit set.
+- Output is hit-documents only (``doc_id``, ``n_hit_ngrams``,
+  ``n_probe_docs``): at 100 TB, emitting a row per CLEAN document
+  would itself be a corpus-sized write; callers anti-join the hit
+  list to drop contaminated docs.
+
+The n-gram granularity (default 8) is the precision/recall knob: long
+grams make accidental overlap vanishingly rare (GPT-3 used 13-gram
+word overlap), short ones catch paraphrase-ish copies at the cost of
+false hits on idioms.
+
+Reference parity: no decontamination in the reference (bank ETL);
+LLM-pipeline extension surface, composed from the same n-gram+hash
+primitives as dedup (operators/dedup.py) and repetition
+(functions/repetition.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import hash64
+from ..functions.repetition import ngram_array
+
+
+def _gram_hashes(
+    df: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    """(id, gram_hash) DISTINCT pairs."""
+    return (
+        df.select(
+            F.col(id_col),
+            F.explode(ngram_array(F.col(text_col), n)).alias("g"),
+        )
+        .select(id_col, hash64(F.col("g")).alias("gh"))
+        .dropDuplicates([id_col, "gh"])
+    )
+
+
+def contaminated_docs(
+    corpus: DataFrame,
+    probes: DataFrame,
+    n: int = 8,
+    min_hits: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    probe_id_col: str = "probe_id",
+    probe_text_col: str = "text",
+) -> DataFrame:
+    """Documents sharing ≥ ``min_hits`` distinct ``n``-grams with the
+    probe set.
+
+    Output: ``id_col``, ``n_hit_ngrams`` (distinct corpus-side grams
+    that appear in ANY probe), ``n_probe_docs`` (distinct probes hit —
+    the audit column: which benchmark leaked, not just that one did).
+    """
+    corpus_grams = _gram_hashes(corpus, id_col, text_col, n)
+    probe_grams = _gram_hashes(probes, probe_id_col, probe_text_col, n)
+    hits = corpus_grams.join(
+        F.broadcast(probe_grams), "gh"
+    )
+    return (
+        hits.groupBy(id_col)
+        .agg(
+            F.count_distinct("gh").alias("n_hit_ngrams"),
+            F.count_distinct(probe_id_col).alias("n_probe_docs"),
+        )
+        .filter(F.col("n_hit_ngrams") >= min_hits)
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    probes: DataFrame,
+    n: int = 8,
+    min_hits: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    probe_id_col: str = "probe_id",
+    probe_text_col: str = "text",
+) -> DataFrame:
+    """The clean corpus: ``corpus`` minus contaminated documents
+    (left_anti against the hit list — the hit list is tiny, so this is
+    a broadcast anti-join over the scan)."""
+    hits = contaminated_docs(
+        corpus, probes, n, min_hits, id_col, text_col, probe_id_col, probe_text_col
+    )
+    return corpus.join(
+        F.broadcast(hits.select(id_col)), id_col, "left_anti"
+    )
