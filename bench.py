@@ -59,6 +59,7 @@ HEADLINE = [
     "q_seq_packing",
     "q_bm25_rank",
     "q_pii_redact",
+    "q_curate",
 ]
 
 

@@ -822,3 +822,137 @@ def q_pii_redact(spark, sf_dir):
         pii_count(raw, "email").cast("int").alias("n_email"),
         pii_count(raw, "phone").cast("int").alias("n_phone"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Composed corpus curation (operators/curate.py): the full pipeline in
+# one graded row. The oracle rebuilds every stage in SQL — cheap gates
+# (lang/length/quality on RAW text, exactly as curate_corpus applies
+# them), exact dedup (min-id per fingerprint), then minhash-LSH + exact
+# 3-gram Jaccard ≥ 0.8 near-dup over the survivors (the shared band
+# CTEs re-sourced from the survivor set instead of the full table).
+# ---------------------------------------------------------------------------
+
+_RAW_LANG_SQL = """
+    CASE WHEN (length(text)
+               - length(regexp_replace(text, '[А-яЁё]', '', 'g')))::DOUBLE
+              / greatest(length(text), 1) > 0.05 THEN 'ru'
+         WHEN (length(text)
+               - length(regexp_replace(text, '[A-Za-z]', '', 'g')))::DOUBLE
+              / greatest(length(text), 1) > 0.40 THEN 'en'
+         ELSE 'und' END
+"""
+
+_RAW_NTOK_SQL = r"""
+    CASE WHEN length(trim(text)) = 0 THEN 0
+         ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+"""
+
+_RAW_QUALITY_SQL = r"""
+    round(0.3 * least(greatest(length(text), 1)::DOUBLE / 100.0, 1.0)
+          + 0.4 * ((length(text)
+                    - length(regexp_replace(text, '[A-Za-zА-яЁё]', '', 'g')))::DOUBLE
+                   / greatest(length(text), 1))
+          + 0.2 * (CASE WHEN greatest(length(text), 1)::DOUBLE
+                             / greatest(CASE WHEN length(trim(text)) = 0 THEN 0
+                                        ELSE len(regexp_split_to_array(trim(text), '\s+')) END,
+                                        1)::DOUBLE
+                             BETWEEN 3.0 AND 12.0
+                        THEN 1.0 ELSE 0.5 END)
+          + 0.1 * (1.0 - least(((length(text)
+                    - length(regexp_replace(text, '[.,;:!?"]', '', 'g')))::DOUBLE
+                   / greatest(length(text), 1)) * 5.0, 1.0)), 4)
+"""
+
+_CURATE_BANDS = _BANDS_CTE.replace(
+    "FROM documents", "FROM (SELECT doc_id, text FROM survivors)"
+)
+
+_CURATE_SQL = f"""
+    WITH ann AS (
+        SELECT doc_id, text,
+               {_RAW_LANG_SQL} AS cur_lang,
+               {_RAW_NTOK_SQL} AS cur_n_tokens,
+               {_RAW_QUALITY_SQL} AS cur_quality,
+               {_HASH64.format(expr=_NORM_TEXT)} AS cur_fingerprint
+        FROM documents
+    ),
+    gated AS (
+        SELECT *,
+               CASE WHEN cur_lang NOT IN ('en', 'ru') THEN 'lang'
+                    WHEN cur_n_tokens < 5 THEN 'too_short'
+                    WHEN cur_quality < 0.4 THEN 'quality' END AS cheap_reason
+        FROM ann
+    ),
+    clean AS (SELECT * FROM gated WHERE cheap_reason IS NULL),
+    keepers AS (
+        SELECT cur_fingerprint, MIN(doc_id) AS keep_id
+        FROM clean GROUP BY 1
+    ),
+    exact_drops AS (
+        SELECT c.doc_id FROM clean c
+        JOIN keepers k USING (cur_fingerprint)
+        WHERE c.doc_id <> k.keep_id
+    ),
+    survivors AS (
+        SELECT * FROM clean
+        WHERE doc_id NOT IN (SELECT doc_id FROM exact_drops)
+    ),
+    {_CURATE_BANDS},
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+                    AND a.doc_id < b.doc_id
+    ),
+    inter AS (
+        SELECT p.id_a, p.id_b, COUNT(*) AS n_inter
+        FROM pairs p
+        JOIN sh sa ON sa.doc_id = p.id_a
+        JOIN sh sb ON sb.doc_id = p.id_b AND sb.s = sa.s
+        GROUP BY p.id_a, p.id_b
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    near_drops AS (
+        SELECT DISTINCT p.id_b AS doc_id
+        FROM pairs p
+        JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
+        JOIN sizes za ON za.doc_id = p.id_a
+        JOIN sizes zb ON zb.doc_id = p.id_b
+        WHERE i.n_inter::DOUBLE / (za.n + zb.n - i.n_inter) >= 0.8
+    )
+    SELECT g.doc_id, g.cur_lang,
+           CAST(g.cur_n_tokens AS INTEGER) AS cur_n_tokens,
+           g.cur_quality, g.cur_fingerprint,
+           COALESCE(g.cheap_reason,
+                    CASE WHEN e.doc_id IS NOT NULL THEN 'exact_dup' END,
+                    CASE WHEN nd.doc_id IS NOT NULL THEN 'near_dup' END)
+               AS drop_reason
+    FROM gated g
+    LEFT JOIN exact_drops e ON e.doc_id = g.doc_id
+    LEFT JOIN near_drops nd ON nd.doc_id = g.doc_id
+"""
+
+
+@query("q_curate", oracle=_CURATE_SQL)
+def q_curate(spark, sf_dir):
+    """The composed curation pipeline (operators/curate.py) as ONE graded
+    row: language/length/quality gates in cost order, exact dedup
+    (min-id per fingerprint), minhash-LSH + exact Jaccard near-dup over
+    the survivors — every document annotated with its first rejecting
+    gate or NULL. Each primitive is also individually graded
+    (q_quality_score, q_dedup_exact, q_lsh_candidates, q_ngram_jaccard);
+    this row proves the COMPOSITION: stage ordering, survivor
+    propagation between stages, and the drop-reason precedence."""
+    from ..operators.curate import curate_corpus
+
+    d = load_table(spark, sf_dir, "documents")
+    out = curate_corpus(d)
+    return out.select(
+        "doc_id",
+        "cur_lang",
+        F.col("cur_n_tokens").cast("int").alias("cur_n_tokens"),
+        "cur_quality",
+        "cur_fingerprint",
+        "drop_reason",
+    )

@@ -118,7 +118,11 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_scan_filter",
     oracle="""
-    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+           CAST(CAST(regexp_replace(
+                replace(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS VARCHAR),
+                        '.', ','),
+                ',', '.') AS DECIMAL(20,2)) AS DOUBLE) AS amount
     FROM lineitem
     WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-12-31'
       AND l_discount = 0.05
@@ -127,36 +131,24 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_scan_filter(spark, sf_dir):
     """F2 BETWEEN on timestamps + F3 equality + range filter, all pushed to
-    the parquet scan (PushedFilters in .explain)."""
-    li = load_table(spark, sf_dir, "lineitem")
-    return li.filter(
-        F.col("l_shipdate").between("1996-01-01", "1996-12-31")
-        & (F.col("l_discount") == 0.05)
-        & (F.col("l_quantity") < 10)
-    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
-
-
-@query(
-    "q_cast_decimal",
-    oracle="""
-    SELECT l_orderkey, l_linenumber,
-           CAST(CAST(regexp_replace(
-                replace(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS VARCHAR),
-                        '.', ','),
-                ',', '.') AS DECIMAL(20,2)) AS DOUBLE) AS amount
-    FROM lineitem
-    """,
-)
-def q_cast_decimal(spark, sf_dir):
-    """§1.4 comma-decimal repair: build the dirty string ('68423,46') then
-    repair it with the engine's comma_decimal normalizer (main.py:324)."""
+    the parquet scan (PushedFilters in .explain). The ``amount`` column
+    is round-3's q_cast_decimal absorbed (§1.4 comma-decimal repair,
+    main.py:324): build the dirty string ('68423,46'), repair it with
+    the engine's comma_decimal normalizer — a projection above the same
+    filtered scan, so the pushdown pin is untouched."""
     li = load_table(spark, sf_dir, "lineitem")
     dirty = F.replace(
         _dec("l_extendedprice").cast("string"), F.lit("."), F.lit(",")
     )
-    return li.select(
+    return li.filter(
+        F.col("l_shipdate").between("1996-01-01", "1996-12-31")
+        & (F.col("l_discount") == 0.05)
+        & (F.col("l_quantity") < 10)
+    ).select(
         "l_orderkey",
         "l_linenumber",
+        "l_quantity",
+        "l_extendedprice",
         comma_decimal(dirty).cast("double").alias("amount"),
     )
 
