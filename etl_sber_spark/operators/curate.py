@@ -38,6 +38,7 @@ def curate_corpus(
     min_tokens: int = 5,
     min_quality: float = 0.4,
     near_dup_jaccard: float = 0.8,
+    transitive: bool = False,
 ) -> DataFrame:
     """Annotate every document with curation columns and a verdict.
 
@@ -54,12 +55,23 @@ def curate_corpus(
       smaller id (the min-id doc of each group survives);
     - ``'near_dup'``   3-gram Jaccard ≥ ``near_dup_jaccard`` against a
       SMALLER-id survivor of the earlier stages, via minhash-LSH
-      candidates only — never an all-pairs comparison. Dedup is greedy
-      and transitive over similarity chains: with A<B<C, A~B and B~C,
-      both B and C drop even if A≁C — the MINIMUM id of each chain is
-      the one guaranteed survivor (it never has a smaller partner).
-      This is the standard corpus-dedup contract; pair-exact semantics
-      would need an iterative fixpoint for no retrieval benefit.
+      candidates only — never an all-pairs comparison.
+
+    Near-dup survivor policy, per ``transitive``:
+
+    - ``False`` (default): greedy — drop the larger id of every
+      confirmed pair. Cheap (no iteration) and what most corpus-dedup
+      pipelines ship, but NOT closed under chaining: with confirmed
+      pairs (1,3) and (2,3) only, docs 1 AND 2 both survive even though
+      they share the near-dup 3 (they were never compared). One cluster
+      can keep multiple representatives.
+    - ``True``: exact — confirmed pairs feed
+      :func:`..components.connected_components` (large-star/small-star,
+      O(log n) rounds) and exactly ONE doc per duplicate CLUSTER
+      survives (the minimum id). Costs the CC rounds over the confirmed
+      pair set (tiny relative to the corpus); use it when "unique
+      documents out" is a hard contract, e.g. training-set dedup
+      guarantees.
 
     One row in, one row out — downstream chooses
     ``.filter('drop_reason IS NULL')`` for the clean corpus or groups by
@@ -112,9 +124,19 @@ def curate_corpus(
         / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
         >= near_dup_jaccard
     )
-    near_drops = verified.select(
-        F.col("id_b").alias("_drop_id")
-    ).distinct()  # id_a < id_b by construction: smaller id survives
+    if transitive:
+        from .components import connected_components
+
+        comp = connected_components(
+            verified.select("id_a", "id_b").localCheckpoint(eager=True)
+        )
+        near_drops = comp.filter(F.col("node") != F.col("component")).select(
+            F.col("node").alias("_drop_id")
+        )
+    else:
+        near_drops = verified.select(
+            F.col("id_b").alias("_drop_id")
+        ).distinct()  # id_a < id_b by construction: smaller id survives
 
     out = (
         annotated.join(

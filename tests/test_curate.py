@@ -128,3 +128,31 @@ def test_near_dup_chain_drops_all_but_min_id(spark):
         for r in curate_corpus(df, near_dup_jaccard=0.75).collect()
     }
     assert verdicts == {1: None, 2: "near_dup", 3: "near_dup"}
+
+
+def test_transitive_mode_collapses_shared_neighbor_clusters(spark):
+    """The shape greedy dedup gets wrong: docs 1 and 2 each near-dup
+    doc 3 but NOT each other (both ends of the base text perturbed).
+    Greedy keeps 1 AND 2 (never compared); transitive=True keeps only
+    the cluster minimum."""
+    import string
+
+    letters = string.ascii_lowercase
+    words = [f"word{a}{b}" for a in letters[:6] for b in letters[:10]]  # 60
+    base = " ".join(words)
+    tail_changed = " ".join(words[:-6] + [f"tailword{c}" for c in letters[:6]])
+    head_changed = " ".join([f"headword{c}" for c in letters[:6]] + words[6:])
+    rows = [(1, tail_changed), (2, head_changed), (3, base)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+
+    greedy = {
+        r.doc_id: r.drop_reason
+        for r in curate_corpus(df, near_dup_jaccard=0.75).collect()
+    }
+    assert greedy == {1: None, 2: None, 3: "near_dup"}
+
+    exact = {
+        r.doc_id: r.drop_reason
+        for r in curate_corpus(df, near_dup_jaccard=0.75, transitive=True).collect()
+    }
+    assert exact == {1: None, 2: "near_dup", 3: "near_dup"}

@@ -149,3 +149,56 @@ def test_versioned_time_travel(spark, tmp_path):
     assert wh.versions("t") == [2, 3, 4]
     assert wh.read("t", version=2).count() == 2
     assert wh.read("t").count() == 4
+
+
+def test_clustered_append_tightens_zone_maps(spark, tmp_path):
+    """append(cluster_by=[...]) range-partitions + sorts the write so
+    parquet file/row-group min-max footers carve the key domain into
+    near-disjoint ranges (the reader prunes by them); a plain append of
+    the same rows leaves every file spanning the whole domain. Asserted
+    on the actual parquet footers via pyarrow."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import functions as F
+
+    n = 200_000
+    df = (
+        spark.range(n)
+        .withColumn("card", F.pmod(F.col("id") * 48271, F.lit(100_000)))
+        .withColumn("amt", (F.col("id") % 1000).cast("double"))
+        .repartition(8)
+    )
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    wh.append(df, "t_clustered", cluster_by=["card"])
+    wh.append(df, "t_plain")
+
+    def spans(table):
+        out = []
+        for f in glob.glob(str(tmp_path / "wh" / table / "*.parquet")):
+            md = pq.ParquetFile(f).metadata
+            for rg in range(md.num_row_groups):
+                col = next(
+                    md.row_group(rg).column(i)
+                    for i in range(md.row_group(rg).num_columns)
+                    if md.row_group(rg).column(i).path_in_schema == "card"
+                )
+                st = col.statistics
+                out.append((st.min, st.max))
+        return out
+
+    def avg_span(sp):
+        return sum(mx - mn for mn, mx in sp) / len(sp)
+
+    clustered, plain = spans("t_clustered"), spans("t_plain")
+    assert len(clustered) >= 2 and len(plain) >= 4
+    # plain: every group ~full 0..99999 domain -> zone maps prune nothing
+    assert avg_span(plain) > 90_000
+    # clustered: ranges are pairwise DISJOINT (each next min exceeds the
+    # previous max), so any point/range probe hits a single file
+    ordered = sorted(clustered)
+    for (lo1, hi1), (lo2, _hi2) in zip(ordered, ordered[1:]):
+        assert hi1 < lo2, f"overlapping zone maps: {ordered}"
+    # and together they tile ~one domain width, not files x domain
+    assert sum(mx - mn for mn, mx in clustered) < 120_000
