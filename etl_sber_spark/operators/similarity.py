@@ -36,6 +36,29 @@ N_PLANES = 8
 #: far below the data's similarity gaps.
 SIM_SCALE = 6
 
+#: K-means trains on integer-QUANTIZED vectors: round(x * QUANT) as
+#: bigint. Integer sums are exact and order-independent, so the Lloyd
+#: recenter step (the one float-order-sensitive reduction in the IVF
+#: path) becomes bit-deterministic across engines and across partition
+#: orders — which is what lets q_ivf_topk carry a full DuckDB
+#: hash-verified oracle (unrolled Lloyd iterations in SQL) instead of
+#: the weaker rows-only check. 1e-6 resolution is far below any
+#: meaningful centroid separation; final SCORING still uses the
+#: original float vectors.
+QUANT = 1_000_000
+
+
+def quantize_vec(col: Column | str) -> Column:
+    """array<long>: round(x * QUANT) per element — the exact-arithmetic
+    representation k-means trains on. Both engines round half away from
+    zero on identical doubles, so the quantization is cross-engine
+    deterministic."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(
+        c.cast("array<double>"),
+        lambda x: F.round(x * F.lit(float(QUANT))).cast("long"),
+    )
+
 
 def plane_sign(p: int | Column, d: int | Column) -> Column:
     """Deterministic ±1 entry of hyperplane p at dimension d:
@@ -221,8 +244,16 @@ def kmeans_centroids(
     ``k`` rows — callers read the actual list size rather than assuming
     k (documented shrinkage; re-seeding would break determinism).
 
-    Returns (centroid_id, centroid array<double>). centroid_id is the
-    dense rank of the seed vector's id, 0..k-1.
+    Training arithmetic is exact (round 3): vectors are quantized to
+    integers (``quantize_vec``), so per-cluster sums are
+    order-independent bigint sums and the mean is one IEEE division of
+    identical operands on any engine — the k-means trajectory is
+    bit-reproducible, including in the DuckDB oracle that unrolls these
+    same Lloyd iterations in SQL (q_ivf_topk).
+
+    Returns (centroid_id, centroid array<double> in quantized space —
+    i.e. original coordinates × QUANT). centroid_id is the dense rank
+    of the seed vector's id, 0..k-1.
     """
     if train_mod:
         from ..functions.hashing import hash64
@@ -230,10 +261,13 @@ def kmeans_centroids(
         embeddings = embeddings.filter(
             hash64(F.col(id_col).cast("string")) % train_mod == 0
         )
+    qemb = embeddings.select(
+        F.col(id_col), quantize_vec(vec_col).alias("_qv")
+    )
     cents = (
-        embeddings.orderBy(F.col(id_col))
+        qemb.orderBy(F.col(id_col))
         .limit(k)
-        .select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("centroid"))
+        .select(F.col(id_col), F.col("_qv").cast("array<double>").alias("centroid"))
         .withColumn(
             "centroid_id",
             (F.row_number().over(Window.orderBy(F.col(id_col))) - 1).cast("int"),
@@ -242,24 +276,20 @@ def kmeans_centroids(
     )
     n_dims = None
     for _ in range(n_iter):
-        assigned = assign_to_centroid(embeddings, cents, id_col, vec_col)
+        assigned = _assign_quantized(qemb, cents, id_col)
         if n_dims is None:
             n_dims = len(
                 embeddings.select(vec_col).first()[0]
             )
-        # element-wise mean: aggregate array sums + count, then divide
+        # element-wise mean: exact bigint sums per dimension + count,
+        # then one double division — order-independent by construction
         summed = (
-            assigned.join(
-                embeddings.select(
-                    F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
-                ),
-                id_col,
-            )
+            assigned.join(qemb, id_col)
             .groupBy("centroid_id")
             .agg(
                 F.count(F.lit(1)).alias("n"),
                 *[
-                    F.sum(F.element_at("v", d + 1)).alias(f"s{d}")
+                    F.sum(F.element_at("_qv", d + 1)).alias(f"s{d}")
                     for d in range(n_dims)
                 ],
             )
@@ -273,20 +303,17 @@ def kmeans_centroids(
     return cents
 
 
-def assign_to_centroid(
-    embeddings: DataFrame,
+def _assign_quantized(
+    qemb: DataFrame,
     centroids: DataFrame,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
+    id_col: str,
     n_probe: int = 1,
 ) -> DataFrame:
-    """(id, centroid_id): the ``n_probe`` nearest centroids per vector
-    (squared L2, deterministic tie-break on centroid_id) — one row per
-    (vector, probed list). n_probe=1 is plain assignment; >1 is the
-    multi-probe recall knob for IVF queries. Centroids broadcast; the
-    arg-top-n is a window over k rows per vector."""
-    scored = spread(embeddings).select(
-        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
+    """Assignment in quantized space: (id, centroid_id) of the
+    ``n_probe`` nearest centroids by squared L2 (rounded, tie-broken by
+    centroid_id). ``qemb`` must carry ``_qv`` from quantize_vec."""
+    scored = qemb.select(
+        F.col(id_col), F.col("_qv").cast("array<double>").alias("v")
     ).join(F.broadcast(centroids))
     w = Window.partitionBy(id_col).orderBy(
         F.round(_sq_dist(F.col("v"), F.col("centroid")), SIM_SCALE),
@@ -297,6 +324,25 @@ def assign_to_centroid(
         .filter(F.col("_rn") <= n_probe)
         .select(id_col, "centroid_id")
     )
+
+
+def assign_to_centroid(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_probe: int = 1,
+) -> DataFrame:
+    """(id, centroid_id): the ``n_probe`` nearest centroids per vector
+    (squared L2 in the quantized training space, deterministic
+    tie-break on centroid_id) — one row per (vector, probed list).
+    n_probe=1 is plain assignment; >1 is the multi-probe recall knob
+    for IVF queries. Centroids broadcast; the arg-top-n is a window
+    over k rows per vector."""
+    qemb = spread(embeddings).select(
+        F.col(id_col), quantize_vec(vec_col).alias("_qv")
+    )
+    return _assign_quantized(qemb, centroids, id_col, n_probe)
 
 
 def cosine_topk_ivf(

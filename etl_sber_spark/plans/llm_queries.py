@@ -559,19 +559,114 @@ def q_embedding_neardup(spark, sf_dir):
     return sim.embedding_neardup_pairs(e, n_dims=64, threshold=0.35)
 
 
-@query("q_ivf_topk")  # no oracle: iterative k-means — rows-only check
+def _ivf_oracle(n_lists: int, n_iter: int, k: int, n_dims: int = 64) -> str:
+    """Unrolled-Lloyd DuckDB oracle for q_ivf_topk.
+
+    Replays the ENTIRE IVF algorithm in SQL — quantization, seed
+    centroids, ``n_iter`` assignment/recenter rounds, final corpus +
+    query assignment, candidate scoring, top-k — not a reference
+    answer. Exactness argument (why two engines hash-match an
+    iterative float algorithm):
+
+    - vectors are quantized to bigints (× QUANT, round-half-away —
+      identical on identical input doubles);
+    - per-cluster/dim sums are integer sums: exact, order-independent;
+    - each centroid component is ONE double division of identical
+      integer operands — IEEE-identical;
+    - distances fold left-to-right in array order on both engines
+      (Spark zip_with/aggregate ≡ DuckDB list_sum/list_transform) over
+      identical doubles, then round(…, 6) before comparison, ties on
+      centroid_id.
+    """
+    d1 = n_dims + 1
+    dist = (
+        f"round(list_sum(list_transform(range(1, {d1}), "
+        "i -> (CAST(e.iv[i] AS DOUBLE) - c.centroid[i]) "
+        "* (CAST(e.iv[i] AS DOUBLE) - c.centroid[i]))), 6)"
+    )
+
+    def assign(cents: str, out: str) -> str:
+        return f"""{out} AS (
+        SELECT vec_id, centroid_id FROM (
+            SELECT e.vec_id, c.centroid_id,
+                   row_number() OVER (PARTITION BY e.vec_id
+                                      ORDER BY {dist}, c.centroid_id) AS rn
+            FROM emb e CROSS JOIN {cents} c) WHERE rn = 1
+    )"""
+
+    def recenter(asg: str, out: str) -> str:
+        return f"""{out} AS (
+        SELECT centroid_id, list(s ORDER BY i) AS centroid FROM (
+            SELECT a.centroid_id, t.i,
+                   CAST(SUM(e.iv[t.i]) AS DOUBLE) / COUNT(*) AS s
+            FROM {asg} a JOIN emb e USING (vec_id),
+                 UNNEST(range(1, {d1})) AS t(i)
+            GROUP BY a.centroid_id, t.i)
+        GROUP BY centroid_id
+    )"""
+
+    parts = [
+        f"""emb AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev,
+               list_transform(CAST(embedding AS DOUBLE[]),
+                              x -> CAST(round(x * {sim.QUANT}) AS BIGINT)) AS iv
+        FROM embeddings
+    )""",
+        f"""cents0 AS (
+        SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER)
+                   AS centroid_id,
+               list_transform(iv, x -> CAST(x AS DOUBLE)) AS centroid
+        FROM (SELECT vec_id, iv FROM emb ORDER BY vec_id LIMIT {n_lists})
+    )""",
+    ]
+    for it in range(n_iter):
+        parts.append(assign(f"cents{it}", f"asg{it}"))
+        parts.append(recenter(f"asg{it}", f"cents{it + 1}"))
+    parts.append(assign(f"cents{n_iter}", "asg_final"))
+    cos = (
+        "round(list_dot_product(q.ev, e.ev) / "
+        "(sqrt(list_dot_product(q.ev, q.ev)) * "
+        "sqrt(list_dot_product(e.ev, e.ev))), 6)"
+    )
+    parts.append(
+        f"""scored AS (
+        SELECT q.vec_id AS query_id, e.vec_id, {cos} AS sim
+        FROM emb e
+        JOIN asg_final ea ON e.vec_id = ea.vec_id
+        JOIN (SELECT m.vec_id, m.ev, af.centroid_id
+              FROM emb m JOIN asg_final af USING (vec_id)
+              WHERE m.vec_id < 5) q
+          ON ea.centroid_id = q.centroid_id AND e.vec_id <> q.vec_id
+    )""",
+    )
+    parts.append(
+        """ranked AS (
+        SELECT query_id, vec_id, sim,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY sim DESC, vec_id) AS rank
+        FROM scored
+    )""",
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"\n    SELECT query_id, vec_id, sim, rank FROM ranked WHERE rank <= {k}"
+    )
+
+
+@query("q_ivf_topk", oracle=_ivf_oracle(n_lists=8, n_iter=3, k=3))
 def q_ivf_topk(spark, sf_dir):
     """IVF approximate top-3 (operators/similarity.py): deterministic
     mini k-means coarse quantizer (init = first-k vectors, 3 Lloyd
     iterations, each a broadcast-join + groupBy job), candidates from
     the query's nearest list only (nprobe=1).
 
-    Registered WITHOUT an oracle — the driver records the weaker
-    rows-only check, as the contract allows for iterative algorithms;
-    the quality gate lives in tests/test_ivf.py instead: determinism of
-    the centroids and measured recall@3 = 0.55 vs the exact baseline at
-    sf0.01 (unclustered random embeddings scatter true neighbors across
-    lists; nprobe>1 multi-probe is the documented recall knob)."""
+    HASH-VERIFIED since round 3 (was rows-only): k-means trains on
+    integer-quantized vectors (similarity.QUANT), making every Lloyd
+    iteration bit-deterministic across engines, and the oracle unrolls
+    the same three iterations in DuckDB SQL (_ivf_oracle) — the full
+    iterative algorithm is differential-tested, not just its row count.
+    Recall-vs-probes quality gate stays in tests/test_ivf.py."""
     e = load_table(spark, sf_dir, "embeddings")
     return sim.cosine_topk_ivf(
         e, e.filter(F.col("vec_id") < 5), k=3, n_lists=8
