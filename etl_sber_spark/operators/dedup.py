@@ -116,7 +116,11 @@ def _mh_col(k: int) -> str:
 
 
 def minhash_signatures(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    sh: DataFrame | None = None,
 ) -> DataFrame:
     """K=16 minhash signature per document, one column per component.
 
@@ -124,8 +128,14 @@ def minhash_signatures(
     K affine permutations (a_k*h + b_k) mod M, min-aggregated per doc —
     the standard one-hash/K-permutations trick, so the expensive hash is
     computed once, not K times.
+
+    ``sh`` lets a composed pipeline (operators/curate.py) pass ONE
+    (cached) shingle frame shared with the Jaccard verify step — the
+    shingle build is the dominant text-side cost and would otherwise
+    run twice.
     """
-    sh = shingles(df, id_col, text_col)
+    if sh is None:
+        sh = shingles(df, id_col, text_col)
     h31 = (hash64(F.col("shingle")) % MERSENNE31).alias("h31")
     hashed = sh.select(id_col, h31)
     aggs = [
@@ -188,6 +198,8 @@ def ngram_jaccard(
     pairs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    *,
+    sh: DataFrame | None = None,
 ) -> DataFrame:
     """Exact 3-gram Jaccard overlap for given (id_a, id_b) pairs.
 
@@ -198,10 +210,23 @@ def ngram_jaccard(
 
     The shingle set is cached: it feeds three joins (sizes, side a,
     side b) and recomputing the explode per consumer would triple the
-    dominant scan cost.
+    dominant scan cost. ``sh`` accepts an ALREADY-CACHED shingle frame
+    from the caller (shared with minhash in the composed pipeline).
     """
-    sh = shingles(df, id_col, text_col).cache()
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    if sh is None:
+        sh = shingles(df, id_col, text_col).cache()
+    # Size only the docs that occur in a candidate pair: the candidate
+    # id set is tiny (LSH output), so the semi-join broadcasts and the
+    # size aggregate shuffles candidate shingles only — sizing the FULL
+    # corpus would be a corpus-sized shuffle for a handful of rows.
+    pair_ids = pairs.select(
+        F.explode(F.array("id_a", "id_b")).alias(id_col)
+    ).distinct()
+    sizes = (
+        sh.join(F.broadcast(pair_ids), id_col, "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
     inter = (
         pairs.select("id_a", "id_b")
         .join(sh.alias("sa"), F.col("id_a") == F.col(f"sa.{id_col}"))
