@@ -92,6 +92,12 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in names:
+        # Each query measured from a clean cache state: operator-internal
+        # .cache() frames (LSH bands, shingle sets) otherwise accumulate
+        # across the session and inflate later queries' GC time. Timing
+        # still INCLUDES each query's own cache materialization — the
+        # honest one-shot cost, same as rounds 1-2.
+        spark.catalog.clearCache()
         t0 = time.perf_counter()
         df = QUERIES[name](spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()

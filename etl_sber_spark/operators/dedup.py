@@ -309,8 +309,11 @@ def simhash32(
 
     bit_j(doc) = 1 iff Σ_tokens (2·bit_j(hash64(tok)) − 1) ≥ 0. One
     explode + one groupBy with 32 integer sums — entirely JVM-side.
+    spread() parallelizes the per-token md5 on few-split scans (r3
+    re-measurement: 0.91→0.77 s warm at sf0.1; an earlier unspread
+    verdict predated the shared-session warmup and was compile-bound).
     """
-    toks = df.select(
+    toks = spread(df).select(
         F.col(id_col), F.explode(F.array_distinct(tokens_expr(text_col))).alias("tok")
     )
     hashed = toks.select(id_col, hash64(F.col("tok")).alias("h"))

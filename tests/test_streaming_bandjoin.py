@@ -1,0 +1,94 @@
+"""Stream-stream band self-join (streaming/bandjoin.py): fraud rule 3
+live, proven equal to the batch EXISTS operator on a real reference day.
+
+The streamed shape is a watermarked self-join with a time-range
+condition + dedup-within-watermark; the batch oracle is
+operators/bandjoin.py::exists_band_partner (itself hash-proven against
+the literal band join by q_fraud_rule3_shape). Equality here closes the
+loop: batch rewrite == literal join == streamed join.
+"""
+
+from __future__ import annotations
+
+import shutil
+
+from pyspark.sql import functions as F
+
+from etl_sber_spark.operators.bandjoin import exists_band_partner
+from etl_sber_spark.sources.io import read_transactions_csv
+from etl_sber_spark.streaming.bandjoin import stream_band_partners
+from etl_sber_spark.streaming.inbox import stream_transactions
+
+REF = "/root/reference"
+
+
+def _run_stream(spark, tmp_path, n_files: int, max_files_per_trigger=None):
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    for day in ("01", "02", "03")[:n_files]:
+        shutil.copy(
+            f"{REF}/transactions_{day}032021.txt",
+            inbox / f"transactions_{day}032021.txt",
+        )
+    typed = stream_transactions(
+        spark, str(inbox), max_files_per_trigger=max_files_per_trigger
+    )
+    out = stream_band_partners(
+        typed,
+        key_cols=["card_num"],
+        ts_col="trans_date",
+        diff_col="terminal",
+        id_col="trans_id",
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("band_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.sql("SELECT * FROM band_stream")
+
+
+def _batch_expected(spark, n_files: int):
+    days = [
+        read_transactions_csv(spark, f"{REF}/transactions_{day}032021.txt")
+        for day in ("01", "02", "03")[:n_files]
+    ]
+    batch = days[0]
+    for d in days[1:]:
+        batch = batch.unionByName(d)
+    return exists_band_partner(
+        batch, ["card_num"], "trans_date", "terminal"
+    )
+
+
+def test_streamed_band_join_equals_batch_exists(spark, tmp_path):
+    got = _run_stream(spark, tmp_path, n_files=1)
+    want = _batch_expected(spark, 1)
+    got_ids = {r.trans_id for r in got.select("trans_id").collect()}
+    want_ids = {r.trans_id for r in want.select("trans_id").collect()}
+    assert got_ids == want_ids
+    assert len(got_ids) > 0  # the day genuinely contains band partners
+    # each qualifying row emitted exactly once (the dedup contract)
+    assert got.count() == len(got_ids)
+    # full-row fidelity, not just ids: same (card, ts, terminal) triples
+    cols = ["trans_id", "card_num", "trans_date", "terminal"]
+    assert set(map(tuple, got.select(*cols).collect())) == set(
+        map(tuple, want.select(*cols).collect())
+    )
+
+
+def test_streamed_band_join_across_micro_batches(spark, tmp_path):
+    """One file per trigger: pairs that SPAN micro-batches (a partner in
+    batch 2 for a row in batch 1) are found via join state — within the
+    watermark horizon both sides are retained, so the 2-day streamed
+    result still equals the 2-day batch result."""
+    got = _run_stream(spark, tmp_path, n_files=2, max_files_per_trigger=1)
+    want = _batch_expected(spark, 2)
+    got_ids = {r.trans_id for r in got.select("trans_id").collect()}
+    want_ids = {r.trans_id for r in want.select("trans_id").collect()}
+    assert got_ids == want_ids
+    assert got.count() == len(got_ids)
