@@ -21,6 +21,9 @@ the Lucene variant).
   constant key — a BroadcastHashJoin of a 1-row build side, never a
   shuffle of the corpus.
 - Per-term document frequencies: |terms| rows — broadcast too.
+- Document lengths ride with the exploded term rows (one extra
+  map-side tokenize), so no corpus-wide (doc, dl) frame is shuffled to
+  re-attach lengths — the only doc-keyed exchange carries matched rows.
 - Everything stays JVM-side codegen; scores are deterministic given
   operand order, and graded outputs are rounded to 4 decimals so both
   engines' IEEE renderings agree (tests/diffcheck.py contract).
@@ -89,18 +92,36 @@ def bm25_scores(
     running the identical arithmetic hashes bit-identically.
     """
     terms = sorted({t.lower() for t in terms})
-    dl = doc_lengths(df, id_col, text_col)
-    # Corpus stats as a single broadcast row: N docs, average doc length.
-    stats = dl.agg(
+    # Corpus stats as a single broadcast row: N docs, average doc length
+    # — an aggregate over a projection, no exchange.
+    stats = doc_lengths(df, id_col, text_col).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.avg(F.col("dl").cast("double")).alias("avgdl"),
     ).withColumn("_k", F.lit(1))
-    tf = term_frequencies(df, id_col, text_col, terms=terms)
+    # Per-doc length rides WITH the exploded term rows, so no
+    # corpus-wide (doc, dl) frame is ever shuffled to join lengths
+    # back: the only doc-keyed exchange carries MATCHED rows. The token
+    # array is materialized ONCE in a projection below the explode —
+    # writing size(tokens(..)) and explode(tokens(..)) as sibling
+    # expressions would run the regex twice per row (Project and
+    # Generate don't share subexpressions; measured ~2x on the text
+    # stage).
+    toks = (
+        df.select(F.col(id_col), bpe_ish_tokens(F.col(text_col)).alias("_toks"))
+        .select(
+            F.col(id_col),
+            F.size("_toks").alias("dl"),
+            F.explode("_toks").alias("term"),
+        )
+        .filter(F.col("term").isin(terms))
+    )
+    tf = toks.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).alias("tf"), F.min("dl").alias("dl")
+    )
     # Per-term document frequency: ≤ |terms| rows, broadcast.
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     scored = (
         tf.join(F.broadcast(dfreq), "term")
-        .join(dl, id_col)
         .withColumn("_k", F.lit(1))
         .join(F.broadcast(stats), "_k")
     )
