@@ -215,23 +215,22 @@ def ngram_jaccard(
     """
     if sh is None:
         sh = shingles(df, id_col, text_col).cache()
-    # Size only the docs that occur in a candidate pair: the candidate
-    # id set is tiny (LSH output), so the semi-join broadcasts and the
-    # size aggregate shuffles candidate shingles only — sizing the FULL
-    # corpus would be a corpus-sized shuffle for a handful of rows.
+    # Restrict ALL consumers to candidate-doc shingles first: the
+    # candidate id set is tiny (LSH output), so the semi-join broadcasts
+    # and every downstream join/aggregate touches candidate shingles
+    # only. Without this, sizing the corpus is a corpus-sized shuffle,
+    # and the (doc, shingle)-keyed intersection join shuffles the FULL
+    # shingle set — both for a handful of output rows.
     pair_ids = pairs.select(
         F.explode(F.array("id_a", "id_b")).alias(id_col)
     ).distinct()
-    sizes = (
-        sh.join(F.broadcast(pair_ids), id_col, "left_semi")
-        .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
+    sh_cand = sh.join(F.broadcast(pair_ids), id_col, "left_semi")
+    sizes = sh_cand.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     inter = (
         pairs.select("id_a", "id_b")
-        .join(sh.alias("sa"), F.col("id_a") == F.col(f"sa.{id_col}"))
+        .join(sh_cand.alias("sa"), F.col("id_a") == F.col(f"sa.{id_col}"))
         .join(
-            sh.alias("sb"),
+            sh_cand.alias("sb"),
             (F.col("id_b") == F.col(f"sb.{id_col}"))
             & (F.col("sa.shingle") == F.col("sb.shingle")),
         )
