@@ -212,7 +212,12 @@ def ngram_jaccard(
     side b) and recomputing the explode per consumer would triple the
     dominant scan cost. ``sh`` accepts an ALREADY-CACHED shingle frame
     from the caller (shared with minhash in the composed pipeline).
+    ``pairs`` is cached here too: it is referenced four times (pair-id
+    set, intersection seed, and the final re-attach join) and is
+    usually the OUTPUT OF THE LSH BAND JOIN — plan-audited uncached,
+    that join re-ran once per reference.
     """
+    pairs = pairs.cache()
     if sh is None:
         sh = shingles(df, id_col, text_col).cache()
     # Restrict ALL consumers to candidate-doc shingles first: the

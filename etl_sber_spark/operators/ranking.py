@@ -115,9 +115,13 @@ def bm25_scores(
         )
         .filter(F.col("term").isin(terms))
     )
+    # Cached: tf feeds BOTH the per-term document frequencies and the
+    # scoring join — uncached, the dfreq branch re-runs the full corpus
+    # tokenize (plan-audited: a second complete scan subtree), i.e. 3
+    # corpus text passes per query instead of 2.
     tf = toks.groupBy(id_col, "term").agg(
         F.count(F.lit(1)).alias("tf"), F.min("dl").alias("dl")
-    )
+    ).cache()
     # Per-term document frequency: ≤ |terms| rows, broadcast.
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     scored = (

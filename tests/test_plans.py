@@ -114,3 +114,39 @@ def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
         assert j.count() == 200
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_bm25_single_matched_exchange_two_corpus_passes(spark):
+    """bm25_scores' scale contract (round 3): document lengths ride with
+    the exploded term rows, so the only doc-keyed shuffle carries
+    MATCHED rows — no corpus-wide (doc, dl) join side — and the cached
+    tf keeps the corpus tokenize at two passes (tf + stats), not three
+    (the uncached dfreq branch used to re-scan)."""
+    import re
+
+    p = tree_of(plan_of(spark, "q_bm25_rank"))
+    # no sort-merge join anywhere: every join side is broadcast
+    assert "SortMergeJoin" not in p
+    # ≤ 2 parquet scan subtrees: the tf pass (cached, shared with
+    # dfreq) and the corpus-stats pass
+    scan_ids = set(re.findall(r"Scan parquet\s+\((\d+)\)", p))
+    assert len(scan_ids) <= 2, f"distinct parquet scans: {scan_ids}"
+
+
+def test_jaccard_candidate_restriction_and_shared_subtrees(spark):
+    """ngram_jaccard's scale contract (round 3): every shingle consumer
+    is behind a broadcast LeftSemi on the candidate-id set (no full
+    shingle-set shuffle), and the expensive inputs are cached — ONE
+    distinct shingle build and ONE distinct LSH-pairs subtree, not one
+    per reference."""
+    import re
+
+    p = tree_of(plan_of(spark, "q_ngram_jaccard"))
+    assert "BroadcastHashJoin LeftSemi" in p
+    # every consumer reads CACHED relations (InMemoryTableScan), and the
+    # corpus parquet is scanned by at most 2 distinct nodes (shingle
+    # build + bands build) — uncached, each of the ~4 pair references
+    # and 3 shingle joins would plant its own scan subtree
+    assert "InMemoryTableScan" in p
+    scan_ids = set(re.findall(r"Scan parquet\s+\((\d+)\)", p))
+    assert len(scan_ids) <= 2, f"distinct parquet scans: {scan_ids}"
