@@ -100,3 +100,21 @@ def test_kmeans_hash_sampled_training(spark):
     )
     assigned = assign_to_centroid(e, cents)
     assert assigned.count() == e.count()
+
+
+def test_kmeans_bit_identical_across_partitionings(spark):
+    """The round-3 exact-arithmetic claim, tested directly: quantized
+    integer sums make the Lloyd trajectory independent of partition
+    count/order, so retraining on a repartitioned (resized-cluster)
+    corpus yields BIT-identical centroids — and the DuckDB oracle can
+    replay the same trajectory in SQL (q_ivf_topk)."""
+    e = _load(spark)
+    fmt = lambda rows: sorted(
+        (r.centroid_id, tuple(r.centroid)) for r in rows
+    )
+    base = fmt(kmeans_centroids(e, k=8, n_iter=3).collect())
+    for n_parts in (1, 7, 32):
+        again = fmt(
+            kmeans_centroids(e.repartition(n_parts), k=8, n_iter=3).collect()
+        )
+        assert again == base, f"centroids drifted at {n_parts} partitions"
