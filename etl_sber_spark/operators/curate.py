@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 from ..functions.text import doc_fingerprint, lang_id, quality_score, token_count
 from .dedup import lsh_candidate_pairs, minhash_signatures, ngram_jaccard, shingles
+from .materialize import pin
 from .spread import spread
 
 
@@ -128,7 +129,7 @@ def curate_corpus(
     survivors = clean.join(
         exact_drops, clean[id_col] == exact_drops["_drop_id"], "left_anti"
     )
-    sh = shingles(survivors, id_col, text_col).cache()
+    sh = pin(shingles(survivors, id_col, text_col))
     pairs = lsh_candidate_pairs(
         minhash_signatures(survivors, id_col, text_col, sh=sh), id_col
     )

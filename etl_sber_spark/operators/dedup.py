@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 
 from ..functions.hashing import hash64
 from ..functions.text import doc_fingerprint
+from .materialize import pin
 from .spread import spread
 
 #: Mersenne prime 2^31-1: minhash permutation modulus. h0 is reduced to
@@ -173,9 +174,9 @@ def lsh_candidate_pairs(
             for b in range(N_BANDS)
         ]
     )
-    bands = signatures.select(
+    bands = pin(signatures.select(
         F.col(id_col), F.posexplode(keys).alias("band", "band_key")
-    ).cache()
+    ))
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -217,9 +218,9 @@ def ngram_jaccard(
     usually the OUTPUT OF THE LSH BAND JOIN — plan-audited uncached,
     that join re-ran once per reference.
     """
-    pairs = pairs.cache()
+    pairs = pin(pairs)
     if sh is None:
-        sh = shingles(df, id_col, text_col).cache()
+        sh = pin(shingles(df, id_col, text_col))
     # Restrict ALL consumers to candidate-doc shingles first: the
     # candidate id set is tiny (LSH output), so the semi-join broadcasts
     # and every downstream join/aggregate touches candidate shingles
@@ -229,7 +230,13 @@ def ngram_jaccard(
     pair_ids = pairs.select(
         F.explode(F.array("id_a", "id_b")).alias(id_col)
     ).distinct()
-    sh_cand = sh.join(F.broadcast(pair_ids), id_col, "left_semi")
+    # No forced broadcast: on a typical corpus the candidate set is
+    # tiny and AQE converts the semi-join to a broadcast join on its
+    # own; on a duplication-HEAVY corpus (30-50% near-dups is normal
+    # for web crawls) pair_ids is O(corpus) and a forced broadcast
+    # would blow the 8 GB broadcast cap — the shuffle semi-join is the
+    # correct degradation there.
+    sh_cand = sh.join(pair_ids, id_col, "left_semi")
     sizes = sh_cand.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     inter = (
         pairs.select("id_a", "id_b")

@@ -40,6 +40,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import bpe_ish_tokens
+from .materialize import pin
 
 K1 = 1.2
 B = 0.75
@@ -50,16 +51,37 @@ def term_frequencies(
     id_col: str = "doc_id",
     text_col: str = "text",
     terms: Sequence[str] | None = None,
+    *,
+    with_length: bool = False,
 ) -> DataFrame:
     """(doc, term, tf) rows; ``terms`` (lowercase) filters the explode
     output before aggregation so shuffle volume scales with matches,
-    not corpus tokens."""
-    toks = df.select(
-        F.col(id_col), F.explode(bpe_ish_tokens(F.col(text_col))).alias("term")
+    not corpus tokens.
+
+    ``with_length=True`` adds a ``dl`` column (the document's total
+    token count) riding along with each row — BM25 needs it, and
+    carrying it here means no corpus-wide (doc, dl) frame ever has to
+    be joined back. The token array is materialized once in a
+    projection below the explode: sibling size()/explode() expressions
+    would run the tokenizer regex twice per row (Project and Generate
+    don't share subexpressions; measured ~2x on the text stage)."""
+    base = df.select(
+        F.col(id_col), bpe_ish_tokens(F.col(text_col)).alias("_toks")
     )
+    if with_length:
+        toks = base.select(
+            F.col(id_col),
+            F.size("_toks").alias("dl"),
+            F.explode("_toks").alias("term"),
+        )
+    else:
+        toks = base.select(F.col(id_col), F.explode("_toks").alias("term"))
     if terms is not None:
         toks = toks.filter(F.col("term").isin(list(terms)))
-    return toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    aggs = [F.count(F.lit(1)).alias("tf")]
+    if with_length:
+        aggs.append(F.min("dl").alias("dl"))
+    return toks.groupBy(id_col, "term").agg(*aggs)
 
 
 def doc_lengths(
@@ -98,30 +120,17 @@ def bm25_scores(
         F.count(F.lit(1)).alias("n_docs"),
         F.avg(F.col("dl").cast("double")).alias("avgdl"),
     ).withColumn("_k", F.lit(1))
-    # Per-doc length rides WITH the exploded term rows, so no
-    # corpus-wide (doc, dl) frame is ever shuffled to join lengths
-    # back: the only doc-keyed exchange carries MATCHED rows. The token
-    # array is materialized ONCE in a projection below the explode —
-    # writing size(tokens(..)) and explode(tokens(..)) as sibling
-    # expressions would run the regex twice per row (Project and
-    # Generate don't share subexpressions; measured ~2x on the text
-    # stage).
-    toks = (
-        df.select(F.col(id_col), bpe_ish_tokens(F.col(text_col)).alias("_toks"))
-        .select(
-            F.col(id_col),
-            F.size("_toks").alias("dl"),
-            F.explode("_toks").alias("term"),
+    # Pinned: tf feeds BOTH the per-term document frequencies and the
+    # scoring join — unmaterialized, the dfreq branch re-runs the full
+    # corpus tokenize (plan-audited: a second complete scan subtree),
+    # i.e. 3 corpus text passes per query instead of 2. with_length
+    # rides dl along with the matched rows, so no corpus-wide (doc, dl)
+    # frame is ever shuffled back in.
+    tf = pin(
+        term_frequencies(
+            df, id_col, text_col, terms=terms, with_length=True
         )
-        .filter(F.col("term").isin(terms))
     )
-    # Cached: tf feeds BOTH the per-term document frequencies and the
-    # scoring join — uncached, the dfreq branch re-runs the full corpus
-    # tokenize (plan-audited: a second complete scan subtree), i.e. 3
-    # corpus text passes per query instead of 2.
-    tf = toks.groupBy(id_col, "term").agg(
-        F.count(F.lit(1)).alias("tf"), F.min("dl").alias("dl")
-    ).cache()
     # Per-term document frequency: ≤ |terms| rows, broadcast.
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     scored = (

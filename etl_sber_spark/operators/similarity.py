@@ -25,6 +25,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.vectors import cosine_similarity
+from .materialize import pin
 from .spread import spread
 
 #: Number of LSH hyperplanes (buckets = 2^N_PLANES).
@@ -226,10 +227,12 @@ def kmeans_centroids(
     ids), not the round-2 ``id < k`` filter, which silently seeded
     fewer than k centroids unless ids were dense integers from 0. No
     RNG — the repo-wide rule for differential testability. Each Lloyd
-    iteration is one broadcast-join (assign: argmin over k centroids,
-    tie-broken by centroid id) + one groupBy (recenter via element-wise
-    array mean). Iterations are Python-driven but each round is a fully
-    distributed job — the classic Spark iterative-algorithm shape.
+    iteration is ONE distributed aggregate: assignment is a projection
+    against literal centroids (argmin over k, tie-broken by centroid
+    id — no join, no window), recenter is a groupBy of exact integer
+    sums. Centroids live driver-side between rounds (metadata-scale:
+    k × n_dims doubles), the classic Spark iterative-algorithm shape
+    with the lineage reset each round for free.
 
     ``train_mod=m`` is the 100 TB path: Lloyd iterations see only the
     deterministic ~1/m training sample ``hash64(id) % m == 0`` (hash
@@ -261,30 +264,38 @@ def kmeans_centroids(
         embeddings = embeddings.filter(
             hash64(F.col(id_col).cast("string")) % train_mod == 0
         )
-    qemb = embeddings.select(
-        F.col(id_col), quantize_vec(vec_col).alias("_qv")
-    )
-    cents = (
-        qemb.orderBy(F.col(id_col))
-        .limit(k)
-        .select(F.col(id_col), F.col("_qv").cast("array<double>").alias("centroid"))
-        .withColumn(
-            "centroid_id",
-            (F.row_number().over(Window.orderBy(F.col(id_col))) - 1).cast("int"),
+    # spread() before quantizing: each Lloyd iteration scans this frame
+    # — on a single-split scan the whole stage would serialize on one
+    # task. pin(): n_iter passes over one materialization instead of
+    # n_iter scan+quantize passes; at 100 TB the pinned frame is the
+    # train_mod SAMPLE, not the corpus — the MLlib cache-the-training-
+    # set discipline.
+    qemb = pin(
+        spread(embeddings).select(
+            F.col(id_col), quantize_vec(vec_col).alias("_qv")
         )
-        .select("centroid_id", "centroid")
     )
-    n_dims = None
+    # Seeds: the k smallest vectors by id, COLLECTED. Centroids are
+    # metadata-scale (k × n_dims doubles), so the whole loop keeps them
+    # driver-side as literals — assignment is then a pure projection
+    # (no join, no window, no shuffle) and each Lloyd iteration is ONE
+    # aggregate job. (The earlier DataFrame-centroid formulation paid a
+    # broadcast join + a per-vector window + a lineage that compounded
+    # across iterations — measured 8.7s vs 2.4s training at sf0.1.)
+    seeds = qemb.orderBy(F.col(id_col)).limit(k).select("_qv").collect()
+    cent_rows: list[tuple[int, list[float]]] = [
+        (i, [float(x) for x in r._qv]) for i, r in enumerate(seeds)
+    ]
+    n_dims = len(cent_rows[0][1])
     for _ in range(n_iter):
-        assigned = _assign_quantized(qemb, cents, id_col)
-        if n_dims is None:
-            n_dims = len(
-                embeddings.select(vec_col).first()[0]
-            )
         # element-wise mean: exact bigint sums per dimension + count,
-        # then one double division — order-independent by construction
+        # then one float division of identical integer operands —
+        # order-independent by construction, and Python/Spark/DuckDB
+        # all perform the identical IEEE division
         summed = (
-            assigned.join(qemb, id_col)
+            qemb.withColumn(
+                "centroid_id", nearest_centroids_expr("_qv", cent_rows, 1)[0]
+            )
             .groupBy("centroid_id")
             .agg(
                 F.count(F.lit(1)).alias("n"),
@@ -294,35 +305,53 @@ def kmeans_centroids(
                 ],
             )
         )
-        cents = summed.select(
-            "centroid_id",
-            F.array(
-                *[(F.col(f"s{d}") / F.col("n")) for d in range(n_dims)]
-            ).alias("centroid"),
+        cent_rows = sorted(
+            (r["centroid_id"], [r[f"s{d}"] / r["n"] for d in range(n_dims)])
+            for r in summed.collect()
         )
-    return cents
-
-
-def _assign_quantized(
-    qemb: DataFrame,
-    centroids: DataFrame,
-    id_col: str,
-    n_probe: int = 1,
-) -> DataFrame:
-    """Assignment in quantized space: (id, centroid_id) of the
-    ``n_probe`` nearest centroids by squared L2 (rounded, tie-broken by
-    centroid_id). ``qemb`` must carry ``_qv`` from quantize_vec."""
-    scored = qemb.select(
-        F.col(id_col), F.col("_qv").cast("array<double>").alias("v")
-    ).join(F.broadcast(centroids))
-    w = Window.partitionBy(id_col).orderBy(
-        F.round(_sq_dist(F.col("v"), F.col("centroid")), SIM_SCALE),
-        F.col("centroid_id"),
+    spark = embeddings.sparkSession
+    return spark.createDataFrame(
+        cent_rows, "centroid_id int, centroid array<double>"
     )
-    return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= n_probe)
-        .select(id_col, "centroid_id")
+
+
+def _centroid_rows(centroids: DataFrame) -> list[tuple[int, list[float]]]:
+    """Collect a (tiny) centroid frame to driver-side literals."""
+    return sorted(
+        (int(r.centroid_id), [float(x) for x in r.centroid])
+        for r in centroids.collect()
+    )
+
+
+def nearest_centroids_expr(
+    qv_col: Column | str,
+    cent_rows: list[tuple[int, list[float]]],
+    n_probe: int,
+) -> Column:
+    """array<int> of the ``n_probe`` nearest centroid ids for a
+    quantized vector column — squared L2 rounded to SIM_SCALE, ties on
+    centroid_id (struct array_sort is lexicographic). A pure projection:
+    this is how assignment stays shuffle-free, and the exact algebra the
+    q_ivf_topk DuckDB oracle replays."""
+    c = F.col(qv_col) if isinstance(qv_col, str) else qv_col
+    # Each centroid is ONE array literal (F.lit(list)), not a
+    # CreateArray of 64 primitive literals: non-primitive literals are
+    # codegen reference objects, so the generated source is IDENTICAL
+    # across Lloyd iterations and the janino cache hits — per-iteration
+    # recompilation of the 8×64-constant expression dominated training
+    # wall-clock before this (3.3s -> ~1s for 3 iterations at sf0.1).
+    structs = F.array(
+        *[
+            F.struct(
+                F.round(_sq_dist(c, F.lit(vec)), SIM_SCALE).alias("d"),
+                F.lit(cid).cast("int").alias("centroid_id"),
+            )
+            for cid, vec in cent_rows
+        ]
+    )
+    return F.transform(
+        F.slice(F.array_sort(structs), 1, min(n_probe, len(cent_rows))),
+        lambda s: s["centroid_id"],
     )
 
 
@@ -337,12 +366,19 @@ def assign_to_centroid(
     (squared L2 in the quantized training space, deterministic
     tie-break on centroid_id) — one row per (vector, probed list).
     n_probe=1 is plain assignment; >1 is the multi-probe recall knob
-    for IVF queries. Centroids broadcast; the arg-top-n is a window
-    over k rows per vector."""
-    qemb = spread(embeddings).select(
-        F.col(id_col), quantize_vec(vec_col).alias("_qv")
+    for IVF queries. Centroids become driver-side literals
+    (metadata-scale), so assignment is a PROJECTION — zero shuffles
+    over the corpus, the ingest-time cluster-column shape SCALE.md
+    promises."""
+    cent_rows = _centroid_rows(centroids)
+    return spread(embeddings).select(
+        F.col(id_col),
+        F.explode(
+            nearest_centroids_expr(
+                quantize_vec(vec_col), cent_rows, n_probe
+            )
+        ).alias("centroid_id"),
     )
-    return _assign_quantized(qemb, centroids, id_col, n_probe)
 
 
 def cosine_topk_ivf(
@@ -366,20 +402,20 @@ def cosine_topk_ivf(
     list, so no pair duplication across probes.
     """
     cents = kmeans_centroids(embeddings, n_lists, n_iter, id_col, vec_col)
-    assigned = assign_to_centroid(embeddings, cents, id_col, vec_col)
-    cand = embeddings.join(assigned, id_col)
-    q = (
-        queries.join(
-            assign_to_centroid(
-                queries, cents, id_col, vec_col, n_probe=n_probe
-            ),
-            id_col,
-        )
-        .select(
-            F.col(id_col).alias("query_id"),
-            F.col(vec_col).alias("q_vec"),
-            F.col("centroid_id"),
-        )
+    # Assignment is a projection against literal centroids — the list
+    # id attaches as a column on BOTH sides with no join, the
+    # ingest-time cluster-column shape
+    cent_rows = _centroid_rows(cents)
+    cand = spread(embeddings).withColumn(
+        "centroid_id",
+        nearest_centroids_expr(quantize_vec(vec_col), cent_rows, 1)[0],
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.explode(
+            nearest_centroids_expr(quantize_vec(vec_col), cent_rows, n_probe)
+        ).alias("centroid_id"),
     )
     scored = (
         cand.alias("e")
@@ -420,9 +456,9 @@ def embedding_neardup_pairs(
     duplicates (cosine→1) collide with probability →1.
     Output: (id_a < id_b, sim).
     """
-    cand = spread(embeddings).select(
+    cand = pin(spread(embeddings).select(
         F.col(id_col), F.col(vec_col), bucket_expr(vec_col, n_dims).alias("bucket")
-    ).cache()  # self-join reads both sides
+    ))  # self-join reads both sides
     a, b = cand.alias("a"), cand.alias("b")
     return (
         a.join(

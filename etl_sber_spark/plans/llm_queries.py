@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from ..functions.text import lang_id, token_count
 from ..operators import dedup as dd
+from ..operators.materialize import pin
 from ..operators import multimodal as mm
 from ..operators import similarity as sim
 from ..sources.tables import load_table
@@ -337,7 +338,7 @@ def q_doc_overlap(spark, sf_dir):
     corpus² — the plagiarism/copy-paste detector at 100 TB."""
     d = load_table(spark, sf_dir, "documents")
     fp = (
-        dd.rolling_fingerprints(d).select("doc_id", "fingerprint").distinct().cache()
+        pin(dd.rolling_fingerprints(d).select("doc_id", "fingerprint").distinct())
     )
     a, b = fp.alias("a"), fp.alias("b")
     return (

@@ -744,20 +744,21 @@ def q_scd2_snapshot(spark, sf_dir):
     def snap(linenumber: int) -> DataFrame:
         # the synthetic lineitem repeats linenumbers per order, so a
         # snapshot needs explicit key-uniqueness: min-aggregate per key.
-        # Cached: the SCD2 apply reads each snapshot 3× (diff legs +
-        # history complement) — without the cache that is 6 lineitem
+        # Pinned: the SCD2 apply reads each snapshot 3× (diff legs +
+        # history complement) — unmaterialized that is 6 lineitem
         # scans/aggregations instead of 2. (A fused single-scan variant
         # with conditional min-aggs was measured SLOWER — 2.5s vs 1.95s
         # at sf0.1: two pushdown-filtered scans with simple aggs beat
         # one scan aggregating twice the rows with when()-guarded aggs.)
-        return (
+        from ..operators.materialize import pin
+
+        return pin(
             li.filter(F.col("l_linenumber") == linenumber)
             .groupBy(F.col("l_orderkey").alias("order_key"))
             .agg(
                 F.min("l_partkey").alias("part_key"),
                 F.min("l_quantity").alias("qty"),
             )
-            .cache()
         )
 
     a, b = snap(1), snap(2)

@@ -39,6 +39,31 @@ from typing import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+_UNIT_SECONDS = {
+    "microsecond": 1e-6,
+    "millisecond": 1e-3,
+    "second": 1,
+    "minute": 60,
+    "hour": 3600,
+    "day": 86400,
+    "week": 604800,
+}
+
+
+def _interval_seconds(interval: str) -> float:
+    """Seconds in a Spark calendar-interval string like '2 hours' or
+    '90 minutes' (the withWatermark grammar: `<value> <unit>` pairs)."""
+    toks = interval.strip().lower().split()
+    if len(toks) % 2:
+        raise ValueError(f"unparseable interval: {interval!r}")
+    total = 0.0
+    for value, unit in zip(toks[::2], toks[1::2]):
+        unit = unit.rstrip("s")
+        if unit not in _UNIT_SECONDS:
+            raise ValueError(f"unknown interval unit {unit!r} in {interval!r}")
+        total += float(value) * _UNIT_SECONDS[unit]
+    return total
+
 
 def stream_band_partners(
     stream: DataFrame,
@@ -59,10 +84,19 @@ def stream_band_partners(
 
     ``watermark`` must be ≥ the tolerance, or a partner arriving
     later-than-watermark after its mate is silently missed (Spark
-    evicts the mate's state at watermark - tolerance). NULL key/ts/diff
+    evicts the mate's state at watermark - tolerance). In a FRAUD path
+    that failure mode is silently-missing alerts, so the relationship
+    is validated here and a violation raises instead. NULL key/ts/diff
     rows cannot satisfy the join predicate, matching the batch
     operator's up-front filter.
     """
+    wm_seconds = _interval_seconds(watermark)
+    if wm_seconds < tolerance_seconds:
+        raise ValueError(
+            f"watermark {watermark!r} ({wm_seconds}s) < tolerance "
+            f"{tolerance_seconds}s: join state would evict before a "
+            "band partner can arrive, silently dropping alerts"
+        )
     keys = list(key_cols)
     cols = [*keys, ts_col, diff_col, id_col]
     wm = stream.select(*cols).withWatermark(ts_col, watermark)
