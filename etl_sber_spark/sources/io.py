@@ -97,8 +97,14 @@ def read_transactions_csv_quarantine(
             "_ts": F.try_to_timestamp(
                 F.col("transaction_date"), F.lit("yyyy-MM-dd HH:mm:ss")
             ),
-            "_amt": F.try_to_number(
-                F.regexp_replace("amount", ",", "."), F.lit("999999999999999999.99")
+            # try_cast, NOT try_to_number: the to_number format grammar
+            # has no sign token here, so a valid negative amount (refund
+            # / reversal '-100,50') would be quarantined while the
+            # strict reader accepts it. try_cast applies the exact cast
+            # the strict reader uses, so good/bad routing matches the
+            # strict reader's accept set by construction.
+            "_amt": F.regexp_replace("amount", ",", ".").try_cast(
+                T.DecimalType(20, 2)
             ),
         }
     )
@@ -118,13 +124,27 @@ def read_transactions_csv_quarantine(
     return good, bad
 
 
+def _cell_str(v):
+    """Stringify an xlsx cell for a StringType column. Excel types any
+    digit-only cell as NUMERIC (a blacklist passport number, a numeric
+    terminal id), which the sheet reader surfaces as int/float —
+    createDataFrame against a StringType field would raise TypeError on
+    it and crash the whole load. Integral floats render without the
+    spurious '.0'."""
+    if v is None:
+        return None
+    if isinstance(v, float) and v.is_integer():
+        return str(int(v))
+    return str(v)
+
+
 def read_terminals_xlsx(spark: SparkSession, path: str) -> DataFrame:
     """Terminal snapshot xlsx → typed staging DataFrame (main.py:18-19)."""
     header, rows = read_table(path)
     expected = [f.name for f in schemas.TERMINALS.fields]
     # map by header name (files ship the canonical order, but don't rely on it)
     idx = [header.index(c) for c in expected]
-    data = [[r[i] for i in idx] for r in rows]
+    data = [[_cell_str(r[i]) for i in idx] for r in rows]
     df = spark.createDataFrame(data, schemas.TERMINALS)
     return trim_all_strings(df)
 
@@ -140,7 +160,7 @@ def read_blacklist_xlsx(spark: SparkSession, path: str) -> DataFrame:
     """
     header, rows = read_table(path, date_cols=("date",))
     pi, di = header.index("passport"), header.index("date")
-    data = [[r[pi], r[di]] for r in rows]
+    data = [[_cell_str(r[pi]), r[di]] for r in rows]
     df = spark.createDataFrame(data, schemas.PASSPORT_BLACKLIST)
     return trim_all_strings(df)
 
@@ -177,10 +197,19 @@ def scan_inbox(inbox: str) -> list[tuple[str, str]]:
 
 def archive_file(path: str) -> str:
     """Move a processed file to <dir>/Archive/<name>.backup
-    (main.py:535-540). Returns the new path."""
+    (main.py:535-540). Returns the new path.
+
+    A re-delivered file of the same name archives to ``.backup.2``,
+    ``.backup.3``, … — os.rename on POSIX would otherwise silently
+    REPLACE the earlier backup, destroying the forensic copy of the
+    first delivery (the archive exists precisely to keep raw inputs)."""
     d, name = os.path.split(path)
     archive = os.path.join(d, "Archive")
     os.makedirs(archive, exist_ok=True)
     dest = os.path.join(archive, name + ".backup")
+    n = 1
+    while os.path.exists(dest):
+        n += 1
+        dest = os.path.join(archive, f"{name}.backup.{n}")
     os.rename(path, dest)
     return dest

@@ -42,7 +42,24 @@ def read_jdbc(
 ) -> DataFrame:
     """Partitioned JDBC table read. Exactly one of
     (partition_column + bounds + num_partitions) or ``predicates`` or
-    neither (single-partition read, small tables only)."""
+    neither (single-partition read, small tables only).
+
+    The contract is ENFORCED: passing both sharding modes, or a
+    partition column without both bounds, raises ValueError here —
+    otherwise Spark would either silently ignore the partition options
+    (predicates wins) or fail deep inside JDBC option parsing on the
+    literal string 'None'.
+    """
+    if predicates is not None and partition_column is not None:
+        raise ValueError(
+            "pass either predicates or partition_column, not both"
+        )
+    if partition_column is not None and (
+        lower_bound is None or upper_bound is None
+    ):
+        raise ValueError(
+            "partition_column requires lower_bound and upper_bound"
+        )
     reader = (
         spark.read.format("jdbc")
         .option("url", url)

@@ -57,8 +57,25 @@ def read_sheet(path: str) -> list[list]:
             for si in root.findall(f"{_NS}si"):
                 # a <si> is either one <t> or rich-text <r><t> runs
                 shared.append("".join(t.text or "" for t in si.iter(f"{_NS}t")))
-        sheet_name = next(
-            n for n in z.namelist() if n.startswith("xl/worksheets/sheet")
+        # "first worksheet" = lowest sheet NUMBER, not first zip entry:
+        # archive member order is arbitrary, and a multi-sheet file can
+        # store sheet2.xml before sheet1.xml (zips written by some
+        # producers sort lexicographically, putting sheet10 before
+        # sheet2 too). Workbook-defined order would need workbook.xml +
+        # rels resolution; numeric sheet order matches it for every
+        # ordinary producer and is deterministic regardless of zip
+        # layout.
+        def _sheet_no(name: str) -> tuple[int, str]:
+            m = re.search(r"sheet(\d+)\.xml$", name)
+            return (int(m.group(1)) if m else 1 << 30, name)
+
+        sheet_name = min(
+            (
+                n
+                for n in z.namelist()
+                if n.startswith("xl/worksheets/sheet")
+            ),
+            key=_sheet_no,
         )
         root = ET.fromstring(z.read(sheet_name))
 

@@ -68,8 +68,17 @@ def load_transactions_available_now(
     *,
     dedup_ids: bool = False,
     watermark: str = "1 day",
+    archive_to: str | None = None,
+    max_files_per_trigger: int | None = None,
 ) -> StreamingQuery:
     """Drain the inbox into the partitioned fact directory, then stop.
+
+    ``archive_to`` enables the module-contract ``cleanSource=archive``
+    move (the reference's Archive/ protocol): without it, consumed
+    files sit in the inbox forever and every nightly run re-LISTS an
+    ever-growing directory (the checkpoint prevents re-ingest, not
+    listing cost). ``max_files_per_trigger`` bounds micro-batch size
+    during backlog catch-up.
 
     One invocation == one reference cron run (files present at trigger
     time are loaded exactly once; already-checkpointed files are
@@ -88,7 +97,12 @@ def load_transactions_available_now(
     horizon, trading the unbounded guarantee for "no duplicate arrives
     more than ``watermark`` late" — exactly the re-shipped-file window.
     """
-    typed = stream_transactions(spark, inbox)
+    typed = stream_transactions(
+        spark,
+        inbox,
+        archive_to=archive_to,
+        max_files_per_trigger=max_files_per_trigger,
+    )
     if dedup_ids:
         typed = typed.withWatermark(
             "trans_date", watermark

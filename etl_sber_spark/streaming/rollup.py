@@ -127,6 +127,12 @@ def velocity_alerts(
         new_ts = []
         for pdf in pdfs:
             new_ts.extend(_pd.to_datetime(pdf["trans_date"]).tolist())
+        # Drop NaT up front (malformed timestamp rows survive ingestion
+        # as NULL): a NaT cutoff comparison is False for EVERY retained
+        # timestamp, so one bad row would silently wipe the card's
+        # whole trailing-hour window and suppress real alerts. The
+        # batch rule filters NULL ts the same way (bandjoin _non_null).
+        new_ts = [t for t in new_ts if not _pd.isna(t)]
         for ts in sorted(new_ts):
             ts = ts.to_pydatetime() if hasattr(ts, "to_pydatetime") else ts
             cutoff = ts - _dt.timedelta(hours=1)

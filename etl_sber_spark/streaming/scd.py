@@ -84,9 +84,11 @@ def stream_scd2_snapshots(
     If a single micro-batch holds several snapshots (backlog catch-up
     with ``max_files_per_trigger`` > 1), they are applied sequentially
     in timestamp order — byte-identical to having processed them in
-    separate batches. Snapshots at or before the history's high-water
-    mark (max ``effective_from``) are SKIPPED with a log line: applying
-    an older snapshot on top of newer history would corrupt it, and a
+    separate batches. Snapshots at or before the high-water mark (a
+    persisted ``<table>__scd2_watermark`` marker of the last APPLIED
+    snapshot ts, falling back to max ``effective_from`` for histories
+    predating the marker) are SKIPPED with a log line: applying an
+    older snapshot on top of newer history would corrupt it, and a
     retroactive correction is a rebuild (replay in order), not an apply.
     """
     raw = (
@@ -95,6 +97,8 @@ def stream_scd2_snapshots(
         .option("maxFilesPerTrigger", str(max_files_per_trigger))
         .csv(inbox)
     )
+
+    marker = f"{table}__scd2_watermark"
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         # runs on the DRIVER (foreachBatch contract); the collects are
@@ -119,7 +123,23 @@ def stream_scd2_snapshots(
             # append stale rows as open — silent history corruption. A
             # stale snapshot is skipped; correcting history retroactively
             # is a rebuild (replay the snapshots in order), not an apply.
+            #
+            # The high-water mark is a PERSISTED marker of the last
+            # APPLIED snapshot ts, not max(effective_from): a no-change
+            # snapshot appends zero rows, so the history alone cannot
+            # prove it was seen, and an older re-delivery arriving after
+            # it would slip past a history-derived guard (round-3 review
+            # finding). max(effective_from) remains the fallback for
+            # histories predating the marker. The marker is written
+            # AFTER the swap: a crash in between replays the snapshot
+            # (a no-op by the replay invariant), then re-writes it.
             high = hist.agg(F.max("effective_from")).first()[0]
+            if wh.has_data(marker):
+                applied = wh.read(marker).agg(
+                    F.max("applied_ts")
+                ).first()[0]
+                if applied is not None and (high is None or applied > high):
+                    high = applied
             if high is not None and ts <= high:
                 print(
                     f"[stream_scd2] skipping stale snapshot {ts} "
@@ -131,6 +151,12 @@ def stream_scd2_snapshots(
             ).drop(snapshot_ts_col)
             nxt = scd2_apply(hist, stg, key, attrs, ts)
             wh.overwrite_versioned(nxt, table)
+            wh.overwrite_versioned(
+                spark.createDataFrame(
+                    [(ts,)], "applied_ts timestamp"
+                ),
+                marker,
+            )
 
     writer = raw.writeStream.foreachBatch(apply_batch).option(
         "checkpointLocation", checkpoint_dir

@@ -125,3 +125,33 @@ def test_load_table_normalizes_timestamp_physical_types(spark):
     ):
         dt = load_table(spark, "/root/testdata/sf0.001", table).schema[col].dataType
         assert isinstance(dt, T.TimestampType), f"{table}.{col} is {dt}"
+
+
+def test_xlsx_reader_picks_lowest_numbered_sheet(tmp_path):
+    """"First worksheet" must mean sheet1.xml regardless of zip member
+    order: archive order is producer-dependent, and the old
+    first-entry-wins selection read whatever sheet happened to be
+    stored first (round-3 review finding)."""
+    import zipfile
+
+    from etl_sber_spark.sources.xlsx import read_table
+
+    ns = 'xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"'
+
+    def sheet_xml(header, value):
+        return (
+            f'<worksheet {ns}><sheetData>'
+            f'<row r="1"><c r="A1" t="inlineStr"><is><t>{header}</t></is></c></row>'
+            f'<row r="2"><c r="A2" t="inlineStr"><is><t>{value}</t></is></c></row>'
+            "</sheetData></worksheet>"
+        )
+
+    p = tmp_path / "multi.xlsx"
+    with zipfile.ZipFile(p, "w") as z:
+        # deliberately store sheet10 and sheet2 BEFORE sheet1
+        z.writestr("xl/worksheets/sheet10.xml", sheet_xml("wrong10", "x"))
+        z.writestr("xl/worksheets/sheet2.xml", sheet_xml("wrong2", "y"))
+        z.writestr("xl/worksheets/sheet1.xml", sheet_xml("passport", "4511"))
+    header, rows = read_table(str(p))
+    assert header == ["passport"]
+    assert rows == [["4511"]]

@@ -88,3 +88,61 @@ def test_ws_tokens(spark):
         .collect()[0]
     )
     assert row.toks == ["a", "b", "c"]
+
+
+def test_quarantine_accepts_negative_amounts(spark, tmp_path):
+    """A refund/reversal ('-100,50') parses in the strict reader, so the
+    quarantine reader must rate it GOOD too — the earlier try_to_number
+    format had no sign token and silently quarantined valid negatives
+    (round-3 review finding). try_cast now applies the strict reader's
+    exact cast."""
+    p = tmp_path / "transactions_neg.txt"
+    p.write_text(
+        "transaction_id;transaction_date;amount;card_num;oper_type;oper_result;terminal\n"
+        "1;2021-03-01 10:00:00;-100,50;1111 2222;PAYMENT;REVERSAL;P0001\n"
+        "2;2021-03-01 11:00:00;garbage;1111 2222;PAYMENT;SUCCESS;P0001\n"
+    )
+    good, bad = read_transactions_csv_quarantine(spark, str(p))
+    g = {r.trans_id: r for r in good.collect()}
+    assert set(g) == {"1"}
+    assert g["1"].amt == Decimal("-100.50")
+    assert bad.count() == 1
+
+
+def test_read_jdbc_rejects_invalid_sharding_combos(spark):
+    with pytest.raises(ValueError, match="not both"):
+        read_jdbc(
+            spark,
+            "jdbc:derby:memory:x",
+            "t",
+            partition_column="id",
+            lower_bound=0,
+            upper_bound=10,
+            predicates=["id < 5"],
+        )
+    with pytest.raises(ValueError, match="requires lower_bound"):
+        read_jdbc(spark, "jdbc:derby:memory:x", "t", partition_column="id")
+
+
+def test_archive_file_preserves_earlier_backups(tmp_path):
+    from etl_sber_spark.sources.io import archive_file
+
+    first = tmp_path / "f.txt"
+    first.write_text("v1")
+    p1 = archive_file(str(first))
+    again = tmp_path / "f.txt"
+    again.write_text("v2 corrected")
+    p2 = archive_file(str(again))
+    assert p1 != p2
+    assert open(p1).read() == "v1"  # forensic copy of delivery 1 intact
+    assert open(p2).read() == "v2 corrected"
+
+
+def test_xlsx_cell_stringify():
+    from etl_sber_spark.sources.io import _cell_str
+
+    assert _cell_str(None) is None
+    assert _cell_str(4511123456) == "4511123456"
+    assert _cell_str(4511123456.0) == "4511123456"  # Excel numeric cell
+    assert _cell_str(1.5) == "1.5"
+    assert _cell_str("P0001") == "P0001"

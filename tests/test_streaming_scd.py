@@ -193,3 +193,45 @@ def test_stale_snapshot_is_skipped(spark, tmp_path):
     os.utime(fixed, (now, now))
     stream_scd2_snapshots(*args).awaitTermination(120)
     assert _rows(wh.read("terminals_hist")) == want
+
+
+def test_stale_snapshot_skipped_after_no_change_snapshot(spark, tmp_path):
+    """The high-water mark must track the last APPLIED snapshot ts, not
+    max(effective_from): a no-change snapshot appends zero rows, so a
+    history-derived guard forgets it happened, and an out-of-order
+    older snapshot arriving afterwards would slip past and corrupt the
+    history (round-3 review finding). With the persisted watermark
+    marker the late snapshot is skipped."""
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    t1 = dt.datetime(2021, 3, 1, 23, 50)
+    t2 = dt.datetime(2021, 3, 2, 23, 50)
+    t3 = dt.datetime(2021, 3, 3, 23, 50)
+    day1 = [("A8966", "Moscow", "Lenina 1")]
+    _write_snapshot_csv(str(inbox), t1, day1)
+    # t3 ships IDENTICAL content -> scd2_apply is a no-op on the history
+    _write_snapshot_csv(str(inbox), t3, day1)
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    args = (
+        spark,
+        str(inbox),
+        wh,
+        "terminals_hist",
+        KEY,
+        ATTRS,
+        SNAP_SCHEMA,
+        str(tmp_path / "ckpt"),
+    )
+    stream_scd2_snapshots(*args).awaitTermination(120)
+    want = _rows(wh.read("terminals_hist"))
+    assert len(want) == 1  # the t3 no-change apply added nothing
+
+    # now an OLDER t2 snapshot with DIFFERENT content arrives late —
+    # applying it would open a version newer history already supersedes
+    late = _write_snapshot_csv(
+        str(inbox), t2, [("A8966", "Moscow", "Lenina 99")]
+    )
+    now = time.time()
+    os.utime(late, (now, now))
+    stream_scd2_snapshots(*args).awaitTermination(120)
+    assert _rows(wh.read("terminals_hist")) == want

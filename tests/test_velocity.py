@@ -70,3 +70,37 @@ def test_velocity_alerts_across_batches(spark, tmp_path):
     assert len(alerts) == 1
     assert alerts[0].n_last_hour == 6
     assert str(alerts[0].alert_ts) == "2021-03-01 10:40:00"
+
+
+def test_malformed_timestamp_does_not_wipe_velocity_state(spark, tmp_path):
+    """A NULL trans_date (malformed timestamp -> NaT) must be DROPPED,
+    not processed: a NaT cutoff comparison is False for every retained
+    timestamp, so one bad row used to discard the card's whole
+    trailing-hour window and suppress the alert for a real burst
+    (round-3 review finding)."""
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    card = "9999 0000"
+    rows = [(f"2021-03-01 10:0{m}:00", card) for m in range(5)]
+    # EMPTY timestamp field -> NULL through the strict reader (ANSI
+    # to_timestamp nulls on NULL input; garbage TEXT would instead fail
+    # the query, which is the strict reader's separate contract)
+    rows.append(("", card))
+    rows.append(("2021-03-01 10:30:00", card))  # 6th valid tx: alert
+    _file(inbox / "transactions_nat.txt", rows)
+
+    typed = stream_transactions(spark, str(inbox))
+    q = (
+        velocity_alerts(typed, max_per_hour=5)
+        .writeStream.format("memory")
+        .queryName("velocity_nat")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    alerts = spark.sql("SELECT * FROM velocity_nat").collect()
+    assert len(alerts) == 1
+    assert alerts[0].n_last_hour == 6
+    assert str(alerts[0].alert_ts) == "2021-03-01 10:30:00"
