@@ -66,7 +66,9 @@ def quality_score(col: Column | str) -> Column:
     """Heuristic document quality in [0,1], rounded to 4 decimals.
 
     Components (each a cheap column expression):
-    - length_ok: 1 if 100 <= n_chars <= 20000 else n_chars/100 capped
+    - length_ok: min(n_chars/100, 1) — rewards reaching ~100 chars; NO
+      upper-length penalty (mega-documents are the repetition/dedup
+      gates' job, functions/repetition.py + operators/dedup.py)
     - alpha_ratio: share of letters
     - punct penalty: share of [.,;:!?"] capped at 0.2, scaled
     - mean token length in [3, 12] rewarded

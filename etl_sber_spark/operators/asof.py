@@ -62,23 +62,27 @@ def asof_join(
         .orderBy(F.col(ts), F.col("_side"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # The payload travels as ONE struct: per-column last(ignorenulls)
+    # would substitute a STALE older row's value wherever the matched
+    # (latest) right row has a NULL attribute — and different columns
+    # could then come from different right rows (round-3 review
+    # finding; DuckDB's native ASOF, the q_asof_join oracle, returns
+    # the matched row's NULLs). A struct is non-null whenever the row
+    # is a right row, so last(ignorenulls) selects whole rows.
+    payload = F.when(
+        F.col("_side") == 0,
+        F.struct(
+            F.col(ts).alias("_ts"),
+            *[F.col(c + suffix).alias(c) for c in right_cols],
+        ),
+    )
     carried = unioned.select(
         "*",
         F.col(ts).alias("_uts"),
-        *[
-            F.last(F.col(c + suffix), ignorenulls=True)
-            .over(w)
-            .alias("_m_" + c)
-            for c in right_cols
-        ],
-        F.last(
-            F.when(F.col("_side") == 0, F.col(ts)), ignorenulls=True
-        )
-        .over(w)
-        .alias("_m_ts"),
+        F.last(payload, ignorenulls=True).over(w).alias("_m"),
     )
     return carried.filter(F.col("_side") == 1).select(
         *[F.col("_l_" + c).alias(c) for c in left.columns],
-        *[F.col("_m_" + c).alias(c + suffix) for c in right_cols],
-        F.col("_m_ts").alias(ts + suffix),
+        *[F.col("_m")[c].alias(c + suffix) for c in right_cols],
+        F.col("_m")["_ts"].alias(ts + suffix),
     )

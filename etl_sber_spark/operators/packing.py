@@ -155,7 +155,16 @@ def pack_documents(
         ).alias("bin_id"),
         F.pmod(cum_before, F.lit(budget)).alias("bin_offset"),
         (
-            F.floor(cum_before / F.lit(budget))
-            != F.floor((cum_before + F.col("n_tokens") - 1) / F.lit(budget))
+            # n_tokens > 0 guard: a zero-token document occupies nothing
+            # and spans nothing, but floor((cum_before - 1)/budget) on a
+            # bin boundary (including cum_before = 0) drops to the
+            # PREVIOUS bin and would flag it as spanning
+            (F.col("n_tokens") > 0)
+            & (
+                F.floor(cum_before / F.lit(budget))
+                != F.floor(
+                    (cum_before + F.col("n_tokens") - 1) / F.lit(budget)
+                )
+            )
         ).alias("spans_bins"),
     )

@@ -179,24 +179,34 @@ def scd1_append(
 ) -> DataFrame:
     """The blacklist "upsert" (S3) — returns rows to APPEND to the fact.
 
-    Faithful to main.py:240-296: new rows (anti on key) plus *changed*
-    rows appended WITHOUT removing the old version — README calls it SCD1
-    but the implementation is append-only, so a changed key ends up
-    duplicated. The canonical keep-latest variant is
-    :func:`scd1_latest`.
+    Faithful to main.py:240-296 in its append-only shape: new rows
+    (anti on key) plus *changed* rows appended WITHOUT removing the old
+    version — README calls it SCD1 but the implementation is
+    append-only, so a changed key ends up duplicated. The canonical
+    keep-latest variant is :func:`scd1_latest`.
+
+    One deliberate hardening over the literal reference (round-3 review
+    finding): "changed" means the staged content exists for the key but
+    matches NO fact row exactly (null-safe on every attr). The
+    reference's literal inner-join-where-neq emits a staged row once
+    per DIFFERING OLD VERSION — so after a key's first change, its
+    UNCHANGED row re-appends on every subsequent run and the fact grows
+    without bound (it also breaks scd1_latest's no-repeated-(key,order)
+    precondition). On data the reference ever sees (versions are never
+    revisited) the two definitions produce identical appends.
     """
     cols = [key, *attrs]
     stg = stg.select(*cols).alias("stg")
     fct = fact.select(*cols).alias("fct")
     new = stg.join(fct, on=key, how="left_anti")
+    exact = F.col(f"stg.{key}") == F.col(f"fct.{key}")
+    for a in attrs:
+        exact = exact & F.col(f"stg.{a}").eqNullSafe(F.col(f"fct.{a}"))
     changed = (
-        stg.join(
-            fct,
-            (F.col(f"stg.{key}") == F.col(f"fct.{key}"))
-            & _neq_any("stg", "fct", attrs),
-            "inner",
-        )
-        .select([F.col(f"stg.{c}").alias(c) for c in cols])
+        stg.join(fct, on=key, how="left_semi")  # key already present...
+        .alias("stg")
+        .join(fct, exact, "left_anti")  # ...but this exact content is not
+        .select(*cols)
     )
     return new.unionByName(changed)
 

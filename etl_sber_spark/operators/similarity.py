@@ -283,6 +283,12 @@ def kmeans_centroids(
     # broadcast join + a per-vector window + a lineage that compounded
     # across iterations — measured 8.7s vs 2.4s training at sf0.1.)
     seeds = qemb.orderBy(F.col(id_col)).limit(k).select("_qv").collect()
+    if not seeds:
+        raise ValueError(
+            "k-means training set is empty (empty embeddings frame, or "
+            f"train_mod={train_mod} filtered out every row) — nothing "
+            "to seed centroids from"
+        )
     cent_rows: list[tuple[int, list[float]]] = [
         (i, [float(x) for x in r._qv]) for i, r in enumerate(seeds)
     ]

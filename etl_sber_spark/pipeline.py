@@ -27,6 +27,7 @@ import datetime as dt
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from . import schemas
 from .plans.fraud import build_fraud_report, data_view
@@ -115,9 +116,18 @@ def build_mart(
     def _read_or_empty(name: str, schema) -> DataFrame:
         return wh.read(name) if wh.has_data(name) else _empty(wh.spark, schema)
 
+    # a COPY of the schema: StructType.add mutates (and returns) self,
+    # so the one-liner would append another load_date to the shared
+    # module-level schema on every call — duplicate-column errors on the
+    # second zero-fact day in one process (round-3 review finding)
     fact = _read_or_empty(
         T_FACT,
-        schemas.FACT_TRANSACTIONS.add("load_date", "date"),
+        T.StructType(
+            [
+                *schemas.FACT_TRANSACTIONS.fields,
+                T.StructField("load_date", T.DateType()),
+            ]
+        ),
     )
     view = data_view(
         bank_tables["clients"],

@@ -26,7 +26,11 @@ from .queries import query
 # Shared DuckDB SQL fragments (kept in lockstep with operators/dedup.py)
 # ---------------------------------------------------------------------------
 
-_HASH64 = "CAST(('0x' || substr(md5({expr} || ':0'), 1, 15)) AS BIGINT)"
+from ..functions.hashing import hash64_expr_sql as _hash64_sql
+
+#: the single cross-engine hash contract (functions/hashing.py) — kept
+#: as a {expr} template for the f-string oracles below
+_HASH64 = _hash64_sql("{expr}")
 _M31 = dd.MERSENNE31
 
 _SHINGLES_CTE = rf"""
@@ -769,8 +773,8 @@ _PACK_BUCKETS = 8
            CAST(bucket AS BIGINT) * 4294967296
              + (cum_before // {_PACK_BUDGET}) AS bin_id,
            CAST(cum_before % {_PACK_BUDGET} AS BIGINT) AS bin_offset,
-           (cum_before // {_PACK_BUDGET})
-             <> ((cum_before + n_tokens - 1) // {_PACK_BUDGET}) AS spans_bins
+           (n_tokens > 0 AND (cum_before // {_PACK_BUDGET})
+             <> ((cum_before + n_tokens - 1) // {_PACK_BUDGET})) AS spans_bins
     FROM cum
     """,
 )
