@@ -156,3 +156,55 @@ def test_jaccard_candidate_restriction_and_shared_subtrees(spark):
     # pinned shingle/pairs frames (Scan ExistingRDD)
     assert "Scan parquet" not in p, p
     assert "Scan ExistingRDD" in p
+
+
+def test_aqe_splits_skewed_join_partitions(spark, tmp_path):
+    """SCALE.md's skew story leans on AQE skew-join splitting — prove
+    the rule actually fires: a sort-merge join with one hot key and
+    aggressively lowered skew thresholds must show skew=true splits in
+    the final adaptive plan. (Salting, operators/skew.py, remains the
+    remedy for skewed AGGREGATION, which AQE does not split.)"""
+    from pyspark.sql import functions as F
+
+    hot = [(1, i) for i in range(200_000)]
+    cold = [(k, 0) for k in range(2, 200)]
+    left_p = str(tmp_path / "left")
+    right_p = str(tmp_path / "right")
+    spark.createDataFrame(hot + cold, "k int, v int").write.parquet(left_p)
+    spark.createDataFrame(
+        [(k, k) for k in range(1, 200)], "k int, w int"
+    ).write.parquet(right_p)
+    conf = {
+        # force SMJ (no broadcast) and make the hot partition "skewed"
+        # at test scale
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    prev = {k: spark.conf.get(k, None) for k in conf}
+    try:
+        for k, v in conf.items():
+            spark.conf.set(k, v)
+        # no aggregation on top: a downstream groupBy REQUIRES the
+        # join's hash partitioning, which skew-splitting would break,
+        # so AQE skips the rule — exactly the documented trade-off
+        # (then salting/two-stage agg is the remedy). The filter
+        # references BOTH sides so it cannot push below the join.
+        j = (
+            spark.read.parquet(left_p)
+            .join(spark.read.parquet(right_p), "k")
+            .filter(F.col("v") + F.col("w") < -1)
+        )
+        # act on j ITSELF (count() would build a separate execution and
+        # leave j's adaptive plan unfinalized)
+        assert j.collect() == []
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:4000]
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
