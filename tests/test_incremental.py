@@ -1,0 +1,100 @@
+"""Incremental near-dup curation against a persisted signature index
+(operators/incremental.py): the corpus-maintenance loop a 100 TB
+pipeline runs per crawl — no corpus text ever re-read.
+
+Fixtures are long paragraphs so one-word variants sit at ~0.94
+estimated Jaccard, far above both the LSH collision knee and the
+thresholds — the deterministic md5 signatures then make every assertion
+exact (collisions were verified empirically when the fixtures were
+chosen, and the hash never changes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_sber_spark.operators.dedup import minhash_signatures
+from etl_sber_spark.operators.incremental import (
+    curate_increment,
+    near_dup_vs_index,
+)
+from etl_sber_spark.sinks.warehouse import Warehouse
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog near the river bank "
+    "while seven wizards brew strong coffee at dawn every single day "
+    "and the old clock tower rings twelve times across the quiet square "
+    "as fishermen haul silver nets from the cold grey northern water"
+)
+BASE2 = (
+    "distributed query engines shuffle sorted partitions across racks "
+    "while adaptive planners rewrite joins at runtime from statistics "
+    "and columnar readers prune pages with zone maps before decoding "
+    "so analysts scan petabytes without waiting past their first sip"
+)
+UNRELATED = (
+    "completely separate subject matter entirely here gardening tips "
+    "for winter tomatoes include mulch straw cloches and patient hope"
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_near_dup_vs_index_finds_planted_dup(spark):
+    day1 = _docs(spark, [(1, BASE), (2, UNRELATED)])
+    index = minhash_signatures(day1)
+    day2 = _docs(
+        spark,
+        [
+            (10, BASE.replace("coffee", "tea")),  # near-dup of indexed 1
+            (11, BASE2),  # novel content
+        ],
+    )
+    hits = near_dup_vs_index(
+        minhash_signatures(day2), index, threshold=0.5
+    ).collect()
+    assert {(r.new_id, r.old_id) for r in hits} == {(10, 1)}
+    assert all(0.5 <= r.est_jaccard <= 1.0 for r in hits)
+
+
+def test_curate_increment_grows_index_and_next_round_sees_it(spark, tmp_path):
+    """Three increments through a warehouse-persisted index: a keeper
+    from increment 2 must block its near-dup in increment 3 — proof the
+    index append keeps the dedup basis current WITHOUT any text of the
+    earlier increments being retained."""
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    idx = "corpus_minhash"
+
+    day1 = _docs(spark, [(1, BASE), (2, UNRELATED)])
+    # bootstrap: empty index
+    ann1, keep1 = curate_increment(day1, minhash_signatures(day1).limit(0))
+    assert {
+        r.doc_id for r in ann1.filter("drop_reason IS NULL").collect()
+    } == {1, 2}
+    wh.append(keep1, idx)
+
+    day2 = _docs(
+        spark,
+        [
+            (10, BASE.replace("dawn", "dusk")),  # near-dup of indexed 1
+            (11, BASE2),  # keeper
+            (12, BASE2.replace("racks", "nodes")),  # in-batch dup of 11
+        ],
+    )
+    ann2, keep2 = curate_increment(day2, wh.read(idx))
+    got = {r.doc_id: r.drop_reason for r in ann2.collect()}
+    assert got[10] == "index_near_dup"
+    assert got[11] is None
+    assert got[12] == "batch_near_dup"  # exact in-batch gate, min-id wins
+    wh.append(keep2, idx)
+
+    # increment 3: a near-dup of increment-2's KEEPER is caught via the
+    # grown index
+    day3 = _docs(spark, [(20, BASE2.replace("analysts", "engineers"))])
+    ann3, keep3 = curate_increment(day3, wh.read(idx))
+    assert ann3.collect()[0].drop_reason == "index_near_dup"
+    assert keep3.count() == 0
+    # the index holds exactly the keepers: 1, 2, 11
+    assert {r.doc_id for r in wh.read(idx).collect()} == {1, 2, 11}
