@@ -92,6 +92,36 @@ def hash_split(
     return df.withColumn(split_col, expr)
 
 
+def cap_per_stratum(
+    df: DataFrame,
+    stratum_col: str,
+    max_rows: int,
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Keep at most ``max_rows`` rows per stratum — the per-domain quota
+    gate of crawl curation (no single domain may dominate the corpus).
+
+    Selection is deterministic: rows are ranked inside each stratum by
+    (hash-bucket, id) and the first ``max_rows`` win, so the kept set is
+    a stable uniform sample of the stratum, not "whatever the scan
+    ordered first" (a plain LIMIT per group would be partitioning-
+    dependent). One shuffle (the per-stratum window); strata are
+    independent, so the operator distributes and AQE covers skewed
+    (celebrity-domain) strata.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(stratum_col).orderBy(
+        sample_bucket(F.col(id_col), seed), F.col(id_col)
+    )
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= max_rows)
+        .drop("_rk")
+    )
+
+
 def downsample_to(
     df: DataFrame,
     stratum_col: str,

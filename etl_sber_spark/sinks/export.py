@@ -1,0 +1,116 @@
+"""Training-corpus export: sharded JSONL + manifest.
+
+The last step of a curation pipeline is handing the corpus to a
+trainer, and the lingua franca there is sharded JSONL (one document per
+line) plus a MANIFEST the data loader can trust without re-scanning:
+shard count, per-shard row/token counts, totals. This sink produces
+exactly that, Spark-native:
+
+- shard assignment is the portable 60-bit hash of the id
+  (functions/hashing.py) mod ``n_shards`` — deterministic, stable as
+  the corpus grows, and REPRODUCIBLE: re-exporting the same corpus
+  yields byte-identical shard membership (no round-robin, no
+  partition-order dependence);
+- each shard is written by exactly one task (the pre-write repartition
+  keys on the shard value, so all rows of a shard hash to one
+  partition) — n_shards output files, no tiny-file explosion;
+- the manifest is computed as ONE aggregate over the same frame
+  (rows + token sums per shard) — metadata-scale result, written
+  driver-side as ``manifest.json`` next to the shards.
+
+At 100 TB: pick n_shards so each shard is ~0.5-4 GiB (trainer-side
+streaming granularity); the export is one narrow shuffle (the shard
+repartition) and one aggregate — both keyed on the uniform hash, so no
+skew. Writing compressed (``compression='gzip'``) trades CPU for the
+3-5x text ratio; the manifest records it either way.
+
+Reference parity: the reference's sinks are warehouse INSERTs
+(SURVEY.md §2.2); this extends the sink surface for the LLM-pipeline
+deliverable (§7.5).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import hash64
+
+
+def shard_expr(id_col: str, n_shards: int, seed: int = 0):
+    """Deterministic shard id in [0, n_shards) from the row id."""
+    return F.pmod(hash64(F.col(id_col).cast("string"), seed), F.lit(n_shards))
+
+
+def export_jsonl(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    id_col: str = "doc_id",
+    token_col: str | None = None,
+    compression: str | None = None,
+    seed: int = 0,
+) -> dict:
+    """Write ``df`` as ``n_shards`` JSONL shards under ``path`` and a
+    ``manifest.json`` beside them; returns the manifest dict.
+
+    Manifest schema::
+
+        {"n_shards": N, "n_rows": R, "n_tokens": T | null,
+         "compression": ..., "shards": [
+            {"shard": i, "n_rows": r_i, "n_tokens": t_i | null}, ...]}
+
+    ``token_col`` (optional) is summed per shard so the trainer can
+    budget without scanning. Shards with no rows still appear in the
+    manifest with zero counts (the trainer iterates 0..N-1).
+    """
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be positive, got {n_shards}")
+    sharded = df.withColumn("shard", shard_expr(id_col, n_shards, seed))
+
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    if token_col is not None:
+        aggs.append(F.sum(F.col(token_col).cast("long")).alias("n_tokens"))
+    stats = {
+        r["shard"]: r for r in sharded.groupBy("shard").agg(*aggs).collect()
+    }
+
+    writer = (
+        sharded.repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", id_col)
+        .write.mode("overwrite")
+        .partitionBy("shard")
+    )
+    if compression:
+        writer = writer.option("compression", compression)
+    writer.json(path)
+
+    shards = []
+    for i in range(n_shards):
+        r = stats.get(i)
+        shards.append(
+            {
+                "shard": i,
+                "n_rows": int(r["n_rows"]) if r else 0,
+                "n_tokens": (
+                    int(r["n_tokens"])
+                    if (r is not None and token_col is not None)
+                    else None
+                ),
+            }
+        )
+    manifest = {
+        "n_shards": n_shards,
+        "n_rows": sum(s["n_rows"] for s in shards),
+        "n_tokens": (
+            sum(s["n_tokens"] for s in shards) if token_col is not None else None
+        ),
+        "compression": compression,
+        "shards": shards,
+    }
+    with open(os.path.join(path, "manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    return manifest

@@ -1,0 +1,101 @@
+"""Int8 embedding quantization (operators/quantize.py): portable
+arithmetic vs DuckDB, reconstruction error bound, and recall cost."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_sber_spark.operators.quantize import (
+    QMAX,
+    cosine_topk_quantized,
+    dequantize_expr,
+    quantize_embeddings,
+)
+from etl_sber_spark.operators.similarity import cosine_topk_bruteforce
+from etl_sber_spark.sources.tables import load_table
+
+from .conftest import SF_SMALL
+from .diffcheck import compare, duck_connect
+
+_ORACLE = f"""
+WITH scaled AS (
+    SELECT vec_id,
+           list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
+               / {QMAX} AS q_scale,
+           embedding
+    FROM embeddings
+)
+SELECT vec_id,
+       q_scale,
+       array_to_string(
+           list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)
+               / q_scale + 0.5) AS BIGINT)), ',') AS qvec_str
+FROM scaled
+WHERE q_scale > 0
+"""
+
+
+def test_quantization_matches_duckdb(spark):
+    e = load_table(spark, SF_SMALL, "embeddings").select("vec_id", "embedding")
+    q = quantize_embeddings(e).filter(F.col("q_scale") > 0).select(
+        "vec_id",
+        "q_scale",
+        F.concat_ws(",", F.col("qvec").cast("array<string>")).alias("qvec_str"),
+    )
+    duck = duck_connect(SF_SMALL)
+    try:
+        compare("quantize", q, duck, _ORACLE)
+    finally:
+        duck.close()
+
+
+def test_reconstruction_error_bounded(spark):
+    e = load_table(spark, SF_SMALL, "embeddings").select("vec_id", "embedding")
+    q = quantize_embeddings(e, keep_original=True)
+    err = q.select(
+        F.aggregate(
+            F.zip_with(
+                F.col("embedding").cast("array<double>"),
+                dequantize_expr("qvec", "q_scale"),
+                lambda x, r: F.abs(x - r),
+            ),
+            F.lit(0.0),
+            lambda acc, x: F.greatest(acc, x),
+        ).alias("max_err"),
+        F.col("q_scale"),
+    )
+    bad = err.filter(F.col("max_err") > F.col("q_scale") / 2 + 1e-12)
+    assert bad.count() == 0
+
+
+def test_quantized_range(spark):
+    e = load_table(spark, SF_SMALL, "embeddings")
+    q = quantize_embeddings(e)
+    out_of_range = q.select(
+        F.aggregate(
+            "qvec",
+            F.lit(0),
+            lambda acc, x: acc
+            + F.when((x < -QMAX) | (x > QMAX), 1).otherwise(0),
+        ).alias("n_bad")
+    ).filter(F.col("n_bad") > 0)
+    assert out_of_range.count() == 0
+
+
+def test_recall_vs_exact(spark):
+    """recall@10 of int8-quantized brute force vs exact >= 0.9 — the
+    documented recall cost of 4x storage compression."""
+    e = load_table(spark, SF_SMALL, "embeddings")
+    queries = e.orderBy("vec_id").limit(20)
+    k = 10
+    exact = cosine_topk_bruteforce(e, queries, k=k).select(
+        "query_id", F.col("vec_id").alias("nn")
+    )
+    quant = cosine_topk_quantized(e, queries, k=k).select(
+        F.col("query_id"), F.col("vec_id").alias("nn")
+    )
+    n_hits = exact.join(quant, ["query_id", "nn"]).count()
+    n_total = exact.count()
+    assert n_total == 20 * k
+    recall = n_hits / n_total
+    assert recall >= 0.9, f"quantized recall@{k} = {recall}"
