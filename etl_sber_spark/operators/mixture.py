@@ -149,12 +149,26 @@ def build_mixture(
     ``plan`` are excluded (0 copies). Pure projection + explode: no
     shuffle, no driver data.
     """
-    epochs_expr: Column = F.lit(0)
-    frac_expr: Column = F.lit(0)
-    for src, sp in sorted(plan.items()):
-        is_src = F.col(source_col) == src
-        epochs_expr = F.when(is_src, F.lit(sp.epochs)).otherwise(epochs_expr)
-        frac_expr = F.when(is_src, F.lit(sp.frac_threshold)).otherwise(frac_expr)
+    # literal MAP lookups, not a nested CASE chain: a real mixture can
+    # have thousands of sources (per-domain recipes) and a depth-n WHEN
+    # tree makes analysis/codegen quadratic-ish; a map is one flat
+    # expression and one hash probe per row.
+    epochs_map = F.create_map(
+        *[l for src, sp in sorted(plan.items()) for l in (F.lit(src), F.lit(sp.epochs))]
+    )
+    frac_map = F.create_map(
+        *[
+            l
+            for src, sp in sorted(plan.items())
+            for l in (F.lit(src), F.lit(sp.frac_threshold))
+        ]
+    )
+    epochs_expr: Column = F.coalesce(
+        F.element_at(epochs_map, F.col(source_col)), F.lit(0)
+    )
+    frac_expr: Column = F.coalesce(
+        F.element_at(frac_map, F.col(source_col)), F.lit(0)
+    )
     bucket = F.pmod(hash64(F.col(id_col).cast("string"), seed), F.lit(RESOLUTION))
     n_copies = epochs_expr + F.when(bucket < frac_expr, 1).otherwise(0)
     return (

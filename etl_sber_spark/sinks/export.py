@@ -78,8 +78,14 @@ def export_jsonl(
         r["shard"]: r for r in sharded.groupBy("shard").agg(*aggs).collect()
     }
 
+    # repartitionByRange, NOT hash repartition: murmur3(shard) % n is
+    # not identity, so hash partitioning lands ~1/e of the shard values
+    # in colliding partitions — some tasks write 2-3 shards, others
+    # none, capping write parallelism well below n_shards. Range
+    # partitioning over the dense 0..n-1 shard ids maps ~one shard per
+    # task (sampling-based split points on an integer key).
     writer = (
-        sharded.repartition(n_shards, "shard")
+        sharded.repartitionByRange(n_shards, "shard")
         .sortWithinPartitions("shard", id_col)
         .write.mode("overwrite")
         .partitionBy("shard")
