@@ -396,6 +396,7 @@ def cosine_topk_ivf(
     n_probe: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    quantized: bool = False,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: k-means coarse quantizer,
     candidates = vectors in the query's ``n_probe`` nearest lists.
@@ -406,6 +407,14 @@ def cosine_topk_ivf(
     knob — measured in tests/test_ivf.py (0.55 @ nprobe=1 on this
     corpus, rising with probes). Each candidate lives in exactly one
     list, so no pair duplication across probes.
+
+    ``quantized=True`` scores candidates with int8-quantized vectors
+    (operators/quantize.py) instead of floats — the FAISS ``IVF,SQ8``
+    layout: at 100 TB the corpus is STORED quantized (¼ the scan bytes)
+    and only the k-means centroids stay float. Training/assignment are
+    unchanged (same lists either way); only candidate scoring switches
+    to the all-integer dot. Recall cost measured in
+    tests/test_quantize.py (parity with the float IVF ladder).
     """
     cents = kmeans_centroids(embeddings, n_lists, n_iter, id_col, vec_col)
     # Assignment is a projection against literal centroids — the list
@@ -423,6 +432,14 @@ def cosine_topk_ivf(
             nearest_centroids_expr(quantize_vec(vec_col), cent_rows, n_probe)
         ).alias("centroid_id"),
     )
+    if quantized:
+        from .quantize import cosine_q_expr, quantize_cols
+
+        e_scale, e_q = quantize_cols(F.col(f"e.{vec_col}"))
+        q_scale, q_q = quantize_cols(F.col("q_vec"))
+        sim_expr = cosine_q_expr(e_q, e_scale, q_q, q_scale)
+    else:
+        sim_expr = cosine_similarity(F.col("q_vec"), F.col(f"e.{vec_col}"))
     scored = (
         cand.alias("e")
         .join(
@@ -433,10 +450,7 @@ def cosine_topk_ivf(
         .select(
             "query_id",
             F.col(f"e.{id_col}").alias(id_col),
-            F.round(
-                cosine_similarity(F.col("q_vec"), F.col(f"e.{vec_col}")),
-                SIM_SCALE,
-            ).alias("sim"),
+            F.round(sim_expr, SIM_SCALE).alias("sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col(id_col))

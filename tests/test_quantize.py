@@ -82,6 +82,31 @@ def test_quantized_range(spark):
     assert out_of_range.count() == 0
 
 
+def test_ivf_quantized_recall_parity(spark):
+    """IVF,SQ8 (quantized candidate scoring) matches the float IVF's
+    recall against exact brute force within a small delta — the int8
+    storage tier does not change the ladder's recall story."""
+    from etl_sber_spark.operators.similarity import cosine_topk_ivf
+
+    e = load_table(spark, SF_SMALL, "embeddings")
+    queries = e.orderBy("vec_id").limit(15)
+    k = 5
+    exact = cosine_topk_bruteforce(e, queries, k=k).select(
+        "query_id", F.col("vec_id").alias("nn")
+    )
+    kw = dict(k=k, n_lists=8, n_probe=4)
+    fl = cosine_topk_ivf(e, queries, **kw).select(
+        "query_id", F.col("vec_id").alias("nn")
+    )
+    qz = cosine_topk_ivf(e, queries, quantized=True, **kw).select(
+        "query_id", F.col("vec_id").alias("nn")
+    )
+    n = exact.count()
+    r_float = exact.join(fl, ["query_id", "nn"]).count() / n
+    r_quant = exact.join(qz, ["query_id", "nn"]).count() / n
+    assert r_quant >= r_float - 0.1, (r_float, r_quant)
+
+
 def test_recall_vs_exact(spark):
     """recall@10 of int8-quantized brute force vs exact >= 0.9 — the
     documented recall cost of 4x storage compression."""
