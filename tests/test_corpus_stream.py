@@ -1,0 +1,126 @@
+"""JSONL corpus reader (sources/corpus.py) + the landing-zone stream
+(streaming/corpus.py): quarantine split, incremental dedup vs the
+persisted index across micro-batches, crash-replay idempotence."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from etl_sber_spark.sinks.warehouse import Warehouse
+from etl_sber_spark.sources.corpus import read_documents_jsonl
+from etl_sber_spark.streaming.corpus import stream_corpus_increments
+
+from .test_incremental import BASE, BASE2, UNRELATED
+
+
+def _write_jsonl(path, rows):
+    with open(path, "w") as f:
+        for r in rows:
+            f.write((r if isinstance(r, str) else json.dumps(r)) + "\n")
+
+
+def test_reader_splits_good_and_quarantine(spark, tmp_path):
+    p = tmp_path / "drop1.jsonl"
+    _write_jsonl(
+        p,
+        [
+            {"doc_id": 1, "text": "hello world", "lang": "en", "source": "a"},
+            '{"doc_id": 2, "text": "broken json...',  # unparseable
+            {"doc_id": None, "text": "no id", "lang": "en", "source": "a"},
+            {"doc_id": 4, "text": None, "lang": "en", "source": "a"},
+            {"doc_id": 5, "text": "ok", "lang": None, "source": None},
+        ],
+    )
+    good, bad = read_documents_jsonl(spark, str(p))
+    g = {r.doc_id: r for r in good.collect()}
+    # optional columns may be NULL; required ones may not
+    assert set(g) == {1, 5}
+    assert g[1].n_chars == 11
+    b = sorted((r.reason, r.raw) for r in bad.collect())
+    assert [r for r, _ in b] == ["missing:doc_id", "missing:text", "unparseable"]
+    assert '"broken json' in dict((r, raw) for r, raw in b)["unparseable"]
+
+
+def test_stream_increments_dedupe_against_grown_index(spark, tmp_path):
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    ckpt = str(tmp_path / "ckpt")
+
+    # batch 1: two distinct docs
+    _write_jsonl(
+        inbox / "b1.jsonl",
+        [
+            {"doc_id": 1, "text": BASE, "lang": "en", "source": "a"},
+            {"doc_id": 2, "text": UNRELATED, "lang": "en", "source": "a"},
+        ],
+    )
+    q = stream_corpus_increments(spark, str(inbox), wh, ckpt)
+    q.awaitTermination(120)
+
+    curated = wh.read("curated_docs")
+    assert curated.count() == 2
+    assert curated.filter(F.col("drop_reason").isNotNull()).count() == 0
+    assert wh.read("minhash_index").count() == 2
+
+    # batch 2: near-dup of doc 1 (one-word variant), one new doc, and a
+    # malformed line -> the near-dup must be caught via the INDEX (its
+    # text was never retained), the new doc indexed, the bad line
+    # quarantined
+    _write_jsonl(
+        inbox / "b2.jsonl",
+        [
+            {
+                "doc_id": 11,
+                "text": BASE.replace("lazy", "sleepy"),
+                "lang": "en",
+                "source": "a",
+            },
+            {"doc_id": 12, "text": BASE2, "lang": "en", "source": "a"},
+            "not json at all {{{",
+        ],
+    )
+    q = stream_corpus_increments(spark, str(inbox), wh, ckpt)
+    q.awaitTermination(120)
+
+    curated = wh.read("curated_docs")
+    assert curated.count() == 4
+    reasons = {r.doc_id: r.drop_reason for r in curated.collect()}
+    assert reasons[11] == "index_near_dup"
+    assert reasons[12] is None
+    # index grew by exactly the keeper
+    assert wh.read("minhash_index").count() == 3
+    quar = wh.read("corpus_quarantine").collect()
+    assert len(quar) == 1 and quar[0].reason == "unparseable"
+
+    # re-running with a drained inbox is a no-op (exactly-once per file)
+    q = stream_corpus_increments(spark, str(inbox), wh, ckpt)
+    q.awaitTermination(120)
+    assert wh.read("curated_docs").count() == 4
+    assert wh.read("minhash_index").count() == 3
+
+
+def test_batch_marker_makes_replay_idempotent(spark, tmp_path):
+    """Simulate foreachBatch crash-replay: applying the same batch id
+    twice must not duplicate curated rows or index signatures."""
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    _write_jsonl(
+        inbox / "b1.jsonl",
+        [{"doc_id": 1, "text": BASE, "lang": "en", "source": "a"}],
+    )
+    ckpt = str(tmp_path / "ckpt")
+    q = stream_corpus_increments(spark, str(inbox), wh, ckpt)
+    q.awaitTermination(120)
+    assert wh.read("curated_docs").count() == 1
+
+    # replay batch 0: a fresh checkpoint over the same inbox re-delivers
+    # the file as batch 0 against the SAME warehouse — the marker must
+    # short-circuit the appends
+    q = stream_corpus_increments(spark, str(inbox), wh, str(tmp_path / "ckpt2"))
+    q.awaitTermination(120)
+    assert wh.read("curated_docs").count() == 1
+    assert wh.read("minhash_index").count() == 1
