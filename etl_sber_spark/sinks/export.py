@@ -97,15 +97,16 @@ def export_jsonl(
     shards = []
     for i in range(n_shards):
         r = stats.get(i)
+        if token_col is None:
+            n_tokens = None
+        else:
+            # empty shard -> 0 (never None: the manifest totals sum these)
+            n_tokens = int(r["n_tokens"]) if r and r["n_tokens"] is not None else 0
         shards.append(
             {
                 "shard": i,
                 "n_rows": int(r["n_rows"]) if r else 0,
-                "n_tokens": (
-                    int(r["n_tokens"])
-                    if (r is not None and token_col is not None)
-                    else None
-                ),
+                "n_tokens": n_tokens,
             }
         )
     manifest = {

@@ -59,6 +59,16 @@ def test_export_empty_shard_listed(spark, tmp_path):
     assert manifest["n_tokens"] is None
     with pytest.raises(ValueError):
         export_jsonl(d, str(tmp_path / "bad"), n_shards=0)
+    # empty shards report n_tokens 0 (not None) when token_col is set,
+    # so the manifest total stays summable
+    m2 = export_jsonl(
+        d.withColumn("n_tok", F.lit(7)),
+        str(tmp_path / "two"),
+        n_shards=8,
+        token_col="n_tok",
+    )
+    assert m2["n_tokens"] == 7
+    assert sorted({s["n_tokens"] for s in m2["shards"]}) == [0, 7]
 
 
 def test_cap_per_stratum(spark):
