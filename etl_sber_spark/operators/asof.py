@@ -78,7 +78,6 @@ def asof_join(
     )
     carried = unioned.select(
         "*",
-        F.col(ts).alias("_uts"),
         F.last(payload, ignorenulls=True).over(w).alias("_m"),
     )
     return carried.filter(F.col("_side") == 1).select(

@@ -57,16 +57,16 @@ K = len(MINHASH_PERMS)
 
 
 def estimated_jaccard(new_sigs: DataFrame, old_sigs: DataFrame,
-                      pairs: DataFrame) -> DataFrame:
+                      pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """(new_id, old_id, est_jaccard): the minhash estimate — share of
     equal signature components — for the given candidate pairs.
     Exact integer counting; the division is the only float."""
     n = new_sigs.select(
-        F.col("doc_id").alias("new_id"),
+        F.col(id_col).alias("new_id"),
         *[F.col(_mh_col(k)).alias(f"n{k}") for k in range(K)],
     )
     o = old_sigs.select(
-        F.col("doc_id").alias("old_id"),
+        F.col(id_col).alias("old_id"),
         *[F.col(_mh_col(k)).alias(f"o{k}") for k in range(K)],
     )
     eq = reduce(
@@ -91,24 +91,25 @@ def near_dup_vs_index(
     new_sigs: DataFrame,
     index_sigs: DataFrame,
     threshold: float = 0.5,
+    id_col: str = "doc_id",
 ) -> DataFrame:
     """(new_id, old_id, est_jaccard) for every new document whose
     estimated similarity against an indexed document reaches
     ``threshold``. Candidates are banded-LSH collisions of the new
     bands against the index bands — the increment side is typically
     small enough to broadcast; AQE decides."""
-    nb = signature_bands(new_sigs).select(
-        F.col("doc_id").alias("new_id"), "band", "band_key"
+    nb = signature_bands(new_sigs, id_col).select(
+        F.col(id_col).alias("new_id"), "band", "band_key"
     )
-    ob = signature_bands(index_sigs).select(
-        F.col("doc_id").alias("old_id"), "band", "band_key"
+    ob = signature_bands(index_sigs, id_col).select(
+        F.col(id_col).alias("old_id"), "band", "band_key"
     )
     pairs = (
         nb.join(ob, ["band", "band_key"])
         .select("new_id", "old_id")
         .distinct()
     )
-    return estimated_jaccard(new_sigs, index_sigs, pairs).filter(
+    return estimated_jaccard(new_sigs, index_sigs, pairs, id_col).filter(
         F.col("est_jaccard") >= threshold
     )
 
@@ -136,9 +137,9 @@ def curate_increment(
       the grown corpus.
     """
     sigs = pin(minhash_signatures(new_docs, id_col, text_col))
-    vs_index = near_dup_vs_index(sigs, index_sigs, est_threshold).select(
-        F.col("new_id").alias(id_col)
-    ).distinct()
+    vs_index = near_dup_vs_index(
+        sigs, index_sigs, est_threshold, id_col
+    ).select(F.col("new_id").alias(id_col)).distinct()
 
     # in-batch near-dups among docs that SURVIVED the index check —
     # exact verification (text is at hand for both sides of each pair)

@@ -65,14 +65,15 @@ def source_token_stats(
 ) -> DataFrame:
     """Per-source ``(source, n_docs, n_tokens)`` — one hash-aggregate.
 
-    ``token_count`` defaults to the whitespace token count of ``text``;
-    pass a column (e.g. a precomputed ``n_tokens``) to avoid retokenizing.
+    ``token_count`` defaults to the whitespace token count of ``text``
+    (functions/text.token_count — 0 for empty/whitespace-only documents;
+    a bare split-size would count 1 and let all-empty sources through
+    mixture_plan's no-tokens guard); pass a column (e.g. a precomputed
+    ``n_tokens``) to avoid retokenizing.
     """
-    tc = (
-        token_count
-        if token_count is not None
-        else F.size(F.split(F.trim(F.col("text")), r"\s+"))
-    )
+    from ..functions.text import token_count as _tc
+
+    tc = token_count if token_count is not None else _tc("text")
     return df.groupBy(source_col).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(tc.cast("long")).alias("n_tokens"),

@@ -38,6 +38,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.hashing import hash64
+from ..operators.materialize import pin
 
 
 def shard_expr(id_col: str, n_shards: int, seed: int = 0):
@@ -69,7 +70,10 @@ def export_jsonl(
     """
     if n_shards <= 0:
         raise ValueError(f"n_shards must be positive, got {n_shards}")
-    sharded = df.withColumn("shard", shard_expr(id_col, n_shards, seed))
+    # pinned: the manifest aggregate AND the shard write both consume
+    # this frame — unpinned, the entire upstream pipeline (typically a
+    # full curation/packing chain) would execute twice
+    sharded = pin(df.withColumn("shard", shard_expr(id_col, n_shards, seed)))
 
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     if token_col is not None:

@@ -40,13 +40,23 @@ REQUIRED = ("doc_id", "text")
 _CORRUPT = "_corrupt_record"
 
 
-def read_documents_jsonl(
-    spark: SparkSession,
-    path: str,
+def corrupt_capture_schema(schema: T.StructType = DOCUMENT_SCHEMA) -> T.StructType:
+    """Schema + the corrupt-record capture column (a COPY — never
+    ``schema.add(...)``: StructType.add mutates and returns self)."""
+    return T.StructType(
+        [*schema.fields, T.StructField(_CORRUPT, T.StringType())]
+    )
+
+
+def split_documents(
+    raw: DataFrame,
     schema: T.StructType = DOCUMENT_SCHEMA,
     required: tuple[str, ...] = REQUIRED,
 ) -> tuple[DataFrame, DataFrame]:
-    """(good, quarantine) from JSONL files under ``path``.
+    """(good, quarantine) split of a frame read with
+    :func:`corrupt_capture_schema` — the ONE place the validity rules
+    live, shared by the batch reader and the streaming landing zone
+    (streaming/corpus.py) so batch and stream can never drift.
 
     ``good`` carries the schema's columns plus derived ``n_chars``;
     ``quarantine`` carries ``raw`` (the offending line verbatim — for
@@ -54,17 +64,6 @@ def read_documents_jsonl(
     for required-NULL rows it is the row re-serialized to JSON) and
     ``reason`` (``'unparseable'`` or ``'missing:<col>'``).
     """
-    full = T.StructType(
-        [*schema.fields, T.StructField(_CORRUPT, T.StringType())]
-    )
-    raw = (
-        spark.read.schema(full)
-        .option("mode", "PERMISSIVE")
-        .option("columnNameOfCorruptRecord", _CORRUPT)
-        .json(path)
-    )
-    # one scan, split by validity; cache-free (each side is a filter over
-    # the same scan and Catalyst reuses the shared subplan per action)
     missing_reason = F.coalesce(
         *[
             F.when(F.col(c).isNull(), F.lit(f"missing:{c}"))
@@ -87,3 +86,20 @@ def read_documents_jsonl(
         ).alias("reason"),
     )
     return good, bad
+
+
+def read_documents_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType = DOCUMENT_SCHEMA,
+    required: tuple[str, ...] = REQUIRED,
+) -> tuple[DataFrame, DataFrame]:
+    """(good, quarantine) from JSONL files under ``path`` — one scan,
+    split by validity (see :func:`split_documents`)."""
+    raw = (
+        spark.read.schema(corrupt_capture_schema(schema))
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", _CORRUPT)
+        .json(path)
+    )
+    return split_documents(raw, schema, required)

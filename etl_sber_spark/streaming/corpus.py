@@ -15,11 +15,13 @@ Same execution discipline as the continuous SCD2 stream
   semantics inside a checkpointed stream;
 - default ``availableNow`` trigger (drain the backlog, then stop — the
   cron shape); ``processing_time`` for a resident stream;
-- exactly-once per FILE via the checkpoint; the batch-id marker makes
-  crash-replay of a half-applied batch idempotent: a re-delivered batch
-  id whose appends already committed is skipped (the appends are the
-  non-idempotent step — blind re-append would duplicate curated rows
-  and index signatures).
+- exactly-once per FILE via the checkpoint; per-batch WRITES are
+  idempotent BY CONSTRUCTION: every output table is partitioned by
+  ``batch_id`` and written with dynamic partition OVERWRITE, so a
+  foreachBatch replay after a crash — including a crash halfway
+  through the writes — simply rewrites the same partitions instead of
+  appending duplicates. The batch-id marker is then only a fast-skip
+  for fully-applied batches, not the correctness mechanism.
 
 Scale: each batch does increment-sized work (bands(new) ⋈ bands(index)
 is Σ|bucket|² with the increment side tiny; the index side is
@@ -31,13 +33,12 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 from pyspark.sql.streaming import StreamingQuery
 
 from ..operators.dedup import MINHASH_PERMS, _mh_col
 from ..operators.incremental import curate_increment
 from ..sinks.warehouse import Warehouse
-from ..sources.corpus import DOCUMENT_SCHEMA, REQUIRED, read_documents_jsonl
+from ..sources.corpus import corrupt_capture_schema, split_documents
 
 
 def empty_index(spark: SparkSession, id_col: str = "doc_id") -> DataFrame:
@@ -69,13 +70,8 @@ def stream_corpus_increments(
     signatures to ``index_table``, malformed lines to
     ``quarantine_table``.
     """
-    # copy, never .add() on the shared schema: StructType.add mutates
-    # and returns self (the build_mart round-3 review finding)
-    full_schema = T.StructType(
-        [*DOCUMENT_SCHEMA.fields, T.StructField("_corrupt_record", T.StringType())]
-    )
     raw = (
-        spark.readStream.schema(full_schema)
+        spark.readStream.schema(corrupt_capture_schema())
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", "_corrupt_record")
         .option("maxFilesPerTrigger", str(max_files_per_trigger))
@@ -84,38 +80,26 @@ def stream_corpus_increments(
     marker = f"{curated_table}__applied_batches"
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
-        # idempotence marker: foreachBatch replays a batch after a crash
-        # mid-append; the appends below are not idempotent, so an
-        # already-marked batch id is skipped wholesale.
+        # fast-skip for fully-applied batches (correctness does not
+        # depend on it: every write below is a batch_id-partition
+        # OVERWRITE, so replaying a half-applied batch rewrites the
+        # same partitions instead of appending duplicates)
         if wh.has_data(marker):
-            done = {r[0] for r in wh.read(marker).collect()}
+            # explicit select: batch_id is the PARTITION column, so a
+            # positional r[0] on the raw read would grab 'applied'
+            done = {
+                r[0] for r in wh.read(marker).select("batch_id").collect()
+            }
             if batch_id in done:
                 print(f"[stream_corpus] batch {batch_id} already applied")
                 return
-        cols = [f.name for f in DOCUMENT_SCHEMA.fields]
-        missing = F.coalesce(
-            *[F.when(F.col(c).isNull(), F.lit(f"missing:{c}")) for c in REQUIRED]
-        )
-        good = (
-            batch_df.filter(F.col("_corrupt_record").isNull() & missing.isNull())
-            .select(*cols)
-            .withColumn("n_chars", F.length("text").cast("long"))
-            .localCheckpoint(eager=True)  # read twice (curate + append)
-        )
-        bad = batch_df.filter(
-            F.col("_corrupt_record").isNotNull() | missing.isNotNull()
-        ).select(
-            F.coalesce(
-                F.col("_corrupt_record"), F.to_json(F.struct(*cols))
-            ).alias("raw"),
-            F.coalesce(
-                F.when(F.col("_corrupt_record").isNotNull(), F.lit("unparseable")),
-                missing,
-            ).alias("reason"),
-        )
+        # the SAME split the batch reader uses (sources/corpus.py) —
+        # batch and stream ingestion cannot drift
+        good, bad = split_documents(batch_df)
+        good = good.localCheckpoint(eager=True)  # read twice (curate + write)
 
         index = (
-            wh.read(index_table)
+            wh.read(index_table).drop("batch_id")
             if wh.has_data(index_table)
             else empty_index(spark)
         )
@@ -125,16 +109,22 @@ def stream_corpus_increments(
             est_threshold=est_threshold,
             exact_threshold=exact_threshold,
         )
-        wh.append(
-            annotated.withColumn("batch_id", F.lit(batch_id)), curated_table
+        bid = F.lit(batch_id)
+        wh.overwrite_partitions(
+            annotated.withColumn("batch_id", bid), curated_table, ["batch_id"]
         )
-        wh.append(keeper_sigs, index_table)
+        wh.overwrite_partitions(
+            keeper_sigs.withColumn("batch_id", bid), index_table, ["batch_id"]
+        )
         if not bad.isEmpty():
-            wh.append(
-                bad.withColumn("batch_id", F.lit(batch_id)), quarantine_table
+            wh.overwrite_partitions(
+                bad.withColumn("batch_id", bid), quarantine_table, ["batch_id"]
             )
-        wh.append(
-            spark.createDataFrame([(batch_id,)], "batch_id bigint"), marker
+        wh.overwrite_partitions(
+            spark.createDataFrame([(batch_id,)], "batch_id bigint")
+            .withColumn("applied", F.lit(True)),
+            marker,
+            ["batch_id"],
         )
 
     writer = raw.writeStream.foreachBatch(apply_batch).option(

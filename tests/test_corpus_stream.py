@@ -124,3 +124,14 @@ def test_batch_marker_makes_replay_idempotent(spark, tmp_path):
     q.awaitTermination(120)
     assert wh.read("curated_docs").count() == 1
     assert wh.read("minhash_index").count() == 1
+
+    # crash-BETWEEN-writes replay: data partitions written but the
+    # marker was not (crash just before it) — dropping the marker and
+    # re-delivering batch 0 re-RUNS the writes; partition overwrite
+    # must leave counts unchanged (an append formulation would double
+    # every row — the round-3 review finding)
+    wh.drop("curated_docs__applied_batches")
+    q = stream_corpus_increments(spark, str(inbox), wh, str(tmp_path / "ckpt3"))
+    q.awaitTermination(120)
+    assert wh.read("curated_docs").count() == 1
+    assert wh.read("minhash_index").count() == 1

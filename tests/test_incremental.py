@@ -42,6 +42,24 @@ def _docs(spark, rows):
     return spark.createDataFrame(rows, "doc_id bigint, text string")
 
 
+def test_curate_increment_respects_id_col(spark):
+    """id_col threads through the whole increment path (a hard-coded
+    'doc_id' inside near_dup_vs_index/estimated_jaccard was a round-3
+    review finding)."""
+    day1 = spark.createDataFrame([(101, BASE)], "my_id bigint, body string")
+    index = minhash_signatures(day1, "my_id", "body")
+    day2 = spark.createDataFrame(
+        [(201, BASE.replace("lazy", "sleepy")), (202, UNRELATED)],
+        "my_id bigint, body string",
+    )
+    annotated, keepers = curate_increment(
+        day2, index, id_col="my_id", text_col="body"
+    )
+    reasons = {r.my_id: r.drop_reason for r in annotated.collect()}
+    assert reasons == {201: "index_near_dup", 202: None}
+    assert [r.my_id for r in keepers.collect()] == [202]
+
+
 def test_near_dup_vs_index_finds_planted_dup(spark):
     day1 = _docs(spark, [(1, BASE), (2, UNRELATED)])
     index = minhash_signatures(day1)
