@@ -19,19 +19,29 @@ Layout
 - ``operators``  composite relational operators: snapshot-diff, SCD2 apply,
                  SCD1 append/keep-latest, as-of join, bin-bucketed range
                  join, dedup (exact / minhash-LSH / simhash /
-                 ngram-jaccard / rolling-hash+winnow), similarity search
-                 (brute-force / hyperplane-LSH / IVF), multimodal column
-                 plumbing, salted aggregation, data-quality gates,
-                 incremental rollup maintenance
+                 ngram-jaccard / rolling-hash+winnow), dedup clustering
+                 (connected components), incremental curation vs a
+                 persisted signature index, similarity search
+                 (brute-force / hyperplane-LSH / IVF, float or int8
+                 IVF,SQ8), int8 embedding quantization, multimodal
+                 column plumbing, salted aggregation, data-quality
+                 gates, bigram-LM surprisal scoring, deterministic
+                 sampling / splits / per-stratum caps, token-budget
+                 mixture building, sequence chunking+packing, BM25
+                 ranking, PII redaction, benchmark decontamination,
+                 sessionization, incremental rollup maintenance
 - ``sinks``      parquet warehouse: partitioned append, atomic versioned
                  overwrite-swap (SCD2 rewrite), dynamic partition
-                 overwrite, compaction, bucketed tables
+                 overwrite, compaction, bucketed tables; sharded JSONL
+                 corpus export with trainer manifest
 - ``plans``      end-to-end dataflows: denormalized data view, fraud rules,
                  and the driver-facing query registry
 - ``pipeline``   run_day orchestration (inbox -> warehouse -> mart)
 - ``streaming``  AvailableNow inbox (file + record exactly-once),
                  watermarked rollups, stateful running totals and
-                 velocity alerts
+                 velocity alerts, continuous SCD2, live band-join
+                 (fraud rule 3), session windows, JSONL corpus landing
+                 zone with incremental curation
 
 Reference parity is documented per-function with ``main.py:<line>`` cites
 into /root/reference (study-only; no code copied — the reference is Oracle
