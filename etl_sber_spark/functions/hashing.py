@@ -8,6 +8,15 @@ differential tests could not pin operators built on them. Instead:
 15 hex digits = 60 bits, always non-negative, fits bigint in both engines.
 md5 is available as a built-in in both; this stays JVM-side (codegen) in
 Spark. Used by minhash/simhash dedup and document fingerprinting.
+
+Production note: md5 is the PORTABILITY choice, not the fast one — on a
+deployment that does not need cross-engine differential verification,
+swapping the body for ``F.xxhash64(c, F.lit(seed)) & ((1 << 60) - 1)``
+keeps every caller's semantics (uniform 60-bit key, deterministic,
+seedable) at several times the hash throughput; the token/shingle
+hash is the measured hot spot of the dedup stack (SCALE.md). The
+md5 path remains the tested contract because the DuckDB oracles replay
+it literally.
 """
 
 from __future__ import annotations
