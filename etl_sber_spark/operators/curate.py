@@ -186,3 +186,39 @@ def curate_corpus(
             F.when(F.col("_near"), F.lit("near_dup")),
         ).alias("drop_reason"),
     )
+
+
+#: drop_reason values curate_corpus can emit, in gate order
+DROP_REASONS = ("lang", "too_short", "quality", "exact_dup", "near_dup")
+
+
+def curation_report(
+    annotated: DataFrame, by: list[str] | None = None
+) -> DataFrame:
+    """Operational rollup of a :func:`curate_corpus` output: per group
+    (default: whole corpus), document and token funnels plus one count
+    column per drop reason.
+
+    Output columns: ``by`` + ``n_docs``, ``n_kept``, ``kept_tokens``,
+    ``total_tokens``, and ``n_<reason>`` for every ``DROP_REASONS``
+    entry (a fixed column set — a ``pivot`` on observed reasons would
+    make the report schema data-dependent, which breaks downstream
+    consumers the first time a gate never fires). One hash-aggregate;
+    group count is operational cardinality (sources, languages), so the
+    result is metadata-sized at any corpus scale.
+    """
+    by = by or []
+    kept = F.col("drop_reason").isNull()
+    aggs = [
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(kept.cast("long")).alias("n_kept"),
+        F.sum(F.when(kept, F.col("cur_n_tokens")).otherwise(0)).alias(
+            "kept_tokens"
+        ),
+        F.sum("cur_n_tokens").alias("total_tokens"),
+        *[
+            F.sum((F.col("drop_reason") == r).cast("long")).alias(f"n_{r}")
+            for r in DROP_REASONS
+        ],
+    ]
+    return annotated.groupBy(*by).agg(*aggs)

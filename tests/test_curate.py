@@ -156,3 +156,28 @@ def test_transitive_mode_collapses_shared_neighbor_clusters(spark):
         for r in curate_corpus(df, near_dup_jaccard=0.75, transitive=True).collect()
     }
     assert exact == {1: None, 2: "near_dup", 3: "near_dup"}
+
+
+def test_curation_report_funnel(spark):
+    from etl_sber_spark.operators.curate import curation_report
+
+    out = curate_corpus(_corpus(spark), min_quality=0.9)
+    rep = curation_report(out).collect()
+    assert len(rep) == 1
+    r = rep[0]
+    assert r.n_docs == 7
+    assert r.n_kept == 2
+    assert (r.n_exact_dup, r.n_near_dup, r.n_too_short, r.n_lang, r.n_quality) == (
+        1, 1, 1, 1, 1,
+    )
+    # funnel identities
+    assert r.n_kept + r.n_exact_dup + r.n_near_dup + r.n_too_short \
+        + r.n_lang + r.n_quality == r.n_docs
+    assert r.kept_tokens <= r.total_tokens
+
+    # grouped variant carries the group key and the same totals
+    by_lang = {
+        row.cur_lang: row
+        for row in curation_report(out, by=["cur_lang"]).collect()
+    }
+    assert sum(row.n_docs for row in by_lang.values()) == 7
