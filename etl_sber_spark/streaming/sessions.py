@@ -21,7 +21,6 @@ fixture session closes).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
 
 from ..operators.sessionize import DEFAULT_GAP_MIN, session_stats
 
