@@ -131,3 +131,42 @@ def test_mixture_deterministic(spark):
     a = build_mixture(d, _PLAN).orderBy("doc_id", "epoch").collect()
     b = build_mixture(d, _PLAN).orderBy("doc_id", "epoch").collect()
     assert a == b
+
+
+def test_mixture_plan_properties():
+    """Arithmetic invariants, fuzzed: targets respect weights, the
+    repeat factor reconstructs the target within hash quantization,
+    and planning is scale-free in the budget."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    weights_st = st.dictionaries(
+        st.sampled_from([f"s{i}" for i in range(6)]),
+        st.floats(min_value=0.01, max_value=10, allow_nan=False),
+        min_size=1,
+        max_size=6,
+    )
+    stats_st = st.dictionaries(
+        st.sampled_from([f"s{i}" for i in range(6)]),
+        st.integers(min_value=1, max_value=10**9),
+        min_size=6,
+        max_size=6,
+    )
+
+    @given(weights=weights_st, stats=stats_st, budget=st.integers(10**3, 10**9))
+    @settings(max_examples=200, deadline=None)
+    def check(weights, stats, budget):
+        try:
+            plan = mixture_plan(stats, weights, budget)
+        except ValueError:
+            return  # max_epochs guard is allowed to fire
+        total_w = sum(weights.values())
+        for src, sp in plan.items():
+            target = budget * weights[src] / total_w
+            # repeat_factor * available reconstructs the target within
+            # the 1/RESOLUTION quantization of the fractional epoch
+            got = sp.repeat_factor * stats[src]
+            assert abs(got - target) <= stats[src] / RESOLUTION + 1e-6
+            assert 0 <= sp.frac_threshold < RESOLUTION
+
+    check()
