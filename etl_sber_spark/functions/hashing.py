@@ -16,7 +16,11 @@ keeps every caller's semantics (uniform 60-bit key, deterministic,
 seedable) at several times the hash throughput; the token/shingle
 hash is the measured hot spot of the dedup stack (SCALE.md). The
 md5 path remains the tested contract because the DuckDB oracles replay
-it literally.
+it literally. The swap changes every hash VALUE, so it is only safe on
+a fresh deployment: persisted hash-derived state (the minhash
+signature index, hash-stable sample/split membership, export shard
+assignment, mixture epoch fates) must be rebuilt, or prior decisions
+silently stop matching.
 """
 
 from __future__ import annotations

@@ -30,6 +30,17 @@ from .dedup import lsh_candidate_pairs, minhash_signatures, ngram_jaccard, shing
 from .materialize import pin
 from .spread import spread
 
+# the drop_reason vocabulary, in gate (cost-ladder) order — the single
+# source of truth consumed by BOTH curate_corpus's gate chain and
+# curation_report's fixed column set, so a new gate cannot silently go
+# missing from the funnel report
+R_LANG = "lang"
+R_TOO_SHORT = "too_short"
+R_QUALITY = "quality"
+R_EXACT = "exact_dup"
+R_NEAR = "near_dup"
+DROP_REASONS = (R_LANG, R_TOO_SHORT, R_QUALITY, R_EXACT, R_NEAR)
+
 
 def curate_corpus(
     df: DataFrame,
@@ -90,9 +101,9 @@ def curate_corpus(
         doc_fingerprint(text_col).alias("cur_fingerprint"),
     )
     cheap_reason = (
-        F.when(~F.col("cur_lang").isin(*allowed_langs), F.lit("lang"))
-        .when(F.col("cur_n_tokens") < min_tokens, F.lit("too_short"))
-        .when(F.col("cur_quality") < min_quality, F.lit("quality"))
+        F.when(~F.col("cur_lang").isin(*allowed_langs), F.lit(R_LANG))
+        .when(F.col("cur_n_tokens") < min_tokens, F.lit(R_TOO_SHORT))
+        .when(F.col("cur_quality") < min_quality, F.lit(R_QUALITY))
     )
     # localCheckpoint, not cache(): the annotation projection feeds ~4
     # consumers (dedup keys, survivors, final joins) and must be
@@ -182,14 +193,10 @@ def curate_corpus(
         "cur_fingerprint",
         F.coalesce(
             F.col("_cheap_reason"),
-            F.when(F.col("_exact"), F.lit("exact_dup")),
-            F.when(F.col("_near"), F.lit("near_dup")),
+            F.when(F.col("_exact"), F.lit(R_EXACT)),
+            F.when(F.col("_near"), F.lit(R_NEAR)),
         ).alias("drop_reason"),
     )
-
-
-#: drop_reason values curate_corpus can emit, in gate order
-DROP_REASONS = ("lang", "too_short", "quality", "exact_dup", "near_dup")
 
 
 def curation_report(
@@ -216,8 +223,13 @@ def curation_report(
             "kept_tokens"
         ),
         F.sum("cur_n_tokens").alias("total_tokens"),
+        # when/otherwise, not a bare boolean-cast sum: (drop_reason == r)
+        # is NULL for kept rows, and a group where a gate never fired
+        # would aggregate to NULL instead of 0 (review finding)
         *[
-            F.sum((F.col("drop_reason") == r).cast("long")).alias(f"n_{r}")
+            F.sum(
+                F.when(F.col("drop_reason") == r, 1).otherwise(0)
+            ).alias(f"n_{r}")
             for r in DROP_REASONS
         ],
     ]

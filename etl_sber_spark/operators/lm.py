@@ -116,6 +116,12 @@ def surprisal_scores(
     """
     if vocab_size <= 0:
         raise ValueError("vocab_size must be positive")
+    if k <= 0:
+        # k=0 (plain ML) makes P zero for unseen bigrams: log2(0) is a
+        # DIVIDE_BY_ZERO/NULL mid-job and NULL bits silently fall out of
+        # the sum while the count keeps the bigram — a corrupted mean.
+        # Smoothing is load-bearing here, so reject up front.
+        raise ValueError("k must be > 0 (unsmoothed surprisal is undefined on unseen bigrams)")
     doc_bg = _bigrams(df, id_col, text_col)
     joined = (
         doc_bg.join(bigrams, ["w1", "w2"], "left")

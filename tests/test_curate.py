@@ -181,3 +181,19 @@ def test_curation_report_funnel(spark):
         for row in curation_report(out, by=["cur_lang"]).collect()
     }
     assert sum(row.n_docs for row in by_lang.values()) == 7
+
+
+def test_curation_report_all_kept_group_counts_zero(spark):
+    """A group where no gate fires must report 0 (not NULL) for every
+    reason column — a bare boolean-cast sum aggregates all-NULL to NULL
+    (round-3 review finding)."""
+    from etl_sber_spark.operators.curate import curation_report
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today")],
+        "doc_id int, text string",
+    )
+    rep = curation_report(curate_corpus(docs)).collect()[0]
+    assert rep.n_kept == 1
+    assert (rep.n_lang, rep.n_too_short, rep.n_quality,
+            rep.n_exact_dup, rep.n_near_dup) == (0, 0, 0, 0, 0)

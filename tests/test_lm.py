@@ -76,8 +76,8 @@ def test_hand_computed_two_docs(spark):
         [(1, "a b a b"), (2, "a b c")], "doc_id bigint, text string"
     )
     bigrams, contexts, vocab = bigram_counts(train)
-    # bigrams: (a,b)x3, (b,a)x1, (b,c)x1; contexts: a->3, b->3 wait:
-    # doc1 pairs: (a,b),(b,a),(a,b); doc2: (a,b),(b,c)
+    # doc1 pairs: (a,b),(b,a),(a,b); doc2 pairs: (a,b),(b,c)
+    # -> bigrams (a,b)x3, (b,a)x1, (b,c)x1; contexts a->3, b->2
     got = {(r.w1, r.w2): r.c for r in bigrams.collect()}
     assert got == {("a", "b"): 3, ("b", "a"): 1, ("b", "c"): 1}
     ctx = {r.w1: r.c1 for r in contexts.collect()}
@@ -129,3 +129,12 @@ def test_fluent_scores_below_gibberish(spark):
         ).collect()
     }
     assert s[200] > s[100] + 1.0, s  # gibberish ≥1 bit worse per token
+
+
+def test_k_zero_rejected(spark):
+    import pytest
+
+    train = spark.createDataFrame([(1, "a b")], "doc_id bigint, text string")
+    bigrams, contexts, vocab = bigram_counts(train)
+    with pytest.raises(ValueError, match="k must be"):
+        surprisal_scores(train, bigrams, contexts, vocab, k=0.0)
