@@ -1,0 +1,110 @@
+"""Cron-shaped CLI for the corpus landing zone: one maintenance run.
+
+The LLM-pipeline twin of ``python -m etl_sber_spark`` (the bank nightly
+batch): drain the JSONL inbox as ONE availableNow pass of the
+incremental-curation stream, then print the run's funnel as one JSON
+line (the cron/airtight-log contract the bank CLI follows)::
+
+    python -m etl_sber_spark.corpus_cli \
+        --inbox /data/crawl_inbox --warehouse /data/corpus_wh
+
+Each invocation picks up exactly the files not yet processed (the
+stream checkpoint lives under the warehouse root), dedupes the new
+documents against the persisted minhash signature index, appends
+curated rows / keeper signatures / quarantined lines, and reports
+totals. Re-running with a drained inbox is a no-op; crash-replay is
+idempotent (streaming/corpus.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
+    p = argparse.ArgumentParser(
+        prog="python -m etl_sber_spark.corpus_cli",
+        description="Drain the JSONL corpus inbox: incremental "
+        "near-dup curation against the persisted signature index.",
+    )
+    p.add_argument("--inbox", required=True, help="JSONL landing directory")
+    p.add_argument(
+        "--warehouse", required=True, help="corpus warehouse root directory"
+    )
+    p.add_argument(
+        "--est-threshold",
+        type=float,
+        default=0.5,
+        help="estimated-Jaccard drop threshold vs the index (default 0.5)",
+    )
+    p.add_argument(
+        "--exact-threshold",
+        type=float,
+        default=0.8,
+        help="exact n-gram Jaccard drop threshold in-batch (default 0.8)",
+    )
+    p.add_argument(
+        "--max-files-per-trigger",
+        type=int,
+        default=1,
+        help="files per micro-batch = per curation increment (default 1)",
+    )
+    return p.parse_args(argv)
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = parse_args(argv)
+
+    from pyspark.sql import functions as F
+
+    from .session import get_spark
+    from .sinks.warehouse import Warehouse
+    from .streaming.corpus import stream_corpus_increments
+
+    spark = get_spark("corpus-maintenance")
+    wh = Warehouse(spark, args.warehouse)
+    q = stream_corpus_increments(
+        spark,
+        args.inbox,
+        wh,
+        os.path.join(args.warehouse, "_corpus_checkpoint"),
+        est_threshold=args.est_threshold,
+        exact_threshold=args.exact_threshold,
+        max_files_per_trigger=args.max_files_per_trigger,
+    )
+    q.awaitTermination()
+
+    def _count(table: str) -> int:
+        return wh.read(table).count() if wh.has_data(table) else 0
+
+    kept = dropped = 0
+    if wh.has_data("curated_docs"):
+        by = {
+            r[0]: r[1]
+            for r in wh.read("curated_docs")
+            .groupBy(F.col("drop_reason").isNull().alias("kept"))
+            .count()
+            .collect()
+        }
+        kept, dropped = by.get(True, 0), by.get(False, 0)
+    print(
+        json.dumps(
+            {
+                "warehouse": args.warehouse,
+                "curated_total": kept + dropped,
+                "kept_total": kept,
+                "dropped_total": dropped,
+                "index_size": _count("minhash_index"),
+                "quarantined_total": _count("corpus_quarantine"),
+            }
+        )
+    )
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -135,3 +135,56 @@ def test_batch_marker_makes_replay_idempotent(spark, tmp_path):
     q.awaitTermination(120)
     assert wh.read("curated_docs").count() == 1
     assert wh.read("minhash_index").count() == 1
+
+
+def test_corpus_cli_subprocess(tmp_path):
+    """The cron-shaped corpus CLI: two invocations over a growing inbox
+    behave as two increments (same engine as the in-process stream)."""
+    import subprocess
+    import sys
+
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    wh_dir = str(tmp_path / "wh")
+    _write_jsonl(
+        inbox / "b1.jsonl",
+        [{"doc_id": 1, "text": BASE, "lang": "en", "source": "a"}],
+    )
+
+    def run():
+        out = subprocess.run(
+            [
+                sys.executable,
+                "-m",
+                "etl_sber_spark.corpus_cli",
+                "--inbox",
+                str(inbox),
+                "--warehouse",
+                wh_dir,
+            ],
+            capture_output=True,
+            text=True,
+            cwd="/root/repo",
+            timeout=600,
+        )
+        assert out.returncode == 0, out.stderr[-2000:]
+        return json.loads(out.stdout.strip().splitlines()[-1])
+
+    r1 = run()
+    assert (r1["curated_total"], r1["kept_total"], r1["index_size"]) == (1, 1, 1)
+
+    _write_jsonl(
+        inbox / "b2.jsonl",
+        [
+            {
+                "doc_id": 2,
+                "text": BASE.replace("dawn", "dusk"),
+                "lang": "en",
+                "source": "a",
+            }
+        ],
+    )
+    r2 = run()
+    # the near-dup of the indexed doc is dropped; index unchanged
+    assert (r2["curated_total"], r2["kept_total"], r2["dropped_total"]) == (2, 1, 1)
+    assert r2["index_size"] == 1
