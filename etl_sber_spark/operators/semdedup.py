@@ -1,0 +1,186 @@
+"""SemDeDup-style semantic deduplication over an embedding column.
+
+Textual dedup (operators/dedup.py) removes *lexical* near-duplicates;
+this operator removes *semantic* ones — documents whose embeddings are
+nearly parallel even when their text differs (boilerplate rewrites,
+templated articles, translations of the same page). The algorithm is the
+published SemDeDup recipe (Abbas et al., 2023, arXiv:2303.09540):
+
+1. cluster the embeddings with k-means (the deterministic quantized
+   trainer from operators/similarity.py — same coarse quantizer IVF
+   uses, so at 100 TB the cluster column already exists at ingest);
+2. within each cluster only, connect pairs whose cosine similarity
+   clears ``threshold`` (Σ|cluster|² work, never the n² cross join —
+   the same bounded-candidate shape as LSH banding);
+3. per connected group keep ONE representative — by default the doc
+   *farthest* from its cluster centroid (the paper's best-performing
+   "low centroid similarity" keeper), deterministically tie-broken.
+
+Cross-cluster near-duplicates are invisible by construction — that is
+SemDeDup's stated approximation (recall follows k-means locality), the
+trade that removes the all-pairs product. Raising ``n_clusters`` tightens
+clusters (fewer candidates, lower recall); the knob is the same
+IVF-style balance measured in tests/test_ivf.py.
+
+Scale shape: centroid assignment and centroid similarity are pure
+projections against driver-side literal centroids (metadata-scale, no
+join); the candidate self-join shuffles on the cluster id once; the
+components/keeper frames are DUPLICATE-sized (≪ corpus), so the flag
+join back is AQE-broadcastable without a forced hint (forced broadcasts
+on duplicate-heavy corpora are the exact hazard the round-3 review
+removed from ngram_jaccard).
+
+Reference parity note: the reference engine (stooodgy/ETL-sber) has no
+embedding operators — this extends the engine for LLM training-data
+curation per the round brief, composing only public algorithms.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine_similarity
+from .components import connected_components
+from .materialize import pin
+from .similarity import (
+    SIM_SCALE,
+    _centroid_rows,
+    kmeans_centroids,
+    nearest_centroids_expr,
+    quantize_vec,
+)
+from .spread import spread
+
+
+def semantic_assignments(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, vec, centroid_id, centroid_sim): nearest centroid per vector
+    plus the cosine similarity to it — one shuffle-free projection.
+
+    ``centroid_sim`` is computed against the quantized-space centroid
+    literal directly: cosine is scale-invariant, so the × QUANT factor
+    the trainer bakes into centroid coordinates cancels. Rounded to
+    SIM_SCALE like every similarity this package emits.
+    """
+    cent_rows = _centroid_rows(centroids)
+    cmap = F.map_from_arrays(
+        F.array(*[F.lit(cid) for cid, _ in cent_rows]),
+        F.array(*[F.lit(vec) for _, vec in cent_rows]),
+    )
+    return spread(embeddings).select(
+        F.col(id_col),
+        F.col(vec_col),
+        nearest_centroids_expr(quantize_vec(vec_col), cent_rows, 1)[0].alias(
+            "centroid_id"
+        ),
+    ).withColumn(
+        "centroid_sim",
+        F.round(
+            cosine_similarity(F.col(vec_col), F.element_at(cmap, F.col("centroid_id"))),
+            SIM_SCALE,
+        ),
+    )
+
+
+def semantic_pairs(
+    assigned: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id_a < id_b, sim) for same-cluster pairs with rounded cosine ≥
+    ``threshold``. Equi-join on centroid_id — Σ|cluster|² candidate
+    work, bounded by k-means balance, never all-pairs."""
+    cand = pin(
+        assigned.select(F.col(id_col), F.col(vec_col), F.col("centroid_id"))
+    )  # the self-join reads both sides; pin() materializes the scan once
+    a, b = cand.alias("a"), cand.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.centroid_id") == F.col("b.centroid_id"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.round(
+                cosine_similarity(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")),
+                SIM_SCALE,
+            ).alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+    )
+
+
+def semdedup(
+    embeddings: DataFrame,
+    n_clusters: int = 16,
+    n_iter: int = 3,
+    threshold: float = 0.95,
+    keep: str = "farthest",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    *,
+    train_mod: int | None = None,
+) -> DataFrame:
+    """Annotate every embedding row with its semantic-duplicate group
+    and a keep flag.
+
+    Output: (id_col, centroid_id, centroid_sim, sem_cluster, is_kept) —
+    ``sem_cluster`` is the connected component id under the
+    same-cluster ≥ threshold cosine graph (singletons are their own
+    group and always kept); exactly one row per group has
+    ``is_kept = true``.
+
+    ``keep``:
+      - ``"farthest"`` (default) — the group's row with the LOWEST
+        centroid similarity survives (SemDeDup §3: keeping the example
+        farthest from the cluster centroid preserved the most
+        downstream accuracy), ties on id;
+      - ``"min_id"`` — smallest id survives (matches the text pipeline's
+        min-id survivor convention in operators/curate.py).
+
+    ``train_mod`` passes through to the k-means trainer — at 100 TB the
+    quantizer trains on the deterministic hash sample while grouping
+    still covers every row.
+    """
+    if keep not in ("farthest", "min_id"):
+        raise ValueError(f"keep must be 'farthest' or 'min_id', got {keep!r}")
+    cents = kmeans_centroids(
+        embeddings, n_clusters, n_iter, id_col, vec_col, train_mod=train_mod
+    )
+    assigned = pin(semantic_assignments(embeddings, cents, id_col, vec_col))
+    pairs = semantic_pairs(assigned, threshold, id_col, vec_col)
+    comp = connected_components(pairs, "id_a", "id_b")
+    # Keeper election runs over the DUPLICATE rows only (comp is
+    # dup-sized), not a corpus-wide window: join the membership in,
+    # rank inside each component, then flag-join the (small) result
+    # back. AQE picks broadcast for both joins when the dup set is
+    # small and degrades to shuffle joins when it is not.
+    dup = assigned.join(
+        comp.withColumnRenamed("node", id_col), id_col, "inner"
+    )
+    order = (
+        [F.col("centroid_sim").asc(), F.col(id_col).asc()]
+        if keep == "farthest"
+        else [F.col(id_col).asc()]
+    )
+    w = Window.partitionBy("component").orderBy(*order)
+    flags = dup.select(
+        F.col(id_col),
+        F.col("component"),
+        (F.row_number().over(w) == 1).alias("_kept"),
+    )
+    return assigned.join(flags, id_col, "left").select(
+        F.col(id_col),
+        F.col("centroid_id"),
+        F.col("centroid_sim"),
+        F.coalesce(F.col("component"), F.col(id_col)).alias("sem_cluster"),
+        F.coalesce(F.col("_kept"), F.lit(True)).alias("is_kept"),
+    )

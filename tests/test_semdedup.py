@@ -1,0 +1,166 @@
+"""Semantic dedup (SemDeDup): planted-group fixture, a pure-Python
+differential on the real embeddings, survivor laws, determinism."""
+
+from __future__ import annotations
+
+import math
+from decimal import ROUND_HALF_UP, Decimal
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_sber_spark.operators.semdedup import (
+    semantic_assignments,
+    semantic_pairs,
+    semdedup,
+)
+from etl_sber_spark.operators.similarity import QUANT, kmeans_centroids
+
+from .conftest import SF_SMALL
+
+
+def _emb(spark):
+    return spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+
+
+def _fixture(spark):
+    """Two well-separated direction clusters; ids 0/1 seed one each.
+    {2,3} and {5,6} are exact scaled copies (cosine 1); {7,8} are
+    nearly-parallel but distinct directions; 0/1/4 are singletons at
+    threshold 0.999."""
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0, 0.0]),
+        (2, [4.0, 1.0, 0.0, 0.0]),
+        (3, [8.0, 2.0, 0.0, 0.0]),
+        (4, [0.0, 3.0, 4.0, 0.0]),
+        (5, [0.0, 5.0, 1.0, 0.0]),
+        (6, [0.0, 10.0, 2.0, 0.0]),
+        (7, [1.0, 0.100, 0.0, 0.0]),
+        (8, [1.0, 0.102, 0.0, 0.0]),
+    ]
+    return spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+
+
+def test_planted_groups(spark):
+    out = semdedup(
+        _fixture(spark), n_clusters=2, n_iter=2, threshold=0.999
+    ).collect()
+    by_id = {r.vec_id: r for r in out}
+    assert len(by_id) == 9
+    # components at 0.999: exactly {2,3}, {5,6}, {7,8} — every other
+    # direction pair sits below 0.999 (closest: cos((1,0),(1,.1)) ≈
+    # 0.99504; cos((4,1),(1,.1)) ≈ 0.9895).
+    assert by_id[2].sem_cluster == by_id[3].sem_cluster
+    assert by_id[5].sem_cluster == by_id[6].sem_cluster
+    assert by_id[7].sem_cluster == by_id[8].sem_cluster
+    assert by_id[2].sem_cluster != by_id[7].sem_cluster
+    for sid in (0, 1, 4):
+        assert by_id[sid].sem_cluster == sid and by_id[sid].is_kept
+    # exactly one keeper per group; keeper has the group-min
+    # centroid_sim (ties on id): {2,3} are parallel -> equal sims ->
+    # min id 2 survives
+    for g in ({2, 3}, {5, 6}, {7, 8}):
+        kept = [i for i in g if by_id[i].is_kept]
+        assert len(kept) == 1
+        best = min(g, key=lambda i: (by_id[i].centroid_sim, i))
+        assert kept == [best]
+    assert by_id[2].is_kept and not by_id[3].is_kept
+    assert by_id[5].is_kept and not by_id[6].is_kept
+
+
+def test_keep_min_id_matches_component_id(spark):
+    """The component id IS the component's minimum node id, so the
+    min_id keeper must be the row whose id equals its sem_cluster."""
+    out = semdedup(
+        _fixture(spark), n_clusters=2, n_iter=2, threshold=0.999, keep="min_id"
+    ).collect()
+    for r in out:
+        assert r.is_kept == (r.vec_id == r.sem_cluster)
+
+
+def test_invalid_keep_rejected(spark):
+    with pytest.raises(ValueError, match="keep"):
+        semdedup(_fixture(spark), keep="random")
+
+
+def _round6(x: float) -> float:
+    """Spark F.round on double: shortest-repr decimal, HALF_UP."""
+    return float(Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP))
+
+
+def _quant(x: float) -> int:
+    v = x * float(QUANT)
+    return int(math.floor(v + 0.5)) if v >= 0 else int(math.ceil(v - 0.5))
+
+
+def test_pairs_match_python_oracle(spark):
+    """semantic_pairs against a pure-Python replay of the same algebra
+    (identical fold order, quantization, and rounding) on the real
+    sf0.001 embeddings — assignment argmin + within-cluster cosine."""
+    e = _emb(spark)
+    cents = kmeans_centroids(e, k=8, n_iter=2)
+    assigned = semantic_assignments(e, cents)
+    got = {
+        (r.id_a, r.id_b): r.sim
+        for r in semantic_pairs(assigned, threshold=0.35).collect()
+    }
+
+    cent = {int(r.centroid_id): [float(x) for x in r.centroid] for r in cents.collect()}
+    vecs = {int(r.vec_id): [float(x) for x in r.embedding] for r in e.collect()}
+    clusters: dict[int, list[int]] = {}
+    for vid, v in vecs.items():
+        vq = [float(_quant(x)) for x in v]
+        best = None
+        for cid in sorted(cent):
+            d = 0.0
+            for a, b in zip(vq, cent[cid]):
+                d += (a - b) * (a - b)
+            d = _round6(d)
+            if best is None or (d, cid) < best:
+                best = (d, cid)
+        clusters.setdefault(best[1], []).append(vid)
+
+    want = {}
+    for members in clusters.values():
+        members.sort()
+        for i, ia in enumerate(members):
+            for ib in members[i + 1 :]:
+                va, vb = vecs[ia], vecs[ib]
+                dot = na = nb = 0.0
+                for a, b in zip(va, vb):
+                    dot += a * b
+                for a in va:
+                    na += a * a
+                for b in vb:
+                    nb += b * b
+                sim = _round6(dot / (math.sqrt(na) * math.sqrt(nb)))
+                if sim >= 0.35:
+                    want[(ia, ib)] = sim
+    assert got == want
+    assert len(got) > 0  # the threshold actually fires on this corpus
+
+
+def test_deterministic_under_repartition(spark):
+    e = _emb(spark)
+    key = lambda df: sorted(
+        (r.vec_id, r.centroid_id, r.centroid_sim, r.sem_cluster, r.is_kept)
+        for r in df.collect()
+    )
+    a = key(semdedup(e, n_clusters=8, n_iter=2, threshold=0.35))
+    b = key(semdedup(e.repartition(7), n_clusters=8, n_iter=2, threshold=0.35))
+    assert a == b
+
+
+def test_survivor_laws_real_corpus(spark):
+    out = semdedup(_emb(spark), n_clusters=8, n_iter=2, threshold=0.35)
+    per_group = out.groupBy("sem_cluster").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("is_kept").cast("int")).alias("kept"),
+    )
+    bad = per_group.filter(F.col("kept") != 1)
+    assert bad.isEmpty()
+    # some real dedup happened: at least one multi-member group
+    assert per_group.filter(F.col("n") > 1).count() > 0
+    # total rows preserved (annotation, not destruction)
+    assert out.count() == _emb(spark).count()
