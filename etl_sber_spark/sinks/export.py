@@ -54,6 +54,8 @@ def export_jsonl(
     token_col: str | None = None,
     compression: str | None = None,
     seed: int = 0,
+    order: str = "id",
+    order_seed: int = 0,
 ) -> dict:
     """Write ``df`` as ``n_shards`` JSONL shards under ``path`` and a
     ``manifest.json`` beside them; returns the manifest dict.
@@ -61,15 +63,34 @@ def export_jsonl(
     Manifest schema::
 
         {"n_shards": N, "n_rows": R, "n_tokens": T | null,
-         "compression": ..., "shards": [
+         "compression": ..., "order": "id" | "shuffled",
+         "order_seed": S | null, "shards": [
             {"shard": i, "n_rows": r_i, "n_tokens": t_i | null}, ...]}
 
     ``token_col`` (optional) is summed per shard so the trainer can
     budget without scanning. Shards with no rows still appear in the
     manifest with zero counts (the trainer iterates 0..N-1).
+
+    ``order`` is the TRAINING-ORDER contract:
+
+    - ``"id"`` (default) — rows within a shard sort by id; right for
+      corpora a human inspects or diffs.
+    - ``"shuffled"`` — rows within a shard sort by
+      ``hash64(id, order_seed)``: combined with hash-uniform shard
+      MEMBERSHIP this yields a deterministic pseudorandom global
+      permutation (the standard shuffle-free training order: membership
+      breaks up any source/time clustering across shards, the hash sort
+      breaks it up within a shard) without any global sort — the write
+      plan is identical to the id order, only the sort key changes.
+      Re-exporting with a different ``order_seed`` is the per-epoch
+      reshuffle: same shard membership (and therefore identical
+      manifest), a new permutation. No RNG anywhere — a given
+      (corpus, seed, order_seed) always produces byte-identical shards.
     """
     if n_shards <= 0:
         raise ValueError(f"n_shards must be positive, got {n_shards}")
+    if order not in ("id", "shuffled"):
+        raise ValueError(f"order must be 'id' or 'shuffled', got {order!r}")
     # pinned: the manifest aggregate AND the shard write both consume
     # this frame — unpinned, the entire upstream pipeline (typically a
     # full curation/packing chain) would execute twice
@@ -88,9 +109,15 @@ def export_jsonl(
     # none, capping write parallelism well below n_shards. Range
     # partitioning over the dense 0..n-1 shard ids maps ~one shard per
     # task (sampling-based split points on an integer key).
+    sort_cols = [F.col("shard")]
+    if order == "shuffled":
+        # sortWithinPartitions takes expressions, so the order hash is
+        # never materialized as a column and never leaks into the JSONL
+        sort_cols.append(hash64(F.col(id_col).cast("string"), order_seed))
+    sort_cols.append(F.col(id_col))  # total order: hash ties fall back to id
     writer = (
         sharded.repartitionByRange(n_shards, "shard")
-        .sortWithinPartitions("shard", id_col)
+        .sortWithinPartitions(*sort_cols)
         .write.mode("overwrite")
         .partitionBy("shard")
     )
@@ -120,6 +147,8 @@ def export_jsonl(
             sum(s["n_tokens"] for s in shards) if token_col is not None else None
         ),
         "compression": compression,
+        "order": order,
+        "order_seed": order_seed if order == "shuffled" else None,
         "shards": shards,
     }
     with open(os.path.join(path, "manifest.json"), "w") as f:

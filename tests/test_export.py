@@ -101,3 +101,60 @@ def test_cap_per_stratum(spark):
         for _, doc in sorted(rows)[:10]
     )
     assert a == expect
+
+
+def _shard_lines(out: str, shard: int) -> list[str]:
+    shard_dir = os.path.join(out, f"shard={shard}")
+    files = sorted(f for f in os.listdir(shard_dir) if f.startswith("part-"))
+    assert len(files) == 1
+    with open(os.path.join(shard_dir, files[0])) as f:
+        return [ln for ln in f.read().splitlines() if ln]
+
+
+def test_export_shuffled_training_order(spark, tmp_path):
+    """order='shuffled' permutes within-shard line order by
+    hash64(id, order_seed): deterministic, seed-dependent, and
+    membership-invariant (same shards, same manifest counts)."""
+    from etl_sber_spark.functions.hashing import hash64
+
+    d = load_table(spark, SF_SMALL, "documents").select("doc_id", "text")
+    a, b, c = (str(tmp_path / k) for k in "abc")
+    m_id = export_jsonl(d, a, n_shards=4)
+    m_s1 = export_jsonl(d, b, n_shards=4, order="shuffled", order_seed=1)
+    m_s2 = export_jsonl(d, c, n_shards=4, order="shuffled", order_seed=2)
+    assert m_id["order"] == "id" and m_id["order_seed"] is None
+    assert m_s1["order"] == "shuffled" and m_s1["order_seed"] == 1
+    # membership is order-independent: identical per-shard counts
+    counts = lambda m: [s["n_rows"] for s in m["shards"]]
+    assert counts(m_id) == counts(m_s1) == counts(m_s2)
+
+    for shard in range(4):
+        ids = lambda path: [
+            json.loads(ln)["doc_id"] for ln in _shard_lines(path, shard)
+        ]
+        id_order, s1_order, s2_order = ids(a), ids(b), ids(c)
+        assert sorted(s1_order) == sorted(id_order) == sorted(s2_order)
+        assert id_order == sorted(id_order)
+        # the expected permutation: sort by (hash64(id, seed), id)
+        rank = {
+            r["doc_id"]: r["h"]
+            for r in d.select(
+                "doc_id",
+                hash64(F.col("doc_id").cast("string"), 1).alias("h"),
+            ).collect()
+        }
+        assert s1_order == sorted(id_order, key=lambda i: (rank[i], i))
+    # different epoch seed -> different global permutation
+    all_ids = lambda p: [
+        i for sh in range(4) for i in (
+            json.loads(ln)["doc_id"] for ln in _shard_lines(p, sh)
+        )
+    ]
+    assert all_ids(b) != all_ids(c)
+    # reproducible: same seed re-export is byte-identical per shard
+    d2 = str(tmp_path / "b2")
+    export_jsonl(d, d2, n_shards=4, order="shuffled", order_seed=1)
+    for shard in range(4):
+        assert _shard_lines(b, shard) == _shard_lines(d2, shard)
+    with pytest.raises(ValueError, match="order"):
+        export_jsonl(d, str(tmp_path / "bad2"), n_shards=4, order="random")
