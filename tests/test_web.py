@@ -1,0 +1,130 @@
+"""Web preprocessing (functions/web.py): HTML-to-text fixtures, URL
+canonicalization cases, suffix-chain domain gates."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_sber_spark.functions.web import (
+    domain_gate,
+    host_suffixes,
+    html_to_text,
+    normalize_url,
+)
+
+
+def _one(spark, expr, value):
+    return (
+        spark.createDataFrame([(value,)], "v string")
+        .select(expr.alias("r"))
+        .collect()[0]
+        .r
+    )
+
+
+HTML_CASES = [
+    # scripts/styles/comments vanish wholesale
+    (
+        "<p>keep</p><script>var x = '<p>no</p>';</script><style>p{color:red}</style><!-- gone -->tail",
+        "keep\ntail",
+    ),
+    # block tags break lines (never stacking), inline tags just drop
+    (
+        "<h1>Title</h1><p>One <b>bold</b> word.</p><ul><li>a</li><li>b</li></ul>",
+        "Title\nOne bold word.\na\nb",
+    ),
+    # entities, incl. the &amp;lt; double-decode trap
+    (
+        "a &amp; b &lt;tag&gt; &quot;q&quot; &#39;s&#39;&nbsp;end &amp;lt;",
+        'a & b <tag> "q" \'s\' end &lt;',
+    ),
+    # quoted attributes holding '>' don't break tag matching; CRLF runs
+    (
+        '<div class="x" data-y=\'<z>\'>A</div>\r\n\r\n\r\n   B<br/>C',
+        "A\nB\nC",
+    ),
+    # malformed nesting degrades to whitespace, never errors
+    ("<p>un<closed <b>ok</b>", "un ok"),
+    # case-insensitive script close
+    ("<SCRIPT>x</SCRIPT>after", "after"),
+    ("plain text stays", "plain text stays"),
+]
+
+
+@pytest.mark.parametrize("raw,want", HTML_CASES)
+def test_html_to_text(spark, raw, want):
+    assert _one(spark, html_to_text(F.col("v")), raw) == want
+
+
+URL_CASES = [
+    # scheme/host lowercase, www and fragment stripped
+    ("HTTPS://WWW.Example.COM/Path#frag", "https://example.com/Path"),
+    # default ports drop, explicit ports stay
+    ("https://example.com:443/a", "https://example.com/a"),
+    ("http://example.com:80/a", "http://example.com/a"),
+    ("http://example.com:8080/a", "http://example.com:8080/a"),
+    # tracking params out, survivors sorted, trailing slash trimmed
+    (
+        "https://example.com/p/?utm_source=x&b=2&a=1&fbclid=abc",
+        "https://example.com/p?a=1&b=2",
+    ),
+    ("https://example.com/?utm_campaign=x", "https://example.com"),
+    # a real param named like a prefix of a tracker survives
+    ("https://example.com/?utming=1", "https://example.com?utming=1"),
+    # bare ref is a tracker even valueless
+    ("https://example.com/?ref", "https://example.com"),
+    ("ftp://example.com/a", None),
+    ("not a url", None),
+    (None, None),
+]
+
+
+@pytest.mark.parametrize("raw,want", URL_CASES)
+def test_normalize_url(spark, raw, want):
+    assert _one(spark, normalize_url(F.col("v")), raw) == want
+
+
+def test_normalize_url_is_a_dedup_key(spark):
+    variants = [
+        "https://WWW.site.org/news/?id=3&utm_medium=mail",
+        "https://site.org/news?utm_source=a&id=3",
+        "https://site.org:443/news/?id=3#top",
+    ]
+    df = spark.createDataFrame([(v,) for v in variants], "v string")
+    keys = df.select(normalize_url("v").alias("k")).distinct().collect()
+    assert len(keys) == 1 and keys[0].k == "https://site.org/news?id=3"
+
+
+def test_host_suffixes(spark):
+    got = _one(spark, host_suffixes(F.col("v")), "a.b.example.com")
+    assert got == ["a.b.example.com", "b.example.com", "example.com", "com"]
+    assert _one(spark, host_suffixes(F.col("v")), "localhost") == ["localhost"]
+
+
+def test_domain_gate_block_and_allow(spark):
+    rows = [
+        (1, "https://ads.tracker.net/x"),
+        (2, "https://sub.deep.tracker.net/y"),
+        (3, "https://news.site.org/a"),
+        (4, "https://tracker.net.evil.org/z"),  # suffix, NOT subdomain
+        (5, "not a url"),
+        (3, "https://news.site.org/a"),  # duplicate row: multiplicity
+    ]
+    df = spark.createDataFrame(rows, "id int, url string")
+    bl = spark.createDataFrame([("Tracker.NET",)], "domain string")
+
+    blocked = domain_gate(df, bl, mode="block")
+    assert sorted(r.id for r in blocked.collect()) == [3, 3, 4, 5]
+
+    allowed = domain_gate(df, bl, mode="allow")
+    assert sorted(r.id for r in allowed.collect()) == [1, 2]
+
+    # allowlist mode: unparseable URLs drop; subdomains of an allowed
+    # domain pass; lookalike suffix domains do not
+    al = spark.createDataFrame([("site.org",)], "domain string")
+    kept = domain_gate(df, al, mode="allow")
+    assert sorted(r.id for r in kept.collect()) == [3, 3]
+
+    with pytest.raises(ValueError, match="mode"):
+        domain_gate(df, bl, mode="deny")
