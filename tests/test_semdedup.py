@@ -164,3 +164,19 @@ def test_survivor_laws_real_corpus(spark):
     assert per_group.filter(F.col("n") > 1).count() > 0
     # total rows preserved (annotation, not destruction)
     assert out.count() == _emb(spark).count()
+
+
+def test_plan_equi_join_no_pair_product(spark):
+    """The candidate self-join must be an equi-join on centroid_id —
+    never a nested-loop/cartesian pair product — and keeper election
+    must not put a Window over the corpus frame (it runs on the
+    dup-only join result)."""
+    import contextlib, io
+
+    df = semdedup(_emb(spark), n_clusters=8, n_iter=2, threshold=0.35)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

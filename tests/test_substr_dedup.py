@@ -131,3 +131,20 @@ def test_deterministic_under_repartition(spark):
         for r in remove_duplicate_spans(d, window=8).collect()
     )
     assert key(df) == key(df.repartition(7))
+
+
+def test_plan_no_corpus_window_no_pair_product(spark):
+    """Everything is aggregates + equi-joins: no window function over
+    the corpus, no nested-loop join anywhere in the plan."""
+    import contextlib, io
+
+    df = remove_duplicate_spans(
+        spark.read.parquet(f"{SF_SMALL}/documents.parquet"), window=8
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Window\n" not in plan.split("\n\n")[0]

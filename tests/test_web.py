@@ -128,3 +128,18 @@ def test_domain_gate_block_and_allow(spark):
 
     with pytest.raises(ValueError, match="mode"):
         domain_gate(df, bl, mode="deny")
+
+
+def test_domain_gate_plan_is_equi_joins(spark):
+    import contextlib, io
+
+    df = spark.createDataFrame(
+        [(1, "https://a.example.com/x")], "id int, url string"
+    )
+    bl = spark.createDataFrame([("example.com",)], "domain string")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        domain_gate(df, bl, mode="block").explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
