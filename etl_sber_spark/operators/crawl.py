@@ -1,0 +1,131 @@
+"""Crawl preprocessing: raw (url, html) pages → curate-ready documents.
+
+The composed front-end stage that runs BEFORE operators/curate.py's
+text gates: extract visible text, canonicalize the URL, apply domain
+lists, and collapse URL-level duplicates (the same page fetched under
+tracking-param / www / port / fragment variants). Mirrors the
+curate_corpus contract — one row in, one row out, ``drop_reason`` NULL
+for keepers and the FIRST rejecting gate otherwise, min-id survivors,
+no RNG — so the two stages chain: ``preprocess_crawl(...) →
+filter(drop_reason IS NULL) → curate_corpus(...)``.
+
+Gate order is again the cost ladder: projections first (URL parse, text
+extraction — zero shuffles), the domain-list equi-join next (distinct
+URLs only), the URL-dedup hash-aggregate last, restricted to rows that
+survived everything cheaper. At 100 TB the only corpus-wide shuffle is
+the final dedup aggregate on the canonical URL — HTML extraction and
+URL algebra ride the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.web import host_suffixes, html_to_text, normalize_url
+from .materialize import pin
+from .spread import spread
+
+# drop_reason vocabulary, in gate order (first rejecting gate wins)
+R_BAD_URL = "bad_url"
+R_BLOCKED = "blocked_domain"
+R_NOT_ALLOWED = "domain_not_allowed"
+R_EMPTY = "empty_text"
+R_URL_DUP = "url_dup"
+CRAWL_DROP_REASONS = (R_BAD_URL, R_BLOCKED, R_NOT_ALLOWED, R_EMPTY, R_URL_DUP)
+
+
+def _domain_flag(
+    pages: DataFrame, domains: DataFrame, url_col: str, flag: str
+) -> DataFrame:
+    """(url, <flag>=true) for DISTINCT urls whose host dot-suffix chain
+    matches ``domains`` — the annotation form of web.domain_gate's
+    matching join (same algebra, flag instead of filter)."""
+    host = F.lower(F.try_parse_url(F.col(url_col), F.lit("HOST")))
+    return (
+        pages.select(url_col)
+        .distinct()
+        .withColumn("_sfx", F.explode(host_suffixes(host)))
+        .join(
+            domains.select(
+                F.lower(F.col(domains.columns[0])).alias("_sfx")
+            ).distinct(),
+            "_sfx",
+            "left_semi",
+        )
+        .select(url_col)
+        .distinct()
+        .withColumn(flag, F.lit(True))
+    )
+
+
+def preprocess_crawl(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    url_col: str = "url",
+    html_col: str = "html",
+    *,
+    blocklist: DataFrame | None = None,
+    allowlist: DataFrame | None = None,
+    min_chars: int = 1,
+) -> DataFrame:
+    """Annotate raw crawl pages with ``url_canon``, extracted ``text``,
+    and ``drop_reason``:
+
+    - ``'bad_url'``             URL does not parse as absolute http(s);
+    - ``'blocked_domain'``      host matches ``blocklist`` (suffix match);
+    - ``'domain_not_allowed'``  ``allowlist`` given and host matches no entry;
+    - ``'empty_text'``          extracted text shorter than ``min_chars``;
+    - ``'url_dup'``             same ``url_canon`` as a surviving page
+      with a smaller id (min-id fetch of each URL survives).
+
+    Both lists may be supplied (blocklist wins — checked first). List
+    frames use their first column as the domain.
+    """
+    annotated = spread(df).select(
+        "*",
+        normalize_url(F.col(url_col)).alias("url_canon"),
+        html_to_text(F.col(html_col)).alias("text"),
+    )
+    if blocklist is not None:
+        annotated = annotated.join(
+            _domain_flag(df, blocklist, url_col, "_blocked"), url_col, "left"
+        )
+    else:
+        annotated = annotated.withColumn("_blocked", F.lit(None).cast("boolean"))
+    if allowlist is not None:
+        annotated = annotated.join(
+            _domain_flag(df, allowlist, url_col, "_allowed"), url_col, "left"
+        )
+    cheap_reason = F.when(F.col("url_canon").isNull(), F.lit(R_BAD_URL)).when(
+        F.col("_blocked"), F.lit(R_BLOCKED)
+    )
+    if allowlist is not None:
+        cheap_reason = cheap_reason.when(
+            F.col("_allowed").isNull(), F.lit(R_NOT_ALLOWED)
+        )
+    cheap_reason = cheap_reason.when(
+        F.length("text") < min_chars, F.lit(R_EMPTY)
+    )
+    gated = pin(
+        annotated.withColumn("_cheap", cheap_reason).drop(
+            "_blocked", *(["_allowed"] if allowlist is not None else [])
+        )
+    )
+    # URL dedup over survivors only: one hash-aggregate on the
+    # canonical key, min-id keeper — the exact-dedup idiom
+    survivors = gated.filter(F.col("_cheap").isNull())
+    keepers = survivors.groupBy("url_canon").agg(
+        F.min(F.col(id_col)).alias("_keep_id")
+    )
+    return (
+        gated.join(keepers, "url_canon", "left")
+        .withColumn(
+            "drop_reason",
+            F.coalesce(
+                F.col("_cheap"),
+                F.when(F.col(id_col) != F.col("_keep_id"), F.lit(R_URL_DUP)),
+            ),
+        )
+        .select(*df.columns, "url_canon", "text", "drop_reason")
+    )
