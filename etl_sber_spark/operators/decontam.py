@@ -63,6 +63,7 @@ def contaminated_docs(
     text_col: str = "text",
     probe_id_col: str = "probe_id",
     probe_text_col: str = "text",
+    broadcast_probes: bool = True,
 ) -> DataFrame:
     """Documents sharing ≥ ``min_hits`` distinct ``n``-grams with the
     probe set.
@@ -70,12 +71,20 @@ def contaminated_docs(
     Output: ``id_col``, ``n_hit_ngrams`` (distinct corpus-side grams
     that appear in ANY probe), ``n_probe_docs`` (distinct probes hit —
     the audit column: which benchmark leaked, not just that one did).
+
+    ``broadcast_probes``: default True — the benchmark-sweep shape
+    (probes are thousands of items; forcing the broadcast keeps the
+    corpus shuffle-free). Pass False when the probe side is itself
+    corpus-scale (e.g. a percent-sized holdout split in
+    :func:`leakage_guarded_split`): AQE then picks broadcast only if
+    the gram table actually fits, degrading to a shuffle join instead
+    of blowing the broadcast cap.
     """
     corpus_grams = _gram_hashes(corpus, id_col, text_col, n)
     probe_grams = _gram_hashes(probes, probe_id_col, probe_text_col, n)
-    hits = corpus_grams.join(
-        F.broadcast(probe_grams), "gh"
-    )
+    if broadcast_probes:
+        probe_grams = F.broadcast(probe_grams)
+    hits = corpus_grams.join(probe_grams, "gh")
     return (
         hits.groupBy(id_col)
         .agg(
@@ -104,4 +113,65 @@ def decontaminate(
     )
     return corpus.join(
         F.broadcast(hits.select(id_col)), id_col, "left_anti"
+    )
+
+
+def leakage_guarded_split(
+    df: DataFrame,
+    weights,
+    *,
+    n: int = 8,
+    min_hits: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: int = 0,
+    split_col: str = "split",
+) -> DataFrame:
+    """Train/val/test split with a TEST-SET-LEAKAGE guard: split 0 is
+    train, every other split is holdout, and any train document sharing
+    ≥ ``min_hits`` distinct ``n``-grams with ANY holdout document gets
+    ``leaks_holdout = true`` — filter it out of training and the
+    holdout is textually disjoint from what the model sees, the same
+    contract the benchmark sweep (:func:`contaminated_docs`) enforces
+    against external eval sets, applied to the pipeline's own splits.
+
+    Output: ``df`` + ``split_col`` (hash_split: deterministic,
+    growth-stable) + ``leaks_holdout`` (never true on holdout rows).
+    Dropping flagged docs instead of reassigning them is deliberate:
+    moving a leaky doc INTO holdout would correlate holdout content
+    with corpus duplication, a selection bias; the paper-standard
+    remedy is removal from train.
+
+    Scale: the probe side is a real split (percent-scale, not
+    benchmark-scale), so the gram join is NOT force-broadcast — AQE
+    decides (see ``contaminated_docs(broadcast_probes=False)``). Work
+    is two gram projections + one equi-join + one aggregate.
+    """
+    from .sampling import hash_split
+
+    split = hash_split(df, weights, id_col=id_col, seed=seed, split_col=split_col)
+    train = split.filter(F.col(split_col) == 0)
+    # probe id renamed: contaminated_docs joins the two gram tables, so
+    # identical id column names would collide in the hit aggregate
+    holdout = split.filter(F.col(split_col) != 0).select(
+        F.col(id_col).alias("_probe_id"), F.col(text_col)
+    )
+    hits = contaminated_docs(
+        train,
+        holdout,
+        n=n,
+        min_hits=min_hits,
+        id_col=id_col,
+        text_col=text_col,
+        probe_id_col="_probe_id",
+        probe_text_col=text_col,
+        broadcast_probes=False,
+    )
+    return split.join(
+        hits.select(id_col, F.lit(True).alias("leaks_holdout")), id_col, "left"
+    ).withColumn(
+        "leaks_holdout",
+        F.when(F.col(split_col) == 0, F.coalesce("leaks_holdout", F.lit(False))).otherwise(
+            F.lit(False)
+        ),
     )

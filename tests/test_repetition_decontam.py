@@ -101,3 +101,72 @@ def test_decontam_min_hits_threshold(spark):
     # span); min_hits=3 must clear the flag
     assert contaminated_docs(corpus, probes, n=8, min_hits=3).count() == 0
     assert contaminated_docs(corpus, probes, n=8, min_hits=2).count() == 1
+
+
+def test_leakage_guarded_split_planted_leak(spark):
+    """Plant a shared passage between a train doc and a holdout doc
+    (membership discovered first — text never affects the id-hash
+    split) and assert exactly that train doc is flagged."""
+    from etl_sber_spark.operators.decontam import leakage_guarded_split
+
+    ids = list(range(40))
+    probe = spark.createDataFrame(
+        [(i, "x") for i in ids], "doc_id int, text string"
+    )
+    from etl_sber_spark.operators.sampling import hash_split
+
+    assign = {
+        r.doc_id: r.split
+        for r in hash_split(probe, [0.6, 0.2, 0.2]).collect()
+    }
+    train_ids = [i for i in ids if assign[i] == 0]
+    hold_ids = [i for i in ids if assign[i] != 0]
+    assert train_ids and hold_ids
+    leaker, source = train_ids[0], hold_ids[0]
+    passage = "p q r s t u v w"  # 8 tokens -> one 8-gram
+    rows = []
+    for i in ids:
+        base = " ".join(f"tok{i}w{j}" for j in range(10))  # unique text
+        if i == leaker:
+            base = f"{base} {passage}"
+        if i == source:
+            base = f"{passage} {base}"
+        rows.append((i, base))
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {r.doc_id: r for r in leakage_guarded_split(df, [0.6, 0.2, 0.2]).collect()}
+    assert len(out) == 40
+    for i in ids:
+        assert out[i].split == assign[i]  # same deterministic split
+        want = i == leaker
+        assert out[i].leaks_holdout == want, (i, out[i])
+    # holdout rows are never flagged, even the leak's source
+    assert out[source].leaks_holdout is False
+
+
+def test_leakage_guard_matches_gram_table(spark):
+    """Law check on the real corpus: leaks_holdout == (train doc
+    shares ≥1 gram hash with some holdout doc), recomputed from the
+    operator's own gram table."""
+    from etl_sber_spark.operators.decontam import (
+        _gram_hashes,
+        leakage_guarded_split,
+    )
+
+    df = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    out = {
+        r.doc_id: (r.split, r.leaks_holdout)
+        for r in leakage_guarded_split(df, [0.8, 0.2], n=8).collect()
+    }
+    grams: dict[int, set] = {}
+    for r in _gram_hashes(df, "doc_id", "text", 8).collect():
+        grams.setdefault(r.doc_id, set()).add(r.gh)
+    hold_grams = set().union(
+        *(grams.get(d, set()) for d, (s, _) in out.items() if s != 0)
+    )
+    for d, (s, flag) in out.items():
+        if s != 0:
+            assert flag is False
+        else:
+            assert flag == bool(grams.get(d, set()) & hold_grams), d
+    # the small-vocab corpus really leaks across splits
+    assert any(flag for _, flag in out.values())
