@@ -161,12 +161,26 @@ def domain_gate(
     """
     if mode not in ("block", "allow"):
         raise ValueError(f"mode must be 'block' or 'allow', got {mode!r}")
+    match_keys = domain_match_keys(df, domains, url_col, domain_col)
+    how = "left_semi" if mode == "allow" else "left_anti"
+    return df.join(match_keys, url_col, how)
+
+
+def domain_match_keys(
+    df: DataFrame,
+    domains: DataFrame,
+    url_col: str = "url",
+    domain_col: str = "domain",
+) -> DataFrame:
+    """DISTINCT ``url_col`` values whose host dot-suffix chain matches
+    any ``domains`` entry — the single implementation of the list-match
+    algebra, consumed by :func:`domain_gate` (filter) and
+    operators/crawl.py (annotate). Matching runs over distinct URLs (a
+    crawl repeats hosts heavily) and the exploded frame never carries
+    payload columns; callers semi/anti/left-join the keys back, which
+    preserves row multiplicity."""
     host = F.lower(F.try_parse_url(F.col(url_col), F.lit("HOST")))
-    # Matching runs over DISTINCT URLs (a crawl repeats hosts heavily),
-    # then a semi/anti join on the url key filters the original frame —
-    # row multiplicity is preserved and the exploded frame never carries
-    # payload columns.
-    match_keys = (
+    return (
         df.select(url_col)
         .distinct()
         .withColumn("_sfx", F.explode(host_suffixes(host)))
@@ -180,5 +194,3 @@ def domain_gate(
         .select(url_col)
         .distinct()
     )
-    how = "left_semi" if mode == "allow" else "left_anti"
-    return df.join(match_keys, url_col, how)

@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.web import host_suffixes, html_to_text, normalize_url
+from ..functions.web import domain_match_keys, html_to_text, normalize_url
 from .materialize import pin
 from .spread import spread
 
@@ -38,25 +38,12 @@ CRAWL_DROP_REASONS = (R_BAD_URL, R_BLOCKED, R_NOT_ALLOWED, R_EMPTY, R_URL_DUP)
 def _domain_flag(
     pages: DataFrame, domains: DataFrame, url_col: str, flag: str
 ) -> DataFrame:
-    """(url, <flag>=true) for DISTINCT urls whose host dot-suffix chain
-    matches ``domains`` — the annotation form of web.domain_gate's
-    matching join (same algebra, flag instead of filter)."""
-    host = F.lower(F.try_parse_url(F.col(url_col), F.lit("HOST")))
-    return (
-        pages.select(url_col)
-        .distinct()
-        .withColumn("_sfx", F.explode(host_suffixes(host)))
-        .join(
-            domains.select(
-                F.lower(F.col(domains.columns[0])).alias("_sfx")
-            ).distinct(),
-            "_sfx",
-            "left_semi",
-        )
-        .select(url_col)
-        .distinct()
-        .withColumn(flag, F.lit(True))
-    )
+    """(url, <flag>=true): the annotation form of the shared list-match
+    algebra (web.domain_match_keys — one implementation, no drift
+    between the gate and this flag)."""
+    return domain_match_keys(
+        pages, domains, url_col, domains.columns[0]
+    ).withColumn(flag, F.lit(True))
 
 
 def preprocess_crawl(
@@ -81,7 +68,17 @@ def preprocess_crawl(
 
     Both lists may be supplied (blocklist wins — checked first). List
     frames use their first column as the domain.
+
+    A NULL ``html`` (fetch failure) extracts to NULL text and is
+    dropped as ``'empty_text'`` — it must never survive, or it would
+    out-rank the real fetch of the same URL in min-id dedup.
     """
+    reserved = {"url_canon", "text", "drop_reason"} & set(df.columns)
+    if reserved:
+        raise ValueError(
+            f"input columns {sorted(reserved)} collide with "
+            "preprocess_crawl's output columns — rename them first"
+        )
     annotated = spread(df).select(
         "*",
         normalize_url(F.col(url_col)).alias("url_canon"),
@@ -104,8 +101,11 @@ def preprocess_crawl(
         cheap_reason = cheap_reason.when(
             F.col("_allowed").isNull(), F.lit(R_NOT_ALLOWED)
         )
+    # explicit NULL arm: length(NULL) is NULL and a NULL predicate never
+    # fires — without it a NULL-html row would sail through this gate
     cheap_reason = cheap_reason.when(
-        F.length("text") < min_chars, F.lit(R_EMPTY)
+        F.col("text").isNull() | (F.length("text") < min_chars),
+        F.lit(R_EMPTY),
     )
     gated = pin(
         annotated.withColumn("_cheap", cheap_reason).drop(

@@ -40,7 +40,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.vectors import cosine_similarity
+from pyspark.sql import Column
+
+from ..functions.vectors import dot_product, l2_norm
 from .components import connected_components
 from .materialize import pin
 from .similarity import (
@@ -51,6 +53,16 @@ from .similarity import (
     quantize_vec,
 )
 from .spread import spread
+
+
+def _safe_cosine(a: Column, b: Column) -> Column:
+    """Cosine that yields NULL (not a DIVIDE_BY_ZERO crash under
+    Spark 4's ANSI default) when either vector has zero norm —
+    zero embeddings are a routine artifact of failed embedding calls,
+    and one bad row must not abort a corpus-wide dedup. A NULL
+    similarity fails every ≥-threshold gate, so zero vectors pass
+    through as singletons."""
+    return F.try_divide(dot_product(a, b), l2_norm(a) * l2_norm(b))
 
 
 def semantic_assignments(
@@ -81,7 +93,7 @@ def semantic_assignments(
     ).withColumn(
         "centroid_sim",
         F.round(
-            cosine_similarity(F.col(vec_col), F.element_at(cmap, F.col("centroid_id"))),
+            _safe_cosine(F.col(vec_col), F.element_at(cmap, F.col("centroid_id"))),
             SIM_SCALE,
         ),
     )
@@ -92,13 +104,20 @@ def semantic_pairs(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    pin_input: bool = True,
 ) -> DataFrame:
     """(id_a < id_b, sim) for same-cluster pairs with rounded cosine ≥
     ``threshold``. Equi-join on centroid_id — Σ|cluster|² candidate
-    work, bounded by k-means balance, never all-pairs."""
-    cand = pin(
-        assigned.select(F.col(id_col), F.col(vec_col), F.col("centroid_id"))
-    )  # the self-join reads both sides; pin() materializes the scan once
+    work, bounded by k-means balance, never all-pairs.
+
+    ``pin_input=False`` when ``assigned`` is already pinned (semdedup's
+    path) — re-pinning a projection of checkpointed blocks would store
+    the wide vector column twice for no replanning benefit."""
+    cand = assigned.select(
+        F.col(id_col), F.col(vec_col), F.col("centroid_id")
+    )
+    if pin_input:
+        cand = pin(cand)  # the self-join reads both sides
     a, b = cand.alias("a"), cand.alias("b")
     return (
         a.join(
@@ -110,7 +129,7 @@ def semantic_pairs(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
             F.round(
-                cosine_similarity(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")),
+                _safe_cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")),
                 SIM_SCALE,
             ).alias("sim"),
         )
@@ -156,7 +175,7 @@ def semdedup(
         embeddings, n_clusters, n_iter, id_col, vec_col, train_mod=train_mod
     )
     assigned = pin(semantic_assignments(embeddings, cents, id_col, vec_col))
-    pairs = semantic_pairs(assigned, threshold, id_col, vec_col)
+    pairs = semantic_pairs(assigned, threshold, id_col, vec_col, pin_input=False)
     comp = connected_components(pairs, "id_a", "id_b")
     # Keeper election runs over the DUPLICATE rows only (comp is
     # dup-sized), not a corpus-wide window: join the membership in,

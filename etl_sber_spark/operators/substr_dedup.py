@@ -176,14 +176,18 @@ def remove_duplicate_spans(
             lambda iv: (iv["s"] <= s["j"]) & (s["j"] < iv["e"]),
         ),
     )
-    return (
-        out.withColumn(
-            f"{text_col}_dedup",
-            F.array_join(F.transform(kept, lambda s: s["t"]), " "),
-        )
-        .withColumn(
-            "n_tokens_removed",
-            F.size(toks) - F.size(kept),
-        )
-        .drop("starts", "_iv")
+    # Two-step projection ON PURPOSE: `_kept` (the per-row token
+    # coverage scan — the operator's dominant per-row work) feeds both
+    # output columns, and CollapseProject declines to inline a
+    # non-trivial expression referenced twice — so the scan is
+    # guaranteed to evaluate once per row instead of once per output.
+    staged = out.select(
+        *df.columns, kept.alias("_kept"), F.size(toks).alias("_n")
+    )
+    return staged.select(
+        *df.columns,
+        F.array_join(
+            F.transform(F.col("_kept"), lambda s: s["t"]), " "
+        ).alias(f"{text_col}_dedup"),
+        (F.col("_n") - F.size(F.col("_kept"))).alias("n_tokens_removed"),
     )

@@ -83,8 +83,9 @@ def export_jsonl(
       breaks it up within a shard) without any global sort — the write
       plan is identical to the id order, only the sort key changes.
       Re-exporting with a different ``order_seed`` is the per-epoch
-      reshuffle: same shard membership (and therefore identical
-      manifest), a new permutation. No RNG anywhere — a given
+      reshuffle: same shard membership, identical per-shard counts and
+      totals (only the manifest's ``order_seed`` field differs), a new
+      permutation. No RNG anywhere — a given
       (corpus, seed, order_seed) always produces byte-identical shards.
     """
     if n_shards <= 0:

@@ -95,3 +95,27 @@ def test_plan_no_pair_product(spark):
     plan = buf.getvalue()
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_null_html_never_survives(spark):
+    """A NULL html (fetch failure) must drop as empty_text — and must
+    NOT out-rank the real fetch of the same URL in min-id dedup."""
+    rows = [
+        (1, "https://site.org/a", None),
+        (2, "https://www.site.org/a/?utm_source=x", PAGE),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, url string, html string")
+    out = {r.doc_id: r for r in preprocess_crawl(df).collect()}
+    assert out[1].drop_reason == R_EMPTY
+    assert out[2].drop_reason is None  # the real fetch survives
+
+
+def test_reserved_output_columns_rejected(spark):
+    import pytest
+
+    df = spark.createDataFrame(
+        [(1, "https://site.org/a", PAGE, "x")],
+        "doc_id int, url string, html string, text string",
+    )
+    with pytest.raises(ValueError, match="text"):
+        preprocess_crawl(df)

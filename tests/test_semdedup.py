@@ -180,3 +180,26 @@ def test_plan_equi_join_no_pair_product(spark):
     plan = buf.getvalue()
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_zero_vector_is_a_kept_singleton(spark):
+    """A zero-norm embedding (failed embedding call) must not crash
+    the job under ANSI mode — it forms no pairs and survives as its
+    own singleton with NULL centroid_sim."""
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0, 0.0]),
+        (2, [2.0, 0.0, 0.0, 0.0]),
+        (3, [0.0, 0.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    out = {
+        r.vec_id: r
+        for r in semdedup(df, n_clusters=2, n_iter=1, threshold=0.999).collect()
+    }
+    assert len(out) == 4
+    assert out[3].is_kept and out[3].sem_cluster == 3
+    assert out[3].centroid_sim is None
+    # the real duplicates {0,2} still collapse
+    assert out[0].sem_cluster == out[2].sem_cluster
+    assert out[0].is_kept != out[2].is_kept
