@@ -71,11 +71,13 @@ def split_documents(
         ]
     )
     cols = [f.name for f in schema.fields]
-    good = (
-        raw.filter(F.col(_CORRUPT).isNull() & missing_reason.isNull())
-        .select(*cols)
-        .withColumn("n_chars", F.length("text").cast("long"))
+    good = raw.filter(F.col(_CORRUPT).isNull() & missing_reason.isNull()).select(
+        *cols
     )
+    if "text" in cols:  # derived, never trusted from the producer;
+        # schemas without a text column (e.g. the raw-page landing
+        # zone, streaming/crawl.py) skip it
+        good = good.withColumn("n_chars", F.length("text").cast("long"))
     bad = raw.filter(
         F.col(_CORRUPT).isNotNull() | missing_reason.isNotNull()
     ).select(

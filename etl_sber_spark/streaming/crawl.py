@@ -1,0 +1,147 @@
+"""Continuous crawl ingestion: raw (url, html) JSONL → curate-ready pages.
+
+The landing zone ONE stage upstream of streaming/corpus.py: a fetcher
+drops raw pages as JSONL; each micro-batch runs
+operators/crawl.preprocess_crawl (extract text, canonicalize the URL,
+domain lists, in-batch URL dedup) and then dedupes against the
+PERSISTED URL index — the url_canon analog of the minhash signature
+index — so a page re-fetched in a later crawl is dropped without ever
+re-reading earlier batches. Keepers' canonical URLs append to the
+index; annotated pages land in a pages table the corpus pipeline
+(curate / curate_increment) consumes.
+
+Execution discipline is identical to stream_corpus_increments:
+foreachBatch (multi-output + reads warehouse state), availableNow by
+default, exactly-once per file via the checkpoint, and every write a
+``batch_id``-partition OVERWRITE so crash replays rewrite rather than
+duplicate; the marker table is a fast-skip, not the correctness
+mechanism.
+
+Scale: preprocess_crawl is projections + one batch-sized dedup
+aggregate; the index join is batch-distinct-URLs ⋈ index on the
+canonical URL (AQE broadcasts the batch side); index rows are
+(url_canon, doc_id) only — bytes per retained page, never page text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming import StreamingQuery
+
+from ..operators.crawl import R_URL_DUP, preprocess_crawl
+from ..sinks.warehouse import Warehouse
+from ..sources.corpus import corrupt_capture_schema, split_documents
+
+#: raw fetcher drop: id + url are required; html may be NULL (fetch
+#: failure — preprocess_crawl drops it as empty_text, keeping the row
+#: visible in the annotated output rather than quarantined)
+PAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("url", T.StringType()),
+        T.StructField("html", T.StringType()),
+    ]
+)
+PAGE_REQUIRED = ("doc_id", "url")
+
+
+def stream_crawl_increments(
+    spark: SparkSession,
+    inbox: str,
+    wh: Warehouse,
+    checkpoint_dir: str,
+    *,
+    pages_table: str = "crawl_pages",
+    url_index_table: str = "url_index",
+    quarantine_table: str = "crawl_quarantine",
+    blocklist: DataFrame | None = None,
+    allowlist: DataFrame | None = None,
+    min_chars: int = 1,
+    max_files_per_trigger: int = 1,
+    processing_time: str | None = None,
+) -> StreamingQuery:
+    """Start the crawl landing-zone stream; returns the StreamingQuery.
+
+    Each micro-batch: parse/quarantine split (the shared
+    sources/corpus.py helper with the page schema) → preprocess_crawl
+    (in-batch gates + URL dedup) → index check (keepers whose
+    ``url_canon`` is already in ``url_index_table`` become
+    ``'url_dup'``) → batch_id-partition overwrites of the annotated
+    pages, the new index entries, the quarantine, and the marker.
+    """
+    raw = (
+        spark.readStream.schema(corrupt_capture_schema(PAGE_SCHEMA))
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .json(inbox)
+    )
+    marker = f"{pages_table}__applied_batches"
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if wh.has_data(marker):
+            done = {
+                r[0] for r in wh.read(marker).select("batch_id").collect()
+            }
+            if batch_id in done:
+                print(f"[stream_crawl] batch {batch_id} already applied")
+                return
+        good, bad = split_documents(batch_df, PAGE_SCHEMA, PAGE_REQUIRED)
+        annotated = preprocess_crawl(
+            good,
+            blocklist=blocklist,
+            allowlist=allowlist,
+            min_chars=min_chars,
+        ).localCheckpoint(eager=True)  # consumed by 2 writes + the index diff
+
+        # cross-batch URL dedup: in-batch keepers whose canonical URL
+        # the index already holds were fetched by an earlier crawl
+        if wh.has_data(url_index_table):
+            index_urls = (
+                wh.read(url_index_table)
+                .select("url_canon")
+                .distinct()
+                .withColumn("_in_index", F.lit(True))
+            )
+            annotated = (
+                annotated.join(index_urls, "url_canon", "left")
+                .withColumn(
+                    "drop_reason",
+                    F.coalesce(
+                        "drop_reason",
+                        F.when(F.col("_in_index"), F.lit(R_URL_DUP)),
+                    ),
+                )
+                .drop("_in_index")
+            )
+        keepers = annotated.filter(F.col("drop_reason").isNull())
+        bid = F.lit(batch_id)
+        wh.overwrite_partitions(
+            annotated.withColumn("batch_id", bid), pages_table, ["batch_id"]
+        )
+        wh.overwrite_partitions(
+            keepers.select("url_canon", "doc_id").withColumn("batch_id", bid),
+            url_index_table,
+            ["batch_id"],
+        )
+        if not bad.isEmpty():
+            wh.overwrite_partitions(
+                bad.withColumn("batch_id", bid), quarantine_table, ["batch_id"]
+            )
+        wh.overwrite_partitions(
+            spark.createDataFrame([(batch_id,)], "batch_id bigint")
+            .withColumn("applied", F.lit(True)),
+            marker,
+            ["batch_id"],
+        )
+
+    writer = raw.writeStream.foreachBatch(apply_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if processing_time:
+        writer = writer.trigger(processingTime=processing_time)
+    else:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

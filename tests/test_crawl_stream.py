@@ -1,0 +1,99 @@
+"""Crawl landing-zone stream (streaming/crawl.py): cross-batch URL
+dedup against the persisted index, quarantine, replay idempotence."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from etl_sber_spark.operators.crawl import R_EMPTY, R_URL_DUP
+from etl_sber_spark.sinks.warehouse import Warehouse
+from etl_sber_spark.streaming.crawl import stream_crawl_increments
+
+HTML_A = "<p>first page with plenty of ordinary words</p>"
+HTML_B = "<p>a different page about other things entirely</p>"
+HTML_C = "<p>third page fresh content for batch two</p>"
+
+
+def _write_jsonl(path, rows):
+    with open(path, "w") as f:
+        for r in rows:
+            f.write((r if isinstance(r, str) else json.dumps(r)) + "\n")
+
+
+def _run(spark, inbox, wh, ckpt, **kw):
+    q = stream_crawl_increments(spark, str(inbox), wh, str(ckpt), **kw)
+    q.awaitTermination()
+
+
+def test_crawl_stream_cross_batch_url_dedup(spark, tmp_path):
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    ckpt = tmp_path / "ckpt"
+
+    _write_jsonl(
+        inbox / "b1.jsonl",
+        [
+            {"doc_id": 1, "url": "https://www.site.org/a/?utm_source=x", "html": HTML_A},
+            {"doc_id": 2, "url": "https://site.org/b", "html": HTML_B},
+            {"doc_id": 3, "url": "https://site.org/fail", "html": None},
+            '{"doc_id": 4, "url": "https://site.org/broken", ',  # unparseable
+            {"doc_id": None, "url": "https://site.org/noid", "html": HTML_A},
+        ],
+    )
+    _run(spark, inbox, wh, ckpt)
+
+    pages = {r.doc_id: r for r in wh.read("crawl_pages").collect()}
+    assert set(pages) == {1, 2, 3}
+    assert pages[1].drop_reason is None
+    assert pages[2].drop_reason is None
+    assert pages[3].drop_reason == R_EMPTY  # NULL html
+    bad = sorted(r.reason for r in wh.read("crawl_quarantine").collect())
+    assert bad == ["missing:doc_id", "unparseable"]
+    idx = {(r.url_canon, r.doc_id) for r in wh.read("url_index").collect()}
+    assert idx == {("https://site.org/a", 1), ("https://site.org/b", 2)}
+
+    # batch 2: a URL-variant refetch of page 1 (different doc_id) must
+    # dedupe against the INDEX, not the batch; plus one fresh page
+    _write_jsonl(
+        inbox / "b2.jsonl",
+        [
+            {"doc_id": 10, "url": "https://site.org/a#frag", "html": HTML_A},
+            {"doc_id": 11, "url": "https://site.org/c", "html": HTML_C},
+        ],
+    )
+    _run(spark, inbox, wh, ckpt)
+
+    pages = {r.doc_id: r for r in wh.read("crawl_pages").collect()}
+    assert pages[10].drop_reason == R_URL_DUP
+    assert pages[10].url_canon == "https://site.org/a"
+    assert pages[11].drop_reason is None
+    idx = {(r.url_canon, r.doc_id) for r in wh.read("url_index").collect()}
+    assert ("https://site.org/c", 11) in idx
+    assert not any(d == 10 for _, d in idx)  # dup never enters the index
+
+    # drained inbox: a third pass is a no-op
+    n_pages = wh.read("crawl_pages").count()
+    _run(spark, inbox, wh, ckpt)
+    assert wh.read("crawl_pages").count() == n_pages
+
+
+def test_crawl_stream_replay_is_idempotent(spark, tmp_path):
+    """Dropping the marker (simulated crash before the marker write)
+    and replaying the batch must rewrite, not duplicate."""
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    _write_jsonl(
+        inbox / "b1.jsonl",
+        [{"doc_id": 1, "url": "https://site.org/a", "html": HTML_A}],
+    )
+    _run(spark, inbox, wh, tmp_path / "ck1")
+    wh.drop("crawl_pages__applied_batches")  # lose the fast-skip marker
+    # fresh checkpoint: the same file replays as batch 0 again
+    _run(spark, inbox, wh, tmp_path / "ck2")
+    pages = wh.read("crawl_pages").collect()
+    assert len(pages) == 1 and pages[0].doc_id == 1
+    assert wh.read("url_index").count() == 1
