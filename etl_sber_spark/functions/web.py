@@ -89,6 +89,31 @@ def html_to_text(col: Column | str) -> Column:
     return F.regexp_replace(t, r"^\s+|\s+$", "")
 
 
+def has_noindex(col: Column | str) -> Column:
+    """True when the HTML carries a robots noindex directive — a
+    ``<meta name="robots|googlebot" content="…noindex…">`` tag (any
+    attribute order, any quoting). Publishers use it to opt pages out
+    of indexing; a respectful crawl pipeline drops them before any
+    text reaches the corpus. One case-insensitive regex over the raw
+    HTML — run it BEFORE html_to_text (the tag is markup and would be
+    stripped)."""
+    h = _c(col)
+    # extract every <meta …> tag, then test name= and content= inside
+    # the SAME tag — attribute order varies in the wild, so a single
+    # ordered regex would miss content-before-name tags
+    metas = F.regexp_extract_all(h, F.lit(r"(?is)(<meta\b[^>]*?>)"), F.lit(1))
+    return F.coalesce(
+        F.exists(
+            metas,
+            lambda tag: tag.rlike(
+                r"(?is)\bname\s*=\s*[\"']?\s*(robots|googlebot)\b"
+            )
+            & tag.rlike(r"(?is)\bcontent\s*=\s*[\"']?[^>]*\bnoindex\b"),
+        ),
+        F.lit(False),  # NULL html -> not a noindex page
+    )
+
+
 def normalize_url(col: Column | str, strip_www: bool = True) -> Column:
     """Canonical form of an absolute http(s) URL (see module docstring).
     NULL stays NULL; a URL ``parse_url`` cannot parse yields NULL (the

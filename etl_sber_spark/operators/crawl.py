@@ -22,7 +22,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.web import domain_match_keys, html_to_text, normalize_url
+from ..functions.web import (
+    domain_match_keys,
+    has_noindex,
+    html_to_text,
+    normalize_url,
+)
 from .materialize import pin
 from .spread import spread
 
@@ -30,9 +35,17 @@ from .spread import spread
 R_BAD_URL = "bad_url"
 R_BLOCKED = "blocked_domain"
 R_NOT_ALLOWED = "domain_not_allowed"
+R_NOINDEX = "noindex"
 R_EMPTY = "empty_text"
 R_URL_DUP = "url_dup"
-CRAWL_DROP_REASONS = (R_BAD_URL, R_BLOCKED, R_NOT_ALLOWED, R_EMPTY, R_URL_DUP)
+CRAWL_DROP_REASONS = (
+    R_BAD_URL,
+    R_BLOCKED,
+    R_NOT_ALLOWED,
+    R_NOINDEX,
+    R_EMPTY,
+    R_URL_DUP,
+)
 
 
 def _domain_flag(
@@ -55,6 +68,7 @@ def preprocess_crawl(
     blocklist: DataFrame | None = None,
     allowlist: DataFrame | None = None,
     min_chars: int = 1,
+    respect_noindex: bool = True,
 ) -> DataFrame:
     """Annotate raw crawl pages with ``url_canon``, extracted ``text``,
     and ``drop_reason``:
@@ -62,6 +76,8 @@ def preprocess_crawl(
     - ``'bad_url'``             URL does not parse as absolute http(s);
     - ``'blocked_domain'``      host matches ``blocklist`` (suffix match);
     - ``'domain_not_allowed'``  ``allowlist`` given and host matches no entry;
+    - ``'noindex'``             the page carries a robots/googlebot
+      noindex meta directive (``respect_noindex=False`` disables);
     - ``'empty_text'``          extracted text shorter than ``min_chars``;
     - ``'url_dup'``             same ``url_canon`` as a surviving page
       with a smaller id (min-id fetch of each URL survives).
@@ -100,6 +116,10 @@ def preprocess_crawl(
     if allowlist is not None:
         cheap_reason = cheap_reason.when(
             F.col("_allowed").isNull(), F.lit(R_NOT_ALLOWED)
+        )
+    if respect_noindex:
+        cheap_reason = cheap_reason.when(
+            has_noindex(F.col(html_col)), F.lit(R_NOINDEX)
         )
     # explicit NULL arm: length(NULL) is NULL and a NULL predicate never
     # fires — without it a NULL-html row would sail through this gate

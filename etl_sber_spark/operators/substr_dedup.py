@@ -191,3 +191,77 @@ def remove_duplicate_spans(
         ).alias(f"{text_col}_dedup"),
         (F.col("_n") - F.size(F.col("_kept"))).alias("n_tokens_removed"),
     )
+
+
+def line_hashes(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_line_chars: int = 1,
+) -> DataFrame:
+    """(id, pos, line_hash) for every line (newline-split) of at least
+    ``min_line_chars`` after trimming — the paragraph-level analog of
+    :func:`span_hashes` (CCNet, Wenzek et al. 2020, dedups crawls at
+    the paragraph level before any document-level stage). Hashes are
+    over the lowercased trimmed line, so indentation/case variants of
+    boilerplate collapse; reconstruction keeps the original line."""
+    lines = spread(df).select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos0", "line"),
+    )
+    return lines.filter(
+        F.length(F.trim(F.col("line"))) >= min_line_chars
+    ).select(
+        id_col,
+        (F.col("pos0") + 1).alias("pos"),
+        hash64(F.lower(F.trim(F.col("line")))).alias("span_hash"),
+    )
+
+
+def remove_duplicate_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_line_chars: int = 1,
+) -> DataFrame:
+    """``df`` + ``<text_col>_dedup`` (every line whose normalized form
+    already appeared earlier in the corpus — lexicographically first
+    (doc, pos) occurrence — is removed) + ``n_lines_removed``. The
+    CCNet boilerplate remedy: navigation bars, cookie banners and
+    footers repeat verbatim across a domain's pages and survive
+    document-level dedup because the surrounding text differs; at the
+    line level they are exact duplicates.
+
+    Same shuffle shape as :func:`remove_duplicate_spans` (one
+    first-occurrence aggregate, join back, duplicate-sized rebuild);
+    no interval merge — lines are removed independently. Lines shorter
+    than ``min_line_chars`` (after trim) are never candidates (blank
+    lines and stray characters are structure, not boilerplate).
+    """
+    spans = pin(line_hashes(df, id_col, text_col, min_line_chars))
+    dup = duplicate_span_starts(spans, id_col)
+    per_doc = dup.groupBy(id_col).agg(
+        F.sort_array(F.collect_list("pos")).alias("_rm")
+    )
+    out = df.join(per_doc, id_col, "left").withColumn(
+        "_rm", F.coalesce(F.col("_rm"), F.expr("CAST(array() AS array<int>)"))
+    )
+    lines = F.split(F.col(text_col), "\n")
+    kept = F.filter(
+        F.zip_with(
+            lines,
+            F.sequence(F.lit(1), F.size(lines)),
+            lambda t, j: F.struct(t.alias("t"), j.alias("j")),
+        ),
+        lambda s: ~F.array_contains(F.col("_rm"), s["j"]),
+    )
+    staged = out.select(
+        *df.columns, kept.alias("_kept"), F.size(lines).alias("_n")
+    )
+    return staged.select(
+        *df.columns,
+        F.array_join(
+            F.transform(F.col("_kept"), lambda s: s["t"]), "\n"
+        ).alias(f"{text_col}_dedup"),
+        (F.col("_n") - F.size(F.col("_kept"))).alias("n_lines_removed"),
+    )

@@ -119,3 +119,22 @@ def test_reserved_output_columns_rejected(spark):
     )
     with pytest.raises(ValueError, match="text"):
         preprocess_crawl(df)
+
+
+def test_noindex_gate(spark):
+    from etl_sber_spark.operators.crawl import R_NOINDEX
+
+    rows = [
+        (1, "https://site.org/a", f'<meta name="robots" content="noindex">{PAGE}'),
+        (2, "https://site.org/b", PAGE),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, url string, html string")
+    out = {r.doc_id: r for r in preprocess_crawl(df).collect()}
+    assert out[1].drop_reason == R_NOINDEX
+    assert out[2].drop_reason is None
+    # the directive is advisory: respect_noindex=False keeps the page
+    out2 = {
+        r.doc_id: r
+        for r in preprocess_crawl(df, respect_noindex=False).collect()
+    }
+    assert out2[1].drop_reason is None

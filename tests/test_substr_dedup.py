@@ -148,3 +148,80 @@ def test_plan_no_corpus_window_no_pair_product(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "Window\n" not in plan.split("\n\n")[0]
+
+
+BOILER_TOP = "Home | About | Contact"
+BOILER_BOT = "(c) 2024 Example Corp - All Rights Reserved"
+
+
+def test_line_dedup_removes_boilerplate(spark):
+    from etl_sber_spark.operators.substr_dedup import remove_duplicate_lines
+
+    rows = [
+        (1, f"{BOILER_TOP}\nfirst page body text\n\n{BOILER_BOT}"),
+        (2, f"  {BOILER_TOP.upper()}  \nsecond page different body\n{BOILER_BOT}"),
+        (3, "a page with no boilerplate at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {r.doc_id: r for r in remove_duplicate_lines(df).collect()}
+    # first occurrence keeps everything (blank line included)
+    assert out[1].text_dedup == rows[0][1]
+    assert out[1].n_lines_removed == 0
+    # case/indent variants hash identically -> page 2 loses both
+    assert out[2].text_dedup == "second page different body"
+    assert out[2].n_lines_removed == 2
+    assert out[3].n_lines_removed == 0
+
+
+def _py_line_dedup(docs: dict[int, str], min_chars: int = 1):
+    occ: dict[int, list[tuple[int, int]]] = {}
+    for d in sorted(docs):
+        for i, line in enumerate(docs[d].split("\n"), start=1):
+            norm = line.strip().lower()
+            if len(norm) < min_chars:
+                continue
+            occ.setdefault(_h60(norm), []).append((d, i))
+    removal: dict[int, set] = {}
+    for places in occ.values():
+        if len(places) < 2:
+            continue
+        first = min(places)
+        for d, p in places:
+            if (d, p) != first:
+                removal.setdefault(d, set()).add(p)
+    out = {}
+    for d, t in docs.items():
+        lines = t.split("\n")
+        kept = [
+            ln
+            for j, ln in enumerate(lines, start=1)
+            if j not in removal.get(d, set())
+        ]
+        out[d] = ("\n".join(kept), len(lines) - len(kept))
+    return out
+
+
+def test_line_dedup_python_differential(spark):
+    from etl_sber_spark.operators.substr_dedup import remove_duplicate_lines
+
+    # multi-line fixture + the real (single-line) corpus in one frame
+    real = spark.read.parquet(f"{SF_SMALL}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    extra = spark.createDataFrame(
+        [
+            (100001, f"{BOILER_TOP}\nalpha\n{BOILER_BOT}"),
+            (100002, f"{BOILER_TOP}\nbeta\n{BOILER_BOT}"),
+            (100003, "alpha"),  # whole-line dup of 100001's body
+        ],
+        "doc_id bigint, text string",
+    )
+    df = real.union(extra)
+    got = {
+        r.doc_id: (r.text_dedup, r.n_lines_removed)
+        for r in remove_duplicate_lines(df).collect()
+    }
+    want = _py_line_dedup({r.doc_id: r.text for r in df.collect()})
+    assert got == want
+    assert got[100002] == ("beta", 2)
+    assert sum(n for _, n in got.values()) > 2  # real corpus dedups too

@@ -143,3 +143,22 @@ def test_domain_gate_plan_is_equi_joins(spark):
     plan = buf.getvalue()
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+NOINDEX_CASES = [
+    ('<meta name="robots" content="noindex, nofollow">', True),
+    ("<META CONTENT='NOINDEX' NAME='ROBOTS'>", True),  # order + case
+    ('<meta name="googlebot" content="noindex">', True),
+    ('<meta name="robots" content="nofollow">', False),
+    ('<meta name="description" content="noindex tips">', False),
+    ("the word noindex in body text", False),
+    ("<p>no meta at all</p>", False),
+    (None, False),
+]
+
+
+@pytest.mark.parametrize("raw,want", NOINDEX_CASES)
+def test_has_noindex(spark, raw, want):
+    from etl_sber_spark.functions.web import has_noindex
+
+    assert _one(spark, has_noindex(F.col("v")), raw) == want
