@@ -138,3 +138,31 @@ def documents_as_media(documents: DataFrame) -> DataFrame:
             F.col("source"), F.length("text").cast("long").alias("n_bytes")
         ).alias("meta"),
     )
+
+
+def media_exact_duplicates(
+    df: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Byte-exact media dedup: one row per payload group with the
+    min-id keeper and the group size — ``md5`` works directly on
+    ``binary`` columns, so this is the text pipeline's exact-dedup
+    hash-aggregate (operators/dedup.py) applied to media bytes.
+    Identical images/audio re-hosted under different ids collapse
+    JVM-side with ZERO Python and one shuffle on the 128-bit digest;
+    perceptual near-dup would go through the (stubbed) decode path.
+
+    Output: (payload_md5, keep_id, n_copies, ids) — groups only
+    (``n_copies >= 1``); callers semi-join ``keep_id`` for the deduped
+    corpus or filter ``n_copies > 1`` for the duplicate report.
+    """
+    return (
+        df.select(F.col(id_col), F.md5(F.col(payload_col)).alias("payload_md5"))
+        .groupBy("payload_md5")
+        .agg(
+            F.min(F.col(id_col)).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+            F.sort_array(F.collect_list(F.col(id_col))).alias("ids"),
+        )
+    )
