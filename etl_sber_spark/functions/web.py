@@ -98,17 +98,31 @@ def has_noindex(col: Column | str) -> Column:
     HTML — run it BEFORE html_to_text (the tag is markup and would be
     stripped)."""
     h = _c(col)
-    # extract every <meta …> tag, then test name= and content= inside
-    # the SAME tag — attribute order varies in the wild, so a single
-    # ordered regex would miss content-before-name tags
-    metas = F.regexp_extract_all(h, F.lit(r"(?is)(<meta\b[^>]*?>)"), F.lit(1))
+    # extract every <meta …> tag (the _ATTRS body tolerates '>' inside
+    # quoted values — `content="a > b"` must not truncate the tag),
+    # then test name= and content= inside the SAME tag — attribute
+    # order varies in the wild, so one ordered regex would miss
+    # content-before-name tags
+    metas = F.regexp_extract_all(
+        h, F.lit(rf"(?is)(<meta\b{_ATTRS}>)"), F.lit(1)
+    )
+    # noindex must sit INSIDE the content attribute's own value (match
+    # the quoted span, or the unquoted token, as a unit) — a bare
+    # [^>]* scan would run past the closing quote and false-positive on
+    # `content="all" data-note="noindex"`
+    content_noindex = (
+        r"(?is)\bcontent\s*=\s*"
+        r"(\"[^\"]*\bnoindex\b[^\"]*\""
+        r"|'[^']*\bnoindex\b[^']*'"
+        r"|[^\s\"'>]*\bnoindex\b[^\s\"'>]*)"
+    )
     return F.coalesce(
         F.exists(
             metas,
             lambda tag: tag.rlike(
                 r"(?is)\bname\s*=\s*[\"']?\s*(robots|googlebot)\b"
             )
-            & tag.rlike(r"(?is)\bcontent\s*=\s*[\"']?[^>]*\bnoindex\b"),
+            & tag.rlike(content_noindex),
         ),
         F.lit(False),  # NULL html -> not a noindex page
     )

@@ -66,7 +66,9 @@ def corpus_datacard(
     """
     annotated = spread(df).select(
         F.col(id_col),
-        token_count(text_col).alias("_n_tokens"),
+        # coalesce: a NULL-text doc has 0 tokens/chars — an all-NULL
+        # slice would otherwise sum to NULL and crash the card build
+        F.coalesce(token_count(text_col), F.lit(0)).alias("_n_tokens"),
         F.length(F.coalesce(F.col(text_col), F.lit(""))).alias("_n_chars"),
         quality_score(text_col).alias("_quality"),
         (
@@ -96,14 +98,22 @@ def corpus_datacard(
     )
 
     def slice_dict(r) -> dict:
+        # quality may be all-NULL in a slice (NULL-text docs): the mean
+        # and sketch come back NULL — report null, don't crash
         d = {
             "n_docs": int(r["n_docs"]),
             "n_tokens": int(r["n_tokens"]),
             "n_chars": int(r["n_chars"]),
-            "mean_quality": float(r["mean_quality"]),
+            "mean_quality": (
+                float(r["mean_quality"])
+                if r["mean_quality"] is not None
+                else None
+            ),
         }
-        for p, v in zip(PCTS, r["pcts"]):
-            d[f"token_p{int(p * 100)}"] = int(v)
+        pcts = r["pcts"] or []
+        for i, p in enumerate(PCTS):
+            v = pcts[i] if i < len(pcts) else None
+            d[f"token_p{int(p * 100)}"] = int(v) if v is not None else None
         return d
 
     card: dict = {"by_lang": {}, "by_source": {} if source_col else None}

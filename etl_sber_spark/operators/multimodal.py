@@ -144,6 +144,7 @@ def media_exact_duplicates(
     df: DataFrame,
     id_col: str = "media_id",
     payload_col: str = "payload",
+    with_ids: bool = False,
 ) -> DataFrame:
     """Byte-exact media dedup: one row per payload group with the
     min-id keeper and the group size — ``md5`` works directly on
@@ -153,16 +154,26 @@ def media_exact_duplicates(
     JVM-side with ZERO Python and one shuffle on the 128-bit digest;
     perceptual near-dup would go through the (stubbed) decode path.
 
-    Output: (payload_md5, keep_id, n_copies, ids) — groups only
-    (``n_copies >= 1``); callers semi-join ``keep_id`` for the deduped
-    corpus or filter ``n_copies > 1`` for the duplicate report.
+    NULL payloads (fetch/decode failures) are EXCLUDED — md5(NULL)
+    groups every failed fetch into one bogus "duplicate" family, which
+    would silently drop unrelated media as copies of each other.
+
+    Output: (payload_md5, keep_id, n_copies[, ids]) — callers
+    semi-join ``keep_id`` for the deduped corpus or filter
+    ``n_copies > 1`` for the duplicate report. ``with_ids=True`` adds
+    the full member list — a forensics option, NOT for pipelines: a
+    viral payload (tracking pixel) makes the array group-sized,
+    exactly the unbounded-aggregate hazard the keep_id shape avoids.
     """
+    aggs = [
+        F.min(F.col(id_col)).alias("keep_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    ]
+    if with_ids:
+        aggs.append(F.sort_array(F.collect_list(F.col(id_col))).alias("ids"))
     return (
-        df.select(F.col(id_col), F.md5(F.col(payload_col)).alias("payload_md5"))
+        df.filter(F.col(payload_col).isNotNull())
+        .select(F.col(id_col), F.md5(F.col(payload_col)).alias("payload_md5"))
         .groupBy("payload_md5")
-        .agg(
-            F.min(F.col(id_col)).alias("keep_id"),
-            F.count(F.lit(1)).alias("n_copies"),
-            F.sort_array(F.collect_list(F.col(id_col))).alias("ids"),
-        )
+        .agg(*aggs)
     )

@@ -205,16 +205,22 @@ def line_hashes(
     the paragraph level before any document-level stage). Hashes are
     over the lowercased trimmed line, so indentation/case variants of
     boilerplate collapse; reconstruction keeps the original line."""
+    # trim() strips SPACES only: CRLF corpora leave '\r' on every line
+    # and tab indentation survives, so 'footer\r' and 'footer' would
+    # hash apart — normalize with the full-whitespace regexp
+    norm = F.lower(
+        F.regexp_replace(F.col("line"), r"^\s+|\s+$", "")
+    )
     lines = spread(df).select(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), "\n")).alias("pos0", "line"),
     )
-    return lines.filter(
-        F.length(F.trim(F.col("line"))) >= min_line_chars
-    ).select(
-        id_col,
+    return lines.select(
+        F.col(id_col),
         (F.col("pos0") + 1).alias("pos"),
-        hash64(F.lower(F.trim(F.col("line")))).alias("span_hash"),
+        norm.alias("_norm"),
+    ).filter(F.length("_norm") >= min_line_chars).select(
+        id_col, "pos", hash64(F.col("_norm")).alias("span_hash")
     )
 
 

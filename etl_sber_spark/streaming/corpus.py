@@ -39,6 +39,7 @@ from ..operators.dedup import MINHASH_PERMS, _mh_col
 from ..operators.incremental import curate_increment
 from ..sinks.warehouse import Warehouse
 from ..sources.corpus import corrupt_capture_schema, split_documents
+from .idempotent import read_index_excluding, run_idempotent_increments
 
 
 def empty_index(spark: SparkSession, id_col: str = "doc_id") -> DataFrame:
@@ -77,61 +78,38 @@ def stream_corpus_increments(
         .option("maxFilesPerTrigger", str(max_files_per_trigger))
         .json(inbox)
     )
-    marker = f"{curated_table}__applied_batches"
 
-    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
-        # fast-skip for fully-applied batches (correctness does not
-        # depend on it: every write below is a batch_id-partition
-        # OVERWRITE, so replaying a half-applied batch rewrites the
-        # same partitions instead of appending duplicates)
-        if wh.has_data(marker):
-            # explicit select: batch_id is the PARTITION column, so a
-            # positional r[0] on the raw read would grab 'applied'
-            done = {
-                r[0] for r in wh.read(marker).select("batch_id").collect()
-            }
-            if batch_id in done:
-                print(f"[stream_corpus] batch {batch_id} already applied")
-                return
+    def transform(batch_df: DataFrame, batch_id: int) -> dict[str, DataFrame]:
         # the SAME split the batch reader uses (sources/corpus.py) —
         # batch and stream ingestion cannot drift
         good, bad = split_documents(batch_df)
         good = good.localCheckpoint(eager=True)  # read twice (curate + write)
 
-        index = (
-            wh.read(index_table).drop("batch_id")
-            if wh.has_data(index_table)
-            else empty_index(spark)
-        )
+        # read_index_excluding: a crash-between-writes replay must not
+        # match the batch against its OWN half-written signatures —
+        # the whole batch would re-curate as near-dup-of-itself
+        # (the crawl-stream review finding; same hazard here)
+        index = read_index_excluding(wh, index_table, batch_id)
+        if index is None:
+            index = empty_index(spark)
         annotated, keeper_sigs = curate_increment(
             good,
             index,
             est_threshold=est_threshold,
             exact_threshold=exact_threshold,
         )
-        bid = F.lit(batch_id)
-        wh.overwrite_partitions(
-            annotated.withColumn("batch_id", bid), curated_table, ["batch_id"]
-        )
-        wh.overwrite_partitions(
-            keeper_sigs.withColumn("batch_id", bid), index_table, ["batch_id"]
-        )
-        if not bad.isEmpty():
-            wh.overwrite_partitions(
-                bad.withColumn("batch_id", bid), quarantine_table, ["batch_id"]
-            )
-        wh.overwrite_partitions(
-            spark.createDataFrame([(batch_id,)], "batch_id bigint")
-            .withColumn("applied", F.lit(True)),
-            marker,
-            ["batch_id"],
-        )
+        return {
+            curated_table: annotated,
+            index_table: keeper_sigs,
+            quarantine_table: bad,
+        }
 
-    writer = raw.writeStream.foreachBatch(apply_batch).option(
-        "checkpointLocation", checkpoint_dir
+    return run_idempotent_increments(
+        spark,
+        raw,
+        wh,
+        checkpoint_dir,
+        f"{curated_table}__applied_batches",
+        transform,
+        processing_time,
     )
-    if processing_time:
-        writer = writer.trigger(processingTime=processing_time)
-    else:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()

@@ -33,6 +33,7 @@ from pyspark.sql.streaming import StreamingQuery
 from ..operators.crawl import R_URL_DUP, preprocess_crawl
 from ..sinks.warehouse import Warehouse
 from ..sources.corpus import corrupt_capture_schema, split_documents
+from .idempotent import read_index_excluding, run_idempotent_increments
 
 #: raw fetcher drop: id + url are required; html may be NULL (fetch
 #: failure — preprocess_crawl drops it as empty_text, keeping the row
@@ -78,16 +79,8 @@ def stream_crawl_increments(
         .option("maxFilesPerTrigger", str(max_files_per_trigger))
         .json(inbox)
     )
-    marker = f"{pages_table}__applied_batches"
 
-    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
-        if wh.has_data(marker):
-            done = {
-                r[0] for r in wh.read(marker).select("batch_id").collect()
-            }
-            if batch_id in done:
-                print(f"[stream_crawl] batch {batch_id} already applied")
-                return
+    def transform(batch_df: DataFrame, batch_id: int) -> dict[str, DataFrame]:
         good, bad = split_documents(batch_df, PAGE_SCHEMA, PAGE_REQUIRED)
         annotated = preprocess_crawl(
             good,
@@ -97,11 +90,15 @@ def stream_crawl_increments(
         ).localCheckpoint(eager=True)  # consumed by 2 writes + the index diff
 
         # cross-batch URL dedup: in-batch keepers whose canonical URL
-        # the index already holds were fetched by an earlier crawl
-        if wh.has_data(url_index_table):
+        # the index already holds were fetched by an EARLIER crawl.
+        # read_index_excluding drops this batch's own partition — on a
+        # crash-between-writes replay the half-written index would
+        # otherwise re-mark the batch's own keepers as url_dup
+        # (review finding, pinned by test_crawl_stream_replay_is_idempotent)
+        index = read_index_excluding(wh, url_index_table, batch_id)
+        if index is not None:
             index_urls = (
-                wh.read(url_index_table)
-                .select("url_canon")
+                index.select("url_canon")
                 .distinct()
                 .withColumn("_in_index", F.lit(True))
             )
@@ -117,31 +114,18 @@ def stream_crawl_increments(
                 .drop("_in_index")
             )
         keepers = annotated.filter(F.col("drop_reason").isNull())
-        bid = F.lit(batch_id)
-        wh.overwrite_partitions(
-            annotated.withColumn("batch_id", bid), pages_table, ["batch_id"]
-        )
-        wh.overwrite_partitions(
-            keepers.select("url_canon", "doc_id").withColumn("batch_id", bid),
-            url_index_table,
-            ["batch_id"],
-        )
-        if not bad.isEmpty():
-            wh.overwrite_partitions(
-                bad.withColumn("batch_id", bid), quarantine_table, ["batch_id"]
-            )
-        wh.overwrite_partitions(
-            spark.createDataFrame([(batch_id,)], "batch_id bigint")
-            .withColumn("applied", F.lit(True)),
-            marker,
-            ["batch_id"],
-        )
+        return {
+            pages_table: annotated,
+            url_index_table: keepers.select("url_canon", "doc_id"),
+            quarantine_table: bad,
+        }
 
-    writer = raw.writeStream.foreachBatch(apply_batch).option(
-        "checkpointLocation", checkpoint_dir
+    return run_idempotent_increments(
+        spark,
+        raw,
+        wh,
+        checkpoint_dir,
+        f"{pages_table}__applied_batches",
+        transform,
+        processing_time,
     )
-    if processing_time:
-        writer = writer.trigger(processingTime=processing_time)
-    else:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()

@@ -96,4 +96,7 @@ def test_crawl_stream_replay_is_idempotent(spark, tmp_path):
     _run(spark, inbox, wh, tmp_path / "ck2")
     pages = wh.read("crawl_pages").collect()
     assert len(pages) == 1 and pages[0].doc_id == 1
+    # the replay must NOT match the batch against its own half-written
+    # index rows (the keeper would corrupt into url_dup)
+    assert pages[0].drop_reason is None
     assert wh.read("url_index").count() == 1

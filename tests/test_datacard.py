@@ -59,3 +59,16 @@ def test_file_round_trip(spark, tmp_path):
     card = corpus_datacard(df, lang_col="lang", source_col="source", path=out)
     on_disk = json.load(open(os.path.join(out, "datacard.json")))
     assert on_disk == card
+
+
+def test_null_text_slice_reports_instead_of_crashing(spark):
+    """An all-NULL-text slice (lang_id(NULL) -> 'und') must produce a
+    null-quality slice row, not a TypeError."""
+    rows = [(1, "a real english document here"), (2, None), (3, None)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    card = corpus_datacard(df)
+    assert card["n_docs"] == 3
+    und = card["by_lang"]["und"]
+    assert und["n_docs"] == 2
+    assert und["n_tokens"] == 0 and und["n_chars"] == 0
+    assert und["mean_quality"] is None

@@ -59,8 +59,16 @@ def test_full_delivery_pipeline(spark, tmp_path):
     assert packed.filter(
         (F.col("bin_offset") < 0) | (F.col("bin_offset") >= budget)
     ).count() == 0
-    # conservation: token totals survive packing untouched
+    # conservation: packing's token total equals the same tokenizer
+    # run directly over the train split — packing neither drops nor
+    # double-counts tokens
+    from etl_sber_spark.functions.text import bpe_ish_tokens
+
     t_train = packed.agg(F.sum("n_tokens")).collect()[0][0]
+    t_direct = train.agg(
+        F.sum(F.size(bpe_ish_tokens(F.col("text"))))
+    ).collect()[0][0]
+    assert t_train == t_direct
 
     # 5. export shards + manifest + datacard, shuffled training order
     out = str(tmp_path / "delivery")
@@ -74,7 +82,6 @@ def test_full_delivery_pipeline(spark, tmp_path):
 
     assert manifest["n_rows"] == n_train == card["n_docs"]
     assert card["n_tokens"] == manifest["n_tokens"]  # same whitespace count
-    assert t_train > 0  # packing counted BPE-ish tokens; both totals real
     assert os.path.exists(os.path.join(out, "manifest.json"))
     assert json.load(open(os.path.join(out, "datacard.json"))) == card
     back = spark.read.json(out)

@@ -225,3 +225,21 @@ def test_line_dedup_python_differential(spark):
     assert got == want
     assert got[100002] == ("beta", 2)
     assert sum(n for _, n in got.values()) > 2  # real corpus dedups too
+
+
+def test_line_dedup_crlf_and_tabs_collapse(spark):
+    """CRLF line endings and tab indentation are normalization noise —
+    'footer\\r' and '\\tfooter' must hash with 'footer'."""
+    from etl_sber_spark.operators.substr_dedup import remove_duplicate_lines
+
+    rows = [
+        (1, "unique one\nfooter"),
+        (2, "unique two\r\nfooter\r"),   # CRLF doc
+        (3, "unique three\n\tFooter  "),  # tab + case + trailing spaces
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {r.doc_id: r for r in remove_duplicate_lines(df).collect()}
+    assert out[1].n_lines_removed == 0
+    assert out[2].n_lines_removed == 1
+    assert out[3].n_lines_removed == 1
+    assert "ooter" not in out[2].text_dedup + out[3].text_dedup

@@ -162,3 +162,20 @@ def test_has_noindex(spark, raw, want):
     from etl_sber_spark.functions.web import has_noindex
 
     assert _one(spark, has_noindex(F.col("v")), raw) == want
+
+
+NOINDEX_EDGE_CASES = [
+    # noindex in a LATER attribute, not in content= -> must not flag
+    ('<meta name="robots" content="all" data-note="noindex">', False),
+    # '>' inside the quoted content value must not truncate the tag
+    ('<meta content="a > b, noindex" name="robots">', True),
+    # unquoted content value
+    ("<meta name=robots content=noindex>", True),
+]
+
+
+@pytest.mark.parametrize("raw,want", NOINDEX_EDGE_CASES)
+def test_has_noindex_edges(spark, raw, want):
+    from etl_sber_spark.functions.web import has_noindex
+
+    assert _one(spark, has_noindex(F.col("v")), raw) == want
