@@ -60,6 +60,7 @@ def stream_crawl_increments(
     blocklist: DataFrame | None = None,
     allowlist: DataFrame | None = None,
     min_chars: int = 1,
+    respect_noindex: bool = True,
     max_files_per_trigger: int = 1,
     processing_time: str | None = None,
 ) -> StreamingQuery:
@@ -87,6 +88,7 @@ def stream_crawl_increments(
             blocklist=blocklist,
             allowlist=allowlist,
             min_chars=min_chars,
+            respect_noindex=respect_noindex,
         ).localCheckpoint(eager=True)  # consumed by 2 writes + the index diff
 
         # cross-batch URL dedup: in-batch keepers whose canonical URL

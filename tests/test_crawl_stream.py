@@ -100,3 +100,58 @@ def test_crawl_stream_replay_is_idempotent(spark, tmp_path):
     # index rows (the keeper would corrupt into url_dup)
     assert pages[0].drop_reason is None
     assert wh.read("url_index").count() == 1
+
+
+def test_crawl_cli_subprocess(tmp_path):
+    """The cron-shaped crawl CLI: two invocations over a growing inbox
+    behave as two increments, with a domain blocklist file."""
+    import subprocess
+    import sys
+
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    wh_dir = str(tmp_path / "wh")
+    bl = tmp_path / "block.txt"
+    bl.write_text("bad.net\n\n")
+    _write_jsonl(
+        inbox / "b1.jsonl",
+        [
+            {"doc_id": 1, "url": "https://site.org/a", "html": HTML_A},
+            {"doc_id": 2, "url": "https://x.bad.net/y", "html": HTML_B},
+        ],
+    )
+
+    def run():
+        out = subprocess.run(
+            [
+                sys.executable,
+                "-m",
+                "etl_sber_spark.crawl_cli",
+                "--inbox",
+                str(inbox),
+                "--warehouse",
+                wh_dir,
+                "--blocklist",
+                str(bl),
+            ],
+            capture_output=True,
+            text=True,
+            cwd="/root/repo",
+            timeout=600,
+        )
+        assert out.returncode == 0, out.stderr[-2000:]
+        return json.loads(out.stdout.strip().splitlines()[-1])
+
+    r1 = run()
+    assert r1["pages_total"] == 2 and r1["kept_total"] == 1
+    assert r1["dropped"] == {"blocked_domain": 1}
+    assert r1["url_index_size"] == 1
+
+    _write_jsonl(
+        inbox / "b2.jsonl",
+        [{"doc_id": 3, "url": "https://www.site.org/a/", "html": HTML_A}],
+    )
+    r2 = run()  # URL-variant refetch dedupes against the index
+    assert r2["pages_total"] == 3 and r2["kept_total"] == 1
+    assert r2["dropped"]["url_dup"] == 1
+    assert r2["url_index_size"] == 1
