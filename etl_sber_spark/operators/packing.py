@@ -168,3 +168,99 @@ def pack_documents(
             )
         ).alias("spans_bins"),
     )
+
+
+def materialize_bins(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    budget: int = 2048,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Emit the actual packed training sequences: one row per bin with
+    the concatenated token array and the document-boundary metadata a
+    trainer needs for attention masking / loss boundaries.
+
+    Output: ``bin_id``, ``tokens`` (array<string>, exactly ``budget``
+    long for every bin except the last of each bucket), ``docs``
+    (array<struct<doc_id, start, n>> — where each document's fragment
+    sits inside the bin, in order).
+
+    Mechanics: re-derive the :func:`pack_documents` assignment (same
+    tokenizer, same window), then explode each document into its bin
+    FRAGMENTS — a doc starting at ``bin_offset`` o with T tokens
+    occupies ceil((o+T)/budget) consecutive bins of its bucket, each
+    fragment a ``slice`` of the token array — and reassemble per bin
+    with one groupBy (sort by offset, flatten). Two shuffles total
+    (the pack window + the bin groupBy); fragments are computed with
+    ``sequence``/``transform`` — no Python, no driver data.
+
+    Zero-token documents occupy no bin and are absent from the output
+    (consistent with ``pack_documents``'s n_tokens > 0 span guard).
+    """
+    packed = pack_documents(
+        df, id_col=id_col, text_col=text_col, budget=budget, n_buckets=n_buckets
+    )
+    toks = df.select(
+        F.col(id_col), bpe_ish_tokens(F.col(text_col)).alias("_toks")
+    )
+    j = packed.join(toks, id_col).filter(F.col("n_tokens") > 0)
+    b = F.lit(budget)
+    # fragment i of a doc: tokens [s_i, e_i) land in bin_id + i at
+    # in-bin offset (bin_offset if i == 0 else 0)
+    frags = j.select(
+        id_col,
+        F.posexplode(
+            F.transform(
+                F.sequence(
+                    F.lit(0),
+                    F.floor(
+                        (F.col("bin_offset") + F.col("n_tokens") - 1) / b
+                    ).cast("int"),
+                ),
+                lambda i: F.struct(
+                    (F.col("bin_id") + i).alias("bin_id"),
+                    F.when(i == 0, F.col("bin_offset"))
+                    .otherwise(F.lit(0))
+                    .alias("at"),
+                    # token slice bounds within the doc (0-based)
+                    F.when(i == 0, F.lit(0))
+                    .otherwise(b * i - F.col("bin_offset"))
+                    .alias("s"),
+                    F.least(
+                        F.col("n_tokens"), b * (i + 1) - F.col("bin_offset")
+                    ).alias("e"),
+                ),
+            )
+        ).alias("_i", "f"),
+        "_toks",
+    ).select(
+        F.col("f.bin_id").alias("bin_id"),
+        F.col("f.at").alias("at"),
+        F.col(id_col),
+        F.slice(
+            "_toks", F.col("f.s").cast("int") + 1, (F.col("f.e") - F.col("f.s")).cast("int")
+        ).alias("frag"),
+    )
+    return (
+        frags.groupBy("bin_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col("at"), F.col(id_col), F.col("frag"))
+                )
+            ).alias("_frags")
+        )
+        .select(
+            "bin_id",
+            F.flatten(F.col("_frags").getField("frag")).alias("tokens"),
+            F.transform(
+                F.col("_frags"),
+                lambda s: F.struct(
+                    s[id_col].alias("doc_id"),
+                    s["at"].cast("int").alias("start"),
+                    F.size(s["frag"]).alias("n"),
+                ),
+            ).alias("docs"),
+        )
+    )

@@ -11,6 +11,8 @@ from pyspark.sql import functions as F
 
 from etl_sber_spark.operators.packing import chunk_tokens, pack_documents
 
+from .conftest import SF_SMALL
+
 
 @pytest.fixture(scope="module")
 def docs(spark):
@@ -97,3 +99,86 @@ def test_packing_deterministic_and_hash_stable(spark):
     sub_buckets = {r.doc_id: r.bucket for r in pack_documents(sub).collect()}
     for k, v in sub_buckets.items():
         assert a[k][0] == v
+
+
+def test_materialize_bins_fixture(spark):
+    """budget=8, one bucket: exact layout, spanning fragments, and
+    boundary metadata."""
+    from etl_sber_spark.operators.packing import materialize_bins
+
+    rows = [
+        (1, "a b c d e"),          # 5 tokens -> bin0 [0,5)
+        (2, "f g h i j k"),        # 6 tokens -> bin0 [5,8) + bin1 [0,3)
+        (3, "l m n o p q r"),      # 7 tokens -> bin1 [3,8) + bin2 [0,2)
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    bins = {
+        r.bin_id: r
+        for r in materialize_bins(df, budget=8, n_buckets=1).collect()
+    }
+    assert sorted(bins) == [0, 1, 2]
+    assert bins[0].tokens == list("abcdefgh")
+    assert bins[1].tokens == list("ijklmnop")
+    assert bins[2].tokens == list("qr")
+    assert [d.asDict() for d in bins[0].docs] == [
+        {"doc_id": 1, "start": 0, "n": 5},
+        {"doc_id": 2, "start": 5, "n": 3},
+    ]
+    assert [d.asDict() for d in bins[1].docs] == [
+        {"doc_id": 2, "start": 0, "n": 3},
+        {"doc_id": 3, "start": 3, "n": 5},
+    ]
+    assert [d.asDict() for d in bins[2].docs] == [
+        {"doc_id": 3, "start": 0, "n": 2}
+    ]
+
+
+def test_materialize_bins_laws_real_corpus(spark):
+    """Conservation laws on the real corpus: full bins are exactly
+    budget-sized, and every document's fragments reconstruct its token
+    sequence in order."""
+    from etl_sber_spark.functions.text import bpe_ish_tokens
+    from etl_sber_spark.operators.packing import materialize_bins
+
+    df = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    budget, n_buckets = 128, 4
+    out = materialize_bins(df, budget=budget, n_buckets=n_buckets).collect()
+
+    # docs metadata is consistent with the token payload
+    for r in out:
+        assert sum(d.n for d in r.docs) == len(r.tokens)
+        pos = 0
+        for d in r.docs:
+            assert d.start == pos
+            pos += d.n
+    # all but the last bin of each bucket hold exactly `budget` tokens
+    by_bucket = {}
+    for r in out:
+        by_bucket.setdefault(r.bin_id >> 32, []).append(r)
+    for bucket_bins in by_bucket.values():
+        bucket_bins.sort(key=lambda r: r.bin_id)
+        for r in bucket_bins[:-1]:
+            assert len(r.tokens) == budget
+        assert 0 < len(bucket_bins[-1].tokens) <= budget
+
+    # reconstruction: fragments, ordered by bin, rebuild each doc
+    frags = {}
+    for r in out:
+        pos = 0
+        for d in r.docs:
+            frags.setdefault(d.doc_id, []).append(
+                (r.bin_id, r.tokens[pos : pos + d.n])
+            )
+            pos += d.n
+    want = {
+        r.doc_id: r.toks
+        for r in df.select(
+            "doc_id", bpe_ish_tokens(F.col("text")).alias("toks")
+        ).collect()
+        if r.toks
+    }
+    got = {
+        d: [t for _, frag in sorted(fs) for t in frag]
+        for d, fs in frags.items()
+    }
+    assert got == want
