@@ -243,3 +243,17 @@ def test_line_dedup_crlf_and_tabs_collapse(spark):
     assert out[2].n_lines_removed == 1
     assert out[3].n_lines_removed == 1
     assert "ooter" not in out[2].text_dedup + out[3].text_dedup
+
+
+def test_line_dedup_idempotent_real_corpus(spark):
+    """After one pass every normalized line is unique corpus-wide, so a
+    second pass removes nothing (unlike span dedup, where cut seams may
+    form new windows — documented there)."""
+    from etl_sber_spark.operators.substr_dedup import remove_duplicate_lines
+
+    df = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    once = remove_duplicate_lines(df).select(
+        "doc_id", F.col("text_dedup").alias("text")
+    )
+    twice = remove_duplicate_lines(once)
+    assert twice.filter(F.col("n_lines_removed") > 0).count() == 0

@@ -179,3 +179,32 @@ def test_has_noindex_edges(spark, raw, want):
     from etl_sber_spark.functions.web import has_noindex
 
     assert _one(spark, has_noindex(F.col("v")), raw) == want
+
+
+def test_normalize_url_idempotent(spark):
+    """normalize(normalize(u)) == normalize(u) over a component grid —
+    canonical forms must be fixed points, or dedup keys drift when a
+    pipeline canonicalizes twice."""
+    import itertools
+
+    urls = [
+        f"{s}://{h}{p}{path}{q}{f}"
+        for s, h, p, path, q, f in itertools.product(
+            ["https", "HTTP"],
+            ["www.Site.org", "a.b.example.com", "localhost"],
+            ["", ":443", ":80", ":8080"],
+            ["", "/", "/x/y/", "/x%20y"],
+            ["", "?b=2&a=1", "?utm_source=t&a=1", "?ref"],
+            ["", "#frag"],
+        )
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "v string")
+    once = df.select(normalize_url("v").alias("c")).filter(
+        F.col("c").isNotNull()
+    )
+    twice = once.select(
+        F.col("c"), normalize_url("c").alias("c2")
+    ).collect()
+    assert len(twice) > 100  # the grid really produced parseable URLs
+    for r in twice:
+        assert r.c2 == r.c, (r.c, r.c2)
