@@ -340,20 +340,28 @@ def nearest_centroids_expr(
     this is how assignment stays shuffle-free, and the exact algebra the
     q_ivf_topk DuckDB oracle replays."""
     c = F.col(qv_col) if isinstance(qv_col, str) else qv_col
-    # Each centroid is ONE array literal (F.lit(list)), not a
-    # CreateArray of 64 primitive literals: non-primitive literals are
-    # codegen reference objects, so the generated source is IDENTICAL
-    # across Lloyd iterations and the janino cache hits — per-iteration
-    # recompilation of the 8×64-constant expression dominated training
-    # wall-clock before this (3.3s -> ~1s for 3 iterations at sf0.1).
-    structs = F.array(
-        *[
-            F.struct(
-                F.round(_sq_dist(c, F.lit(vec)), SIM_SCALE).alias("d"),
-                F.lit(cid).cast("int").alias("centroid_id"),
-            )
-            for cid, vec in cent_rows
-        ]
+    # ALL centroids travel as ONE nested array literal (plus one id
+    # array), so the expression tree is k-INDEPENDENT: the per-centroid
+    # distance is a zip_with lambda over the literal matrix instead of
+    # k unrolled subtrees. Two wins, both measured at sf0.1/k=16:
+    # per-iteration Catalyst analysis+codegen cost stops growing with k
+    # (the unrolled 16-struct tree made each Lloyd iteration
+    # seconds-slow in PLANNING), and literals stay codegen reference
+    # objects, so the generated source is IDENTICAL across Lloyd
+    # iterations and the janino cache hits (the round-3 fix this
+    # supersedes). Semantics are bit-identical to the unrolled form:
+    # same fold order inside _sq_dist, same rounding, same
+    # (d, centroid_id) sort — the q_ivf_topk DuckDB oracle still
+    # hash-matches.
+    ids = F.lit([int(cid) for cid, _ in cent_rows])
+    vecs = F.lit([[float(x) for x in vec] for _, vec in cent_rows])
+    structs = F.zip_with(
+        vecs,
+        ids,
+        lambda v, cid: F.struct(
+            F.round(_sq_dist(c, v), SIM_SCALE).alias("d"),
+            cid.cast("int").alias("centroid_id"),
+        ),
     )
     return F.transform(
         F.slice(F.array_sort(structs), 1, min(n_probe, len(cent_rows))),
