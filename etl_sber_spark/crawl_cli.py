@@ -3,7 +3,9 @@
 One stage upstream of ``python -m etl_sber_spark.corpus_cli``: drain a
 raw-page JSONL inbox (doc_id, url, html) as ONE availableNow pass of
 the crawl stream — extract, canonicalize, gate, dedupe against the
-persisted URL index — then print the run's funnel as one JSON line::
+persisted URL index — then print the warehouse's CUMULATIVE funnel
+(all runs to date, not just this increment — diff two runs' lines for
+per-run throughput) as one JSON line::
 
     python -m etl_sber_spark.crawl_cli \
         --inbox /data/fetch_inbox --warehouse /data/crawl_wh \
@@ -86,6 +88,9 @@ def main(argv: list[str] | None = None) -> int:
     )
     q.awaitTermination()
 
+    def _count(table: str) -> int:
+        return wh.read(table).count() if wh.has_data(table) else 0
+
     funnel: dict[str, int] = {}
     kept = 0
     if wh.has_data("crawl_pages"):
@@ -96,6 +101,7 @@ def main(argv: list[str] | None = None) -> int:
                 kept = r["count"]
             else:
                 funnel[r["drop_reason"]] = r["count"]
+    # cumulative warehouse totals (see module docstring)
     print(
         json.dumps(
             {
@@ -103,16 +109,8 @@ def main(argv: list[str] | None = None) -> int:
                 "pages_total": kept + sum(funnel.values()),
                 "kept_total": kept,
                 "dropped": funnel,
-                "url_index_size": (
-                    wh.read("url_index").count()
-                    if wh.has_data("url_index")
-                    else 0
-                ),
-                "quarantined_total": (
-                    wh.read("crawl_quarantine").count()
-                    if wh.has_data("crawl_quarantine")
-                    else 0
-                ),
+                "url_index_size": _count("url_index"),
+                "quarantined_total": _count("crawl_quarantine"),
             },
             sort_keys=True,
         )

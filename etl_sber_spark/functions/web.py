@@ -137,7 +137,10 @@ def normalize_url(col: Column | str, strip_www: bool = True) -> Column:
     proto = F.lower(F.try_parse_url(u, F.lit("PROTOCOL")))
     host = F.lower(F.try_parse_url(u, F.lit("HOST")))
     if strip_www:
-        host = F.regexp_replace(host, r"^www\.", "")
+        # (www.)+ — stacked www labels must strip in ONE pass or the
+        # canonical form is not a fixed point (www.www.x -> www.x ->
+        # x across two normalizations = drifting dedup keys)
+        host = F.regexp_replace(host, r"^(www\.)+", "")
     # AUTHORITY carries the explicit port; keep only non-default ones
     auth = F.lower(F.try_parse_url(u, F.lit("AUTHORITY")))
     port = F.regexp_extract(auth, r":(\d+)$", 1)

@@ -127,8 +127,6 @@ def pack_documents(
     is codegen. Buckets pack independently — see module docstring for
     why this is the scalable shape.
     """
-    from pyspark.sql import Window
-
     n_toks = (
         tokens_col
         if tokens_col is not None
@@ -139,6 +137,18 @@ def pack_documents(
         n_toks.cast("long").alias("n_tokens"),
         F.pmod(hash64(F.col(id_col)), F.lit(n_buckets)).cast("int").alias("bucket"),
     )
+    return _assign_bins(base, id_col, budget)
+
+
+def _assign_bins(base: DataFrame, id_col: str, budget: int) -> DataFrame:
+    """The single implementation of the concat-and-split assignment
+    algebra, shared by :func:`pack_documents` and
+    :func:`materialize_bins` (so the two can never drift): ``base``
+    must carry ``id_col``, ``n_tokens``, ``bucket``; every other
+    column rides along (materialize_bins passes the token arrays
+    through the window shuffle instead of paying a join later)."""
+    from pyspark.sql import Window
+
     w = (
         Window.partitionBy("bucket")
         .orderBy(id_col)
@@ -146,9 +156,7 @@ def pack_documents(
     )
     cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
     return base.select(
-        id_col,
-        "n_tokens",
-        "bucket",
+        *base.columns,
         (
             F.col("bucket").cast("long") * F.lit(2**32)
             + F.floor(cum_before / F.lit(budget))
@@ -186,25 +194,33 @@ def materialize_bins(
     (array<struct<doc_id, start, n>> — where each document's fragment
     sits inside the bin, in order).
 
-    Mechanics: re-derive the :func:`pack_documents` assignment (same
-    tokenizer, same window), then explode each document into its bin
-    FRAGMENTS — a doc starting at ``bin_offset`` o with T tokens
+    Mechanics: tokenize ONCE and run the shared assignment algebra
+    (:func:`_assign_bins` — the same window :func:`pack_documents`
+    uses, so the two cannot drift) with the token arrays riding
+    through the window shuffle; then explode each document into its
+    bin FRAGMENTS — a doc starting at ``bin_offset`` o with T tokens
     occupies ceil((o+T)/budget) consecutive bins of its bucket, each
     fragment a ``slice`` of the token array — and reassemble per bin
-    with one groupBy (sort by offset, flatten). Two shuffles total
-    (the pack window + the bin groupBy); fragments are computed with
-    ``sequence``/``transform`` — no Python, no driver data.
+    with one groupBy (sort by offset, flatten). Exactly TWO shuffles
+    (plan-pinned in test_packing.py): the pack window and the bin
+    groupBy — carrying tokens through the window is strictly cheaper
+    than the earlier assignment⋈tokens join, which cost two extra
+    corpus-sized exchanges. Fragments are ``sequence``/``transform``
+    — no Python, no driver data.
 
     Zero-token documents occupy no bin and are absent from the output
     (consistent with ``pack_documents``'s n_tokens > 0 span guard).
     """
-    packed = pack_documents(
-        df, id_col=id_col, text_col=text_col, budget=budget, n_buckets=n_buckets
+    base = df.select(
+        F.col(id_col),
+        bpe_ish_tokens(F.col(text_col)).alias("_toks"),
+    ).select(
+        F.col(id_col),
+        F.col("_toks"),
+        F.size("_toks").cast("long").alias("n_tokens"),
+        F.pmod(hash64(F.col(id_col)), F.lit(n_buckets)).cast("int").alias("bucket"),
     )
-    toks = df.select(
-        F.col(id_col), bpe_ish_tokens(F.col(text_col)).alias("_toks")
-    )
-    j = packed.join(toks, id_col).filter(F.col("n_tokens") > 0)
+    j = _assign_bins(base, id_col, budget).filter(F.col("n_tokens") > 0)
     b = F.lit(budget)
     # fragment i of a doc: tokens [s_i, e_i) land in bin_id + i at
     # in-bin offset (bin_offset if i == 0 else 0)

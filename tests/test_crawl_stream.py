@@ -4,6 +4,7 @@ dedup against the persisted index, quarantine, replay idempotence."""
 from __future__ import annotations
 
 import json
+from pathlib import Path
 
 from pyspark.sql import functions as F
 
@@ -136,7 +137,7 @@ def test_crawl_cli_subprocess(tmp_path):
             ],
             capture_output=True,
             text=True,
-            cwd="/root/repo",
+            cwd=str(Path(__file__).resolve().parents[1]),
             timeout=600,
         )
         assert out.returncode == 0, out.stderr[-2000:]

@@ -182,3 +182,20 @@ def test_materialize_bins_laws_real_corpus(spark):
         for d, fs in frags.items()
     }
     assert got == want
+
+
+def test_materialize_bins_two_shuffles(spark):
+    """Tokens ride the pack window shuffle — no assignment⋈tokens join
+    (which cost two extra corpus-sized exchanges before the shared
+    _assign_bins refactor). Exactly: window exchange + bin groupBy."""
+    import contextlib, io
+
+    from etl_sber_spark.operators.packing import materialize_bins
+
+    df = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        materialize_bins(df, budget=128, n_buckets=4).explain("formatted")
+    tree = buf.getvalue().split("\n\n")[0]
+    assert tree.count("Exchange") == 2, tree
+    assert "Join" not in tree

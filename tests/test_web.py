@@ -208,3 +208,8 @@ def test_normalize_url_idempotent(spark):
     assert len(twice) > 100  # the grid really produced parseable URLs
     for r in twice:
         assert r.c2 == r.c, (r.c, r.c2)
+
+
+def test_stacked_www_strips_in_one_pass(spark):
+    got = _one(spark, normalize_url(F.col("v")), "https://www.www.example.com/x")
+    assert got == "https://example.com/x"
