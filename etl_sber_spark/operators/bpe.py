@@ -230,3 +230,35 @@ def bpe_encode(
             ).getField("subwords")
         ).alias("subwords")
     )
+
+
+def save_merges(wh, merges: list[tuple[str, str, int]], name: str = "bpe_merges") -> None:
+    """Persist a trained merge table as a VERSIONED warehouse artifact
+    (sinks/warehouse.py swap layout): the tokenizer that produced a
+    training run is then itself time-travelable (``wh.read(name,
+    version=n)``) — retrain drift between corpus versions is a diff of
+    two tiny tables, and a delivery pipeline reloads the exact
+    tokenizer its data was encoded with. ``rank`` preserves merge
+    order (the table IS order-sensitive)."""
+    spark = wh.spark
+    rows = [
+        (i, left, right, int(cnt)) for i, (left, right, cnt) in enumerate(merges)
+    ]
+    wh.overwrite_versioned(
+        spark.createDataFrame(
+            rows, "rank int, left string, right string, pair_count bigint"
+        ),
+        name,
+    )
+
+
+def load_merges(wh, name: str = "bpe_merges", version: int | None = None) -> list[tuple[str, str, int]]:
+    """Reload a merge table saved by :func:`save_merges`, in training
+    order — the exact shape :func:`encode_words` / :func:`bpe_encode`
+    consume."""
+    return [
+        (r["left"], r["right"], int(r["pair_count"]))
+        for r in sorted(
+            wh.read(name, version=version).collect(), key=lambda r: r["rank"]
+        )
+    ]

@@ -213,3 +213,39 @@ def test_dictionary_pass_is_single_aggregate(spark):
     plan = bpe.word_frequencies(_docs(spark))._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan
     assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_merge_table_round_trip_versioned(spark, tmp_path):
+    """save_merges/load_merges: the tokenizer is a versioned warehouse
+    artifact — reload is exact and order-preserving, and the previous
+    training survives as a queryable version."""
+    from etl_sber_spark.operators.bpe import (
+        bpe_encode,
+        load_merges,
+        save_merges,
+        train_bpe,
+        word_frequencies,
+    )
+    from etl_sber_spark.sinks.warehouse import Warehouse
+
+    df = spark.createDataFrame(
+        [(1, "low low low lower lowest"), (2, "new newer newest low")],
+        "doc_id int, text string",
+    )
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    m1 = train_bpe(word_frequencies(df), n_merges=5)
+    save_merges(wh, m1)
+    assert load_merges(wh) == m1
+
+    m2 = train_bpe(word_frequencies(df), n_merges=2)
+    save_merges(wh, m2)
+    assert load_merges(wh) == m2
+    assert load_merges(wh, version=1) == m1  # time travel to the old tokenizer
+
+    # the reloaded table encodes identically to the in-memory one
+    a = {r.doc_id: list(r.subwords) for r in bpe_encode(df, m1).collect()}
+    b = {
+        r.doc_id: list(r.subwords)
+        for r in bpe_encode(df, load_merges(wh, version=1)).collect()
+    }
+    assert a == b
