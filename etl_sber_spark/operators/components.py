@@ -178,3 +178,42 @@ def dedup_clusters(
             F.coalesce(F.col("component"), F.col(id_col)) == F.col(id_col)
         ).alias("is_cluster_min"),
     )
+
+
+def soft_dedup_weights(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Soft dedup: instead of DROPPING duplicates, weight each document
+    by the inverse of its duplicate-cluster size, so a passage's total
+    training influence is constant no matter how many near-copies the
+    crawl found. The down-weighting alternative to hard removal —
+    sampling-based pipelines feed ``sample_weight`` into the mixture /
+    loss instead of discarding text.
+
+    Output: ``df``'s columns + ``cluster_id`` + ``cluster_size`` +
+    ``sample_weight`` (1/cluster_size; singletons get exactly 1.0).
+    Same cost shape as :func:`dedup_clusters`: components over the
+    (duplicate-sized) pair graph, one aggregate for sizes, one join
+    back — the corpus-side work is a single equi-join.
+    """
+    comp = connected_components(pairs, id_a, id_b)
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    ann = df.join(
+        comp.withColumnRenamed("node", id_col), id_col, "left"
+    ).join(sizes, "component", "left")
+    return ann.select(
+        *df.columns,
+        F.coalesce(F.col("component"), F.col(id_col)).alias("cluster_id"),
+        F.coalesce(F.col("cluster_size"), F.lit(1)).cast("int").alias(
+            "cluster_size"
+        ),
+        (F.lit(1.0) / F.coalesce(F.col("cluster_size"), F.lit(1))).alias(
+            "sample_weight"
+        ),
+    )

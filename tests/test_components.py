@@ -131,3 +131,28 @@ def test_components_on_real_lsh_pairs(spark):
     )
     for r in mins:
         assert r.component == r.mn
+
+
+def test_soft_dedup_weights(spark):
+    """Each cluster's total weight is exactly 1; singletons weigh 1."""
+    from etl_sber_spark.operators.components import soft_dedup_weights
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(7)], "doc_id int, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (4, 5)], "id_a int, id_b int"
+    )
+    out = {r.doc_id: r for r in soft_dedup_weights(docs, pairs).collect()}
+    assert len(out) == 7
+    for i in (0, 1, 2):
+        assert out[i].cluster_id == 0 and out[i].cluster_size == 3
+        assert abs(out[i].sample_weight - 1 / 3) < 1e-12
+    for i in (4, 5):
+        assert out[i].cluster_size == 2 and out[i].sample_weight == 0.5
+    for i in (3, 6):
+        assert out[i].cluster_id == i
+        assert out[i].cluster_size == 1 and out[i].sample_weight == 1.0
+    # conservation: total weight == number of distinct passages
+    total = sum(r.sample_weight for r in out.values())
+    assert abs(total - 4) < 1e-9  # clusters {0,1,2}, {4,5}, {3}, {6}
