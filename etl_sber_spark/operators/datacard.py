@@ -129,3 +129,55 @@ def corpus_datacard(
         with open(os.path.join(path, "datacard.json"), "w") as f:
             json.dump(card, f, indent=1, sort_keys=True)
     return card
+
+
+def datacard_diff(old: dict, new: dict, rel_threshold: float = 0.1) -> dict:
+    """Drift report between two datacards (e.g. consecutive crawls):
+    per-field relative deltas for the global totals and per-slice
+    composition shifts, plus slices that appeared or vanished. Pure
+    driver-side dict arithmetic — cards are metadata.
+
+    Output::
+
+        {"fields": {name: {"old": x, "new": y, "rel": (y-x)/x|null}},
+         "by_lang":   {"added": [...], "removed": [...],
+                       "shifted": {lang: {"old_share": s0, "new_share": s1}}},
+         "by_source": {... same ...} | None}
+
+    ``shifted`` lists slices whose share of n_docs moved by more than
+    ``rel_threshold`` (absolute difference of shares) — the alarm
+    condition a cron wrapper alerts on.
+    """
+
+    def rel(a, b):
+        if a is None or b is None:
+            return None
+        return (b - a) / a if a else None
+
+    fields = {}
+    for k in ("n_docs", "n_tokens", "n_chars", "mean_quality"):
+        fields[k] = {"old": old.get(k), "new": new.get(k), "rel": rel(old.get(k), new.get(k))}
+
+    def slices(key):
+        o, n = old.get(key), new.get(key)
+        if o is None or n is None:
+            return None
+        out = {
+            "added": sorted(set(n) - set(o)),
+            "removed": sorted(set(o) - set(n)),
+            "shifted": {},
+        }
+        o_total = sum(s["n_docs"] for s in o.values()) or 1
+        n_total = sum(s["n_docs"] for s in n.values()) or 1
+        for name in set(o) & set(n):
+            s0 = o[name]["n_docs"] / o_total
+            s1 = n[name]["n_docs"] / n_total
+            if abs(s1 - s0) > rel_threshold:
+                out["shifted"][name] = {"old_share": s0, "new_share": s1}
+        return out
+
+    return {
+        "fields": fields,
+        "by_lang": slices("by_lang"),
+        "by_source": slices("by_source"),
+    }

@@ -72,3 +72,29 @@ def test_null_text_slice_reports_instead_of_crashing(spark):
     assert und["n_docs"] == 2
     assert und["n_tokens"] == 0 and und["n_chars"] == 0
     assert und["mean_quality"] is None
+
+
+def test_datacard_diff():
+    from etl_sber_spark.operators.datacard import datacard_diff
+
+    old = {
+        "n_docs": 100, "n_tokens": 1000, "n_chars": 5000, "mean_quality": 0.8,
+        "by_lang": {
+            "en": {"n_docs": 80}, "ru": {"n_docs": 20},
+        },
+        "by_source": None,
+    }
+    new = {
+        "n_docs": 150, "n_tokens": 1400, "n_chars": 7000, "mean_quality": 0.8,
+        "by_lang": {
+            "en": {"n_docs": 60}, "ru": {"n_docs": 30}, "de": {"n_docs": 60},
+        },
+        "by_source": None,
+    }
+    d = datacard_diff(old, new, rel_threshold=0.1)
+    assert d["fields"]["n_docs"] == {"old": 100, "new": 150, "rel": 0.5}
+    assert d["fields"]["mean_quality"]["rel"] == 0.0
+    assert d["by_lang"]["added"] == ["de"] and d["by_lang"]["removed"] == []
+    # en share 0.8 -> 0.4: shifted; ru 0.2 -> 0.2: not
+    assert set(d["by_lang"]["shifted"]) == {"en"}
+    assert d["by_source"] is None
