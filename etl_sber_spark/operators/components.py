@@ -204,9 +204,13 @@ def soft_dedup_weights(
     sizes = comp.groupBy("component").agg(
         F.count(F.lit(1)).alias("cluster_size")
     )
-    ann = df.join(
-        comp.withColumnRenamed("node", id_col), id_col, "left"
-    ).join(sizes, "component", "left")
+    # sizes join onto the CLUSTER-sized components frame first, so the
+    # corpus pays exactly one equi-join (joining sizes after the df
+    # join would probe the full corpus a second time)
+    comp_sized = comp.withColumnRenamed("node", id_col).join(
+        sizes, "component"
+    )
+    ann = df.join(comp_sized, id_col, "left")
     return ann.select(
         *df.columns,
         F.coalesce(F.col("component"), F.col(id_col)).alias("cluster_id"),

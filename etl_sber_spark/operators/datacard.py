@@ -151,8 +151,12 @@ def datacard_diff(old: dict, new: dict, rel_threshold: float = 0.1) -> dict:
 
     def rel(a, b):
         if a is None or b is None:
-            return None
-        return (b - a) / a if a else None
+            return None  # incomparable (field missing on one side)
+        if a == 0:
+            # 0 -> X is maximal drift, not "incomparable": report inf
+            # (json.dumps renders Infinity — non-strict JSON, stated)
+            return float("inf") if b != 0 else 0.0
+        return (b - a) / a
 
     fields = {}
     for k in ("n_docs", "n_tokens", "n_chars", "mean_quality"):

@@ -52,19 +52,31 @@ def fim_transform(
     deterministic, stable as the corpus grows, re-seedable per epoch
     (the same knob contract as the mixture builder's fractional
     epochs). Split points are a second and third independent draw, so
-    rate and position never correlate.
+    rate and position never correlate. The three hash salts STRIDE by
+    3×seed: with consecutive salts, epoch e's third draw would equal
+    epoch e+1's second for every doc (the natural seed=epoch usage
+    would repeat one split endpoint between every consecutive epoch
+    pair — review finding).
+
+    NULL and whitespace-only text yields an EMPTY token array and
+    ``fim_applied = false`` — never a NULL flag (a NULL predicate
+    silently drops rows from downstream filters) and never a phantom
+    empty-string token.
     """
     if not (0.0 <= fim_rate <= 1.0):
         raise ValueError(f"fim_rate must be in [0, 1], got {fim_rate}")
-    toks = tokens_expr(text_col)
+    toks = F.coalesce(
+        F.filter(tokens_expr(text_col), lambda t: t != ""),
+        F.expr("CAST(array() AS array<string>)"),
+    )
     sid = F.col(id_col).cast("string")
     pick = (
-        F.pmod(hash64(sid, seed), F.lit(_RES))
+        F.pmod(hash64(sid, 3 * seed), F.lit(_RES))
         < F.lit(int(round(fim_rate * _RES)))
     )
     n = F.size(toks)
-    d1 = F.pmod(hash64(sid, seed + 1), n + 1)
-    d2 = F.pmod(hash64(sid, seed + 2), n + 1)
+    d1 = F.pmod(hash64(sid, 3 * seed + 1), n + 1)
+    d2 = F.pmod(hash64(sid, 3 * seed + 2), n + 1)
     a, b = F.least(d1, d2), F.greatest(d1, d2)
     psm = F.concat(
         F.array(F.lit(PRE)),

@@ -18,18 +18,22 @@ def _h(s: str, seed: int) -> int:
 
 
 def _py_fim(doc_id: int, text: str, rate: float, min_tokens: int, seed: int):
-    toks = text.strip().lower().split()
     import re
 
-    toks = re.split(r"\s+", text.strip().lower())
+    toks = [
+        t
+        for t in re.split(r"\s+", (text or "").strip().lower())
+        if t != ""
+    ]
     sid = str(doc_id)
-    applied = (_h(sid, seed) % _RES < round(rate * _RES)) and len(
+    applied = (_h(sid, 3 * seed) % _RES < round(rate * _RES)) and len(
         toks
     ) >= min_tokens
     if not applied:
         return toks, False
     n = len(toks)
-    d1, d2 = _h(sid, seed + 1) % (n + 1), _h(sid, seed + 2) % (n + 1)
+    d1 = _h(sid, 3 * seed + 1) % (n + 1)
+    d2 = _h(sid, 3 * seed + 2) % (n + 1)
     a, b = min(d1, d2), max(d1, d2)
     return (
         [PRE] + toks[:a] + [SUF] + toks[b:] + [MID] + toks[a:b],
@@ -96,3 +100,38 @@ def test_seed_changes_selection_and_splits(spark):
     # and each is individually reproducible
     a2 = {r.doc_id: list(r.fim_tokens) for r in fim_transform(df, seed=0).collect()}
     assert a == a2
+
+
+def test_null_and_whitespace_text(spark):
+    """NULL/blank text: empty token array, applied strictly false —
+    never a NULL flag or a phantom '' token."""
+    df = spark.createDataFrame(
+        [(1, None), (2, "   "), (3, "real tokens here okay")],
+        "doc_id int, text string",
+    )
+    out = {r.doc_id: r for r in fim_transform(df, fim_rate=1.0).collect()}
+    for i in (1, 2):
+        assert out[i].fim_applied is False
+        assert list(out[i].fim_tokens) == []
+    assert out[3].fim_applied is True
+    assert "" not in out[3].fim_tokens
+
+
+def test_consecutive_epoch_seeds_share_no_draws(spark):
+    """seed=e and seed=e+1 use disjoint hash salts (3e..3e+2 vs
+    3e+3..3e+5), so consecutive epochs never repeat a split endpoint
+    by construction."""
+    df = spark.read.parquet(f"{SF_SMALL}/documents.parquet").limit(50)
+    def splits(seed):
+        out = {}
+        for r in fim_transform(df, fim_rate=1.0, seed=seed).collect():
+            toks = list(r.fim_tokens)
+            out[r.doc_id] = (toks.index(SUF), toks.index(MID))
+        return out
+    a, b = splits(0), splits(1)
+    # with consecutive (non-strided) salts EVERY doc shared an
+    # endpoint; with the stride, overlap is only chance-level
+    shared = sum(
+        1 for d in a if set(a[d]) & set(b[d])
+    )
+    assert shared < len(a)
