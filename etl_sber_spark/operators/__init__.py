@@ -1,1 +1,18 @@
-"""Composite relational operators: SCD maintenance, dedup, similarity."""
+"""Composite relational operators.
+
+Reference-parity: SCD maintenance (scd), band joins (bandjoin), as-of /
+range joins (asof, rangejoin), skew handling (skew).
+
+LLM training-data pipeline: text dedup (dedup, substr_dedup),
+embedding similarity + semantic dedup (similarity, quantize, semdedup),
+dedup clustering + soft weights (components), curation and its
+incremental/crawl front-ends (curate, incremental, crawl),
+decontamination + leakage-guarded splits (decontam), sampling/splits
+(sampling), chunking/packing/materialization (packing), FIM transform
+(fim), ranking (ranking), tokenizers (bpe, vocab), LM quality gate
+(lm), mixture building (mixture), sessionization (sessionize),
+reporting (datacard), multimodal plumbing (multimodal).
+
+Shared infrastructure: materialize.pin (lazy localCheckpoint),
+spread (compute-bound fan-out past byte-based split planning).
+"""
