@@ -39,7 +39,8 @@ R_TOO_SHORT = "too_short"
 R_QUALITY = "quality"
 R_EXACT = "exact_dup"
 R_NEAR = "near_dup"
-DROP_REASONS = (R_LANG, R_TOO_SHORT, R_QUALITY, R_EXACT, R_NEAR)
+R_SEMANTIC = "semantic_dup"
+DROP_REASONS = (R_LANG, R_TOO_SHORT, R_QUALITY, R_EXACT, R_NEAR, R_SEMANTIC)
 
 
 def curate_corpus(
@@ -52,6 +53,10 @@ def curate_corpus(
     min_quality: float = 0.4,
     near_dup_jaccard: float = 0.8,
     transitive: bool = False,
+    embeddings: DataFrame | None = None,
+    emb_id_col: str = "vec_id",
+    semantic_threshold: float = 0.95,
+    semantic_clusters: int = 16,
 ) -> DataFrame:
     """Annotate every document with curation columns and a verdict.
 
@@ -85,6 +90,16 @@ def curate_corpus(
       pair set (tiny relative to the corpus); use it when "unique
       documents out" is a hard contract, e.g. training-set dedup
       guarantees.
+
+    Optional FINAL stage — semantic dedup (SemDeDup,
+    operators/semdedup.py): pass ``embeddings`` (``emb_id_col`` matching
+    this frame's ``id_col`` values, ``embedding`` vector column) and
+    documents that survived every lexical gate but lost their semantic
+    cluster's election get ``'semantic_dup'``. Runs AFTER lexical dedup
+    (the published ordering: lexical copies are cheaper to kill), and
+    only over lexical survivors. Documents with no embedding row simply
+    skip the stage (kept unless a lexical gate fired) — embedding
+    coverage is the caller's contract.
 
     One row in, one row out — downstream chooses
     ``.filter('drop_reason IS NULL')`` for the clean corpus or groups by
@@ -171,6 +186,31 @@ def curate_corpus(
             verified.select(F.col("id_b").alias("_drop_id")).distinct()
         )  # id_a < id_b by construction: smaller id survives
 
+    sem_drops = None
+    if embeddings is not None:
+        from .semdedup import semdedup
+
+        lex_survivor_ids = survivors.join(
+            near_drops,
+            survivors[id_col] == near_drops["_drop_id"],
+            "left_anti",
+        ).select(id_col)
+        emb_surv = embeddings.join(
+            lex_survivor_ids.withColumnRenamed(id_col, emb_id_col),
+            emb_id_col,
+            "left_semi",
+        )
+        sem_drops = pin(
+            semdedup(
+                emb_surv,
+                n_clusters=semantic_clusters,
+                threshold=semantic_threshold,
+                id_col=emb_id_col,
+            )
+            .filter(~F.col("is_kept"))
+            .select(F.col(emb_id_col).alias("_drop_id"))
+        )
+
     out = (
         annotated.join(
             exact_drops.withColumn("_exact", F.lit(True)),
@@ -185,17 +225,25 @@ def curate_corpus(
         )
         .drop("_drop_id")
     )
+    reason_arms = [
+        F.col("_cheap_reason"),
+        F.when(F.col("_exact"), F.lit(R_EXACT)),
+        F.when(F.col("_near"), F.lit(R_NEAR)),
+    ]
+    if sem_drops is not None:
+        out = out.join(
+            sem_drops.withColumn("_sem", F.lit(True)),
+            out[id_col] == sem_drops["_drop_id"],
+            "left",
+        ).drop("_drop_id")
+        reason_arms.append(F.when(F.col("_sem"), F.lit(R_SEMANTIC)))
     return out.select(
         *df.columns,
         "cur_lang",
         "cur_n_tokens",
         "cur_quality",
         "cur_fingerprint",
-        F.coalesce(
-            F.col("_cheap_reason"),
-            F.when(F.col("_exact"), F.lit(R_EXACT)),
-            F.when(F.col("_near"), F.lit(R_NEAR)),
-        ).alias("drop_reason"),
+        F.coalesce(*reason_arms).alias("drop_reason"),
     )
 
 

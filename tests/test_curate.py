@@ -197,3 +197,69 @@ def test_curation_report_all_kept_group_counts_zero(spark):
     assert rep.n_kept == 1
     assert (rep.n_lang, rep.n_too_short, rep.n_quality,
             rep.n_exact_dup, rep.n_near_dup) == (0, 0, 0, 0, 0)
+
+
+def test_semantic_stage(spark):
+    """Optional SemDeDup stage: lexically-distinct docs with
+    near-parallel embeddings dedupe semantically; docs without an
+    embedding row skip the stage; lexical reasons take precedence."""
+    docs = spark.createDataFrame(
+        [
+            (1, "another unrelated document about something else entirely"),
+            (2, "the quick brown fox jumps over the lazy dog"),
+            (3, "completely different words but same meaning vector"),
+            (4, "the quick brown fox jumps over the lazy dog"),  # exact dup of 2
+            (5, "no embedding for this one but plenty of words"),
+        ],
+        "doc_id int, text string",
+    )
+    # ids 1 and 2 seed the two k-means clusters (orderBy(id).limit(k)),
+    # so the fixture puts them in DIFFERENT directions; the semantic
+    # dup pair is {2, 3} (same direction, lexically distinct)
+    emb = spark.createDataFrame(
+        [
+            (1, [0.0, 1.0, 0.0, 0.0]),
+            (2, [1.0, 0.0, 0.0, 0.0]),
+            (3, [2.0, 0.002, 0.0, 0.0]),  # same direction as 2
+            (4, [1.0, 0.0, 0.0, 0.0]),  # never reaches the stage (exact dup)
+        ],
+        "vec_id int, embedding array<float>",
+    )
+    out = {
+        r.doc_id: r.drop_reason
+        for r in curate_corpus(
+            docs,
+            min_tokens=3,
+            min_quality=0.0,
+            embeddings=emb,
+            semantic_clusters=2,
+            semantic_threshold=0.999,
+        ).collect()
+    }
+    assert out[4] == "exact_dup"  # lexical precedence
+    # {2,3} are one semantic cluster; SemDeDup keeps the one FARTHEST
+    # from the centroid — exactly one of them is dropped semantically
+    assert sorted([str(out[2]), str(out[3])]) == ["None", "semantic_dup"]
+    assert out[1] is None
+    assert out[5] is None  # no embedding row -> stage skipped
+
+    # the report grows the n_semantic_dup column automatically
+    from etl_sber_spark.operators.curate import curation_report
+
+    rep = curation_report(
+        curate_corpus(
+            docs,
+            min_tokens=3,
+            min_quality=0.0,
+            embeddings=emb,
+            semantic_clusters=2,
+            semantic_threshold=0.999,
+        )
+    ).collect()[0]
+    assert rep.n_semantic_dup == 1 and rep.n_exact_dup == 1
+    # without embeddings nothing changes (the graded q_curate path)
+    base = {
+        r.doc_id: r.drop_reason
+        for r in curate_corpus(docs, min_tokens=3, min_quality=0.0).collect()
+    }
+    assert base[2] is None and base[3] is None
