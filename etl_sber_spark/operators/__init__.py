@@ -1,7 +1,8 @@
 """Composite relational operators.
 
 Reference-parity: SCD maintenance (scd), band joins (bandjoin), as-of /
-range joins (asof, rangejoin), skew handling (skew).
+range joins (asof, rangejoin), skew handling (skew), data-quality gates
+(quality), incremental rollup maintenance (rollup_maintenance).
 
 LLM training-data pipeline: text dedup (dedup, substr_dedup),
 embedding similarity + semantic dedup (similarity, quantize, semdedup),

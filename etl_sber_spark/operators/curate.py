@@ -15,9 +15,12 @@ exact dedup next (one hash-aggregate); minhash/LSH/jaccard near-dup
 last, restricted to exact-dedup survivors. Each stage's input is the
 previous stage's keep-set, so candidate volume only ever shrinks.
 
-Determinism: every survivor choice is min-id (no RNG anywhere), so the
-same corpus always curates identically — the repo-wide differential
-testability rule.
+Determinism: every LEXICAL survivor choice is min-id, and nothing uses
+RNG anywhere, so the same corpus always curates identically — the
+repo-wide differential testability rule. The optional semantic stage
+defaults to the SemDeDup paper's farthest-from-centroid electorate
+(still fully deterministic; ties on id); pass
+``semantic_keep="min_id"`` to restore the min-id convention there too.
 """
 
 from __future__ import annotations
@@ -57,6 +60,7 @@ def curate_corpus(
     emb_id_col: str = "vec_id",
     semantic_threshold: float = 0.95,
     semantic_clusters: int = 16,
+    semantic_keep: str = "farthest",
 ) -> DataFrame:
     """Annotate every document with curation columns and a verdict.
 
@@ -99,7 +103,16 @@ def curate_corpus(
     (the published ordering: lexical copies are cheaper to kill), and
     only over lexical survivors. Documents with no embedding row simply
     skip the stage (kept unless a lexical gate fired) — embedding
-    coverage is the caller's contract.
+    coverage is the caller's contract. ``semantic_keep`` passes through
+    to :func:`..semdedup.semdedup` ("farthest" per the paper, or
+    "min_id" to match the lexical convention).
+
+    NOTE: with ``embeddings`` the call executes EAGERLY — k-means is
+    an iterative driver-coordinated loop, so the lexical pipeline
+    materializes inside this call rather than at the first action (the
+    only ``curate_corpus`` configuration that does). An empty batch, or
+    one where every embedded doc fell to a lexical gate, skips the
+    stage gracefully.
 
     One row in, one row out — downstream chooses
     ``.filter('drop_reason IS NULL')`` for the clean corpus or groups by
@@ -200,16 +213,23 @@ def curate_corpus(
             emb_id_col,
             "left_semi",
         )
-        sem_drops = pin(
-            semdedup(
-                emb_surv,
-                n_clusters=semantic_clusters,
-                threshold=semantic_threshold,
-                id_col=emb_id_col,
+        # a routine empty micro-batch (or one whose embedded docs all
+        # fell to lexical gates) must skip the stage, not crash the
+        # k-means seeder (review finding)
+        if emb_surv.isEmpty():
+            sem_drops = None
+        else:
+            sem_drops = pin(
+                semdedup(
+                    emb_surv,
+                    n_clusters=semantic_clusters,
+                    threshold=semantic_threshold,
+                    keep=semantic_keep,
+                    id_col=emb_id_col,
+                )
+                .filter(~F.col("is_kept"))
+                .select(F.col(emb_id_col).alias("_drop_id"))
             )
-            .filter(~F.col("is_kept"))
-            .select(F.col(emb_id_col).alias("_drop_id"))
-        )
 
     out = (
         annotated.join(

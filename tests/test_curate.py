@@ -263,3 +263,54 @@ def test_semantic_stage(spark):
         for r in curate_corpus(docs, min_tokens=3, min_quality=0.0).collect()
     }
     assert base[2] is None and base[3] is None
+
+
+def test_semantic_stage_empty_and_min_id(spark):
+    """Empty-survivor batches skip the stage gracefully; and
+    semantic_keep='min_id' restores the lexical convention."""
+    # every embedded doc falls to the too_short gate
+    docs = spark.createDataFrame(
+        [(1, "tiny"), (2, "also small")], "doc_id int, text string"
+    )
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])],
+        "vec_id int, embedding array<float>",
+    )
+    out = {
+        r.doc_id: r.drop_reason
+        for r in curate_corpus(
+            docs, min_tokens=50, embeddings=emb
+        ).collect()
+    }
+    assert out == {1: "too_short", 2: "too_short"}  # no crash
+
+    # min_id keeper: the SMALLER id of the semantic pair survives
+    docs2 = spark.createDataFrame(
+        [
+            (1, "another unrelated document about something else entirely"),
+            (2, "the quick brown fox jumps over the lazy dog"),
+            (3, "completely different words but same meaning vector"),
+        ],
+        "doc_id int, text string",
+    )
+    emb2 = spark.createDataFrame(
+        [
+            (1, [0.0, 1.0, 0.0, 0.0]),
+            (2, [1.0, 0.0, 0.0, 0.0]),
+            (3, [2.0, 0.002, 0.0, 0.0]),
+        ],
+        "vec_id int, embedding array<float>",
+    )
+    out2 = {
+        r.doc_id: r.drop_reason
+        for r in curate_corpus(
+            docs2,
+            min_tokens=3,
+            min_quality=0.0,
+            embeddings=emb2,
+            semantic_clusters=2,
+            semantic_threshold=0.999,
+            semantic_keep="min_id",
+        ).collect()
+    }
+    assert out2[2] is None and out2[3] == "semantic_dup"
