@@ -134,7 +134,13 @@ def test_batch_marker_makes_replay_idempotent(spark, tmp_path):
     wh.drop("curated_docs__applied_batches")
     q = stream_corpus_increments(spark, str(inbox), wh, str(tmp_path / "ckpt3"))
     q.awaitTermination(120)
-    assert wh.read("curated_docs").count() == 1
+    rows = wh.read("curated_docs").collect()
+    assert len(rows) == 1
+    # count alone would hide the self-match corruption: a replay that
+    # reads its OWN index partition would re-mark the doc as a
+    # near-dup of itself (drop_reason set) while counts stay 1 —
+    # read_index_excluding (streaming/idempotent.py) prevents it
+    assert rows[0].drop_reason is None
     assert wh.read("minhash_index").count() == 1
 
 
