@@ -155,3 +155,57 @@ def export_jsonl(
     with open(os.path.join(path, "manifest.json"), "w") as f:
         json.dump(manifest, f, indent=1, sort_keys=True)
     return manifest
+
+
+def export_packed(
+    bins: DataFrame,
+    path: str,
+    budget: int,
+    n_files: int = 16,
+    compression: str | None = None,
+) -> dict:
+    """Write packed training sequences (operators/packing.py
+    ``materialize_bins`` output: bin_id, tokens, docs) as parquet plus
+    a ``manifest.json`` — the tokenized twin of :func:`export_jsonl`.
+
+    Files split by ``pmod(bin_id, n_files)`` (uniform: bin ids are
+    dense per bucket), one file per partition — the same
+    no-tiny-files discipline as the JSONL export; parquet keeps the
+    token arrays and doc-boundary structs typed for the data loader.
+    The manifest records totals and the bin-size contract
+    (``budget``), all from ONE aggregate. It is written as
+    ``_manifest.json`` — the underscore prefix keeps it invisible to
+    parquet directory scans (the ``_SUCCESS`` convention), so
+    ``spark.read.parquet(path)`` works on the export root.
+    """
+    if n_files <= 0:
+        raise ValueError(f"n_files must be positive, got {n_files}")
+    pinned = pin(bins.withColumn("part", F.pmod(F.col("bin_id"), F.lit(n_files))))
+    stats = pinned.agg(
+        F.count(F.lit(1)).alias("n_bins"),
+        F.sum(F.size("tokens")).alias("n_tokens"),
+        F.sum(F.size("docs")).alias("n_fragments"),
+        F.sum((F.size("tokens") == budget).cast("long")).alias("n_full_bins"),
+    ).collect()[0]
+    writer = (
+        pinned.repartitionByRange(n_files, "part")
+        .sortWithinPartitions("part", "bin_id")
+        .write.mode("overwrite")
+        .partitionBy("part")
+    )
+    if compression:
+        writer = writer.option("compression", compression)
+    writer.parquet(path)
+    manifest = {
+        "format": "packed-parquet",
+        "budget": budget,
+        "n_files": n_files,
+        "n_bins": int(stats["n_bins"]),
+        "n_full_bins": int(stats["n_full_bins"]),
+        "n_tokens": int(stats["n_tokens"] or 0),
+        "n_fragments": int(stats["n_fragments"] or 0),
+        "compression": compression,
+    }
+    with open(os.path.join(path, "_manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    return manifest

@@ -158,3 +158,37 @@ def test_export_shuffled_training_order(spark, tmp_path):
         assert _shard_lines(b, shard) == _shard_lines(d2, shard)
     with pytest.raises(ValueError, match="order"):
         export_jsonl(d, str(tmp_path / "bad2"), n_shards=4, order="random")
+
+
+def test_export_packed_round_trip(spark, tmp_path):
+    """Packed parquet export: typed round-trip, totals conservation,
+    full-bin accounting against the materialize_bins contract."""
+    from etl_sber_spark.operators.packing import materialize_bins
+    from etl_sber_spark.sinks.export import export_packed
+
+    d = load_table(spark, SF_SMALL, "documents")
+    budget = 128
+    bins = materialize_bins(d, budget=budget, n_buckets=4)
+    out = str(tmp_path / "packed")
+    manifest = export_packed(bins, out, budget=budget, n_files=4)
+
+    rows = bins.collect()
+    assert manifest["n_bins"] == len(rows)
+    assert manifest["n_tokens"] == sum(len(r.tokens) for r in rows)
+    assert manifest["n_fragments"] == sum(len(r.docs) for r in rows)
+    assert manifest["n_full_bins"] == sum(
+        1 for r in rows if len(r.tokens) == budget
+    )
+    # each bucket contributes exactly one non-full tail bin
+    assert manifest["n_bins"] - manifest["n_full_bins"] <= 4
+
+    back = spark.read.parquet(out)
+    assert back.count() == manifest["n_bins"]
+    # arrays and boundary structs survive typed
+    r = back.filter(F.size("tokens") == budget).limit(1).collect()[0]
+    assert sum(d_.n for d_ in r.docs) == budget
+    on_disk = json.load(open(os.path.join(out, "_manifest.json")))
+    assert on_disk == manifest
+
+    with pytest.raises(ValueError, match="n_files"):
+        export_packed(bins, str(tmp_path / "bad"), budget=budget, n_files=0)
