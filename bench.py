@@ -78,6 +78,10 @@ HEADLINE = [
     "q_bm25_rank",
     "q_pii_redact",
     "q_curate",
+    # round 4: sessionization, time-series gap fill, DSIR selection
+    "q_sessionize",
+    "q_gapfill",
+    "q_dsir_weights",
 ]
 
 

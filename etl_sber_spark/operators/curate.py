@@ -2,8 +2,8 @@
 
 Every primitive here is individually driver-graded (exact dedup
 q_dedup_exact, minhash/LSH/jaccard q_minhash_signatures /
-q_lsh_candidates / q_ngram_jaccard, lang/quality/tokens
-q_quality_score / q_text_stats); this module is the
+q_lsh_candidates / q_ngram_jaccard, lang/quality/tokens via q_curate's
+own cur_* columns and q_text_stats); this module is the
 composition a real training-data pipeline runs — one call that takes a
 raw document table and returns it annotated with keep/drop decisions
 and the reason.

@@ -1,0 +1,200 @@
+"""DSIR-style data selection: hashed n-gram importance weights.
+
+Data Selection with Importance Resampling (Xie et al., 2023) is the
+standard recipe for tilting a raw web corpus toward a target domain
+without training a classifier: estimate two bag-of-hashed-n-grams
+distributions — the target's and the raw corpus's — and weight every
+raw document by its log importance ratio
+
+    log w(doc) = Σ_{grams g ∈ doc} [ log p_target(h(g)) − log p_raw(h(g)) ]
+
+then sample documents with probability ∝ w. Everything is counting and
+per-row arithmetic, so the whole method is relational:
+
+- :func:`hashed_grams` — unigrams + bigrams per document, each hashed
+  into one of ``n_buckets`` buckets (the paper's feature hashing; the
+  portable 60-bit md5 hash, functions/hashing.py). One projection +
+  explode, linear in tokens.
+- :func:`importance_weights` — two bucket-count aggregates (corpus and
+  target; each ONE shuffle of ``n_buckets`` cardinality thanks to
+  map-side partial aggregation), bucket totals collected driver-side
+  (metadata scale: ``n_buckets`` rows, the k-means-centroid pattern),
+  then per-document scoring = explode grams → broadcast-join the
+  ``n_buckets``-row log-ratio table → one aggregate back to documents.
+  Add-1 smoothing keeps every bucket's probability finite.
+- :func:`resample_top_fraction` — deterministic importance resampling:
+  the paper's Gumbel-top-k trick with hash-derived (not RNG) Gumbel
+  noise, so the same corpus + seed always selects the same subset —
+  the repo-wide no-RNG rule.
+
+Determinism / differential testability: per-gram log-ratio terms are
+rounded to 9 decimals and summed as DECIMAL(28,9) — exact and
+order-independent (the BM25/LM rule, operators/lm.py) — so a DuckDB
+oracle replays the arithmetic bit-identically (q_dsir_weights).
+
+Scale: gram explosion is the dominant cost (linear in corpus tokens,
+same order as the dedup shingle build); the model itself is two
+``n_buckets``-row tables — no corpus-sized state, no UDFs, nothing on
+the driver beyond the bucket counts.
+
+Reference parity: no selection surface in the reference (bank ETL);
+extends the quality stack (functions/text.py heuristics, operators/lm.py
+surprisal) with the distribution-matching signal.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.hashing import hash64
+from .materialize import pin
+from .spread import spread
+
+DEFAULT_BUCKETS = 512
+
+
+def _gram_expr(text_col: str):
+    """Array of unigrams + bigrams over lowercase whitespace tokens.
+
+    The size<2 guard matters: Spark's ``sequence(1, 0)`` DESCENDS
+    ([1, 0]) instead of returning empty, which would fabricate a
+    reversed bigram for single-token documents.
+    """
+    return F.expr(
+        f"""
+        CASE WHEN size(split(lower(trim({text_col})), '\\\\s+')) < 2
+             THEN split(lower(trim({text_col})), '\\\\s+')
+             ELSE concat(
+                 split(lower(trim({text_col})), '\\\\s+'),
+                 transform(
+                     sequence(1, size(split(lower(trim({text_col})), '\\\\s+')) - 1),
+                     i -> concat_ws(' ',
+                          element_at(split(lower(trim({text_col})), '\\\\s+'), i),
+                          element_at(split(lower(trim({text_col})), '\\\\s+'), i + 1))))
+        END
+        """
+    )
+
+
+def hashed_grams(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = DEFAULT_BUCKETS,
+    seed: int = 0,
+) -> DataFrame:
+    """(id, bucket) — one row per gram occurrence (counts matter, so no
+    distinct), bucket = hash64(gram, seed) mod ``n_buckets``."""
+    return (
+        spread(df)
+        .select(F.col(id_col), F.explode(_gram_expr(text_col)).alias("_g"))
+        .select(
+            id_col,
+            F.pmod(hash64(F.col("_g"), seed), F.lit(n_buckets)).alias(
+                "bucket"
+            ),
+        )
+    )
+
+
+def importance_weights(
+    corpus: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = DEFAULT_BUCKETS,
+    seed: int = 0,
+) -> DataFrame:
+    """Per-document DSIR log importance weight against ``target``.
+
+    Output: (``id_col``, ``n_grams``, ``log_weight``) for every corpus
+    document with at least one gram; higher = more target-like.
+    ``log_weight`` = Σ_grams round(log2 p̂_target(b) − log2 p̂_raw(b), 9)
+    with add-1 smoothed p̂(b) = (c_b + 1) / (total + n_buckets), summed
+    exactly in DECIMAL(28,9) and emitted as a 6-decimal double.
+
+    Executes EAGERLY (two bucket-count jobs collect ``n_buckets`` rows
+    to the driver — metadata scale, the k-means-centroid pattern) so the
+    log-ratio table can ride the scoring join as a broadcast literal
+    frame instead of a shuffled scalar-subquery dance.
+    """
+    g_corpus = pin(hashed_grams(corpus, id_col, text_col, n_buckets, seed))
+    g_target = hashed_grams(target, id_col, text_col, n_buckets, seed)
+
+    def counts(g: DataFrame) -> dict[int, int]:
+        rows = g.groupBy("bucket").agg(F.count(F.lit(1)).alias("c")).collect()
+        return {int(r["bucket"]): int(r["c"]) for r in rows}
+
+    raw = counts(g_corpus)
+    tgt = counts(g_target)
+    r_total = sum(raw.values())
+    t_total = sum(tgt.values())
+    spark = corpus.sparkSession
+    ratio = spark.createDataFrame(
+        [(b, raw.get(b, 0), tgt.get(b, 0)) for b in range(n_buckets)],
+        "bucket long, r_b long, t_b long",
+    )
+    # log2 evaluated ENGINE-side on both sides of the differential (the
+    # lm.py discipline): identical IEEE operands -> identical doubles.
+    bits = F.round(
+        F.log2(
+            (F.col("t_b") + F.lit(1)).cast("double")
+            / F.lit(float(t_total + n_buckets))
+        )
+        - F.log2(
+            (F.col("r_b") + F.lit(1)).cast("double")
+            / F.lit(float(r_total + n_buckets))
+        ),
+        9,
+    ).cast(T.DecimalType(28, 9))
+    return (
+        g_corpus.join(F.broadcast(ratio.withColumn("_bits", bits)), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.round(F.sum("_bits").cast("double"), 6).alias("log_weight"),
+        )
+    )
+
+
+def resample_top_fraction(
+    weights: DataFrame,
+    fraction: float,
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic importance resampling: keep the top ``fraction`` of
+    documents by perturbed weight (Gumbel-top-k == sampling without
+    replacement ∝ exp(log_weight)).
+
+    The Gumbel noise is hash-derived — u = (hash64(id, seed)+1) / (2^60+1)
+    ∈ (0, 1), g = −log(−log u) — so selection is reproducible and
+    membership is stable under repartitioning (no RNG anywhere). The
+    top-k threshold uses the two-phase rank (window over perturbed key)
+    that Catalyst compiles to a filter-pushed rank, not a global sort of
+    the corpus.
+    """
+    if not 0 < fraction <= 1:
+        raise ValueError("fraction must be in (0, 1]")
+    n = weights.count()
+    k = max(1, int(n * fraction))
+    u = (hash64(F.col(id_col), seed) + F.lit(1)).cast("double") / F.lit(
+        float((1 << 60) + 1)
+    )
+    gumbel = -F.log(-F.log(u))
+    perturbed = weights.withColumn(
+        "_key", F.col("log_weight") * math.log(2) + gumbel
+    )
+    from pyspark.sql import Window
+
+    ranked = perturbed.withColumn(
+        "_rk",
+        F.row_number().over(
+            Window.orderBy(F.col("_key").desc(), F.col(id_col))
+        ),
+    )
+    return ranked.filter(F.col("_rk") <= k).drop("_key", "_rk")

@@ -500,41 +500,75 @@ def q_cosine_lsh(spark, sf_dir):
     )
 
 
+# Round-4 consolidation: the standalone q_quality_score row was retired —
+# q_curate's oracle hash-verifies the identical lang_id / token_count /
+# quality_score expressions per document (its cur_lang / cur_n_tokens /
+# cur_quality output columns), so the functions stay driver-graded while
+# the freed slot goes to a new operator (q_dsir_weights). The semantic
+# pin tests in tests/test_text.py still guard the score's shape locally.
+
+_DSIR_B = 256
+
+
 @query(
-    "q_quality_score",
-    oracle=r"""
-    WITH b AS (
-        SELECT doc_id,
-               greatest(length(trim(text)), 1)::DOUBLE AS n,
-               greatest(CASE WHEN length(trim(text)) = 0 THEN 0
-                        ELSE len(regexp_split_to_array(trim(text), '\s+')) END,
-                        1)::DOUBLE AS ntok,
-               (length(trim(text))
-                - length(regexp_replace(trim(text), '[A-Za-zА-яЁё]', '', 'g')))::DOUBLE AS n_alpha,
-               (length(trim(text))
-                - length(regexp_replace(trim(text), '[.,;:!?"]', '', 'g')))::DOUBLE AS n_punct
+    "q_dsir_weights",
+    oracle=rf"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS tk
         FROM documents
+    ),
+    grams AS (
+        SELECT doc_id,
+               unnest(CASE WHEN len(tk) < 2 THEN tk
+                      ELSE list_concat(tk, list_transform(
+                               range(1, len(tk)),
+                               i -> tk[i] || ' ' || tk[i+1])) END) AS g
+        FROM toks
+    ),
+    gb AS (
+        SELECT doc_id, {_HASH64.format(expr='g')} % {_DSIR_B} AS bucket
+        FROM grams
+    ),
+    tdoc AS (SELECT doc_id FROM documents WHERE lang = 'en'),
+    tg AS (SELECT bucket, COUNT(*) AS c FROM gb
+           WHERE doc_id IN (SELECT doc_id FROM tdoc) GROUP BY 1),
+    rw AS (SELECT bucket, COUNT(*) AS c FROM gb GROUP BY 1),
+    tot AS (SELECT (SELECT COUNT(*) FROM gb) AS r_total,
+                   (SELECT COUNT(*) FROM gb
+                    WHERE doc_id IN (SELECT doc_id FROM tdoc)) AS t_total),
+    bits AS (
+        SELECT g.doc_id,
+               CAST(round(
+                   log2((COALESCE(t.c, 0) + 1)::DOUBLE
+                        / (tot.t_total + {_DSIR_B}))
+                   - log2((COALESCE(r.c, 0) + 1)::DOUBLE
+                          / (tot.r_total + {_DSIR_B})), 9)
+                   AS DECIMAL(28,9)) AS b
+        FROM gb g
+        CROSS JOIN tot
+        LEFT JOIN tg t ON t.bucket = g.bucket
+        LEFT JOIN rw r ON r.bucket = g.bucket
     )
-    SELECT doc_id,
-           round(0.3 * least(n / 100.0, 1.0)
-                 + 0.4 * (n_alpha / n)
-                 + 0.2 * (CASE WHEN n / ntok >= 3.0 AND n / ntok <= 12.0
-                               THEN 1.0 ELSE 0.5 END)
-                 + 0.1 * (1.0 - least((n_punct / n) * 5.0, 1.0)), 4) AS quality
-    FROM b
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+           round(CAST(SUM(b) AS DOUBLE), 6) AS log_weight
+    FROM bits GROUP BY doc_id
     """,
 )
-def q_quality_score(spark, sf_dir):
-    """Composite heuristic quality score in [0,1] (functions/text.py):
-    length / letter-share / token-shape / punctuation terms combined
-    with IDENTICAL parenthesization in both engines — IEEE doubles are
-    deterministic given the same operand order, so even the unrounded
-    float pipeline agrees; the round(…,4) guards the rendering."""
-    from ..functions.text import quality_score
+def q_dsir_weights(spark, sf_dir):
+    """DSIR importance weights (operators/dsir.py): every document
+    scored by its hashed-unigram+bigram log importance ratio against a
+    target slice (here: the corpus's English documents — in production
+    the target is a small high-quality corpus). Two bucket-count
+    aggregates train the model; scoring is explode → broadcast-join the
+    256-row log-ratio table → one aggregate. Per-gram terms are rounded
+    to 9 decimals and summed as DECIMAL(28,9) (exact, order-independent)
+    so the oracle replays the full arithmetic bit-identically —
+    including the engine-side log2 discipline of operators/lm.py."""
+    from ..operators.dsir import importance_weights
 
     d = load_table(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id", quality_score(F.trim(F.col("text"))).alias("quality")
+    return importance_weights(
+        d, d.filter(F.col("lang") == "en"), n_buckets=_DSIR_B
     )
 
 
@@ -1041,7 +1075,9 @@ def q_curate(spark, sf_dir):
     (min-id per fingerprint), minhash-LSH + exact Jaccard near-dup over
     the survivors — every document annotated with its first rejecting
     gate or NULL. Each primitive is also individually graded
-    (q_quality_score, q_dedup_exact, q_lsh_candidates, q_ngram_jaccard);
+    (q_dedup_exact, q_lsh_candidates, q_ngram_jaccard; the lang/token/
+    quality functions are hash-verified here via cur_lang / cur_n_tokens
+    / cur_quality — this row absorbed round-3's q_quality_score);
     this row proves the COMPOSITION: stage ordering, survivor
     propagation between stages, and the drop-reason precedence."""
     from ..operators.curate import curate_corpus
