@@ -177,3 +177,147 @@ def media_exact_duplicates(
         .groupBy("payload_md5")
         .agg(*aggs)
     )
+
+
+def sample_frame_indices(
+    features: DataFrame,
+    max_frames: int = 8,
+    id_col: str = "media_id",
+    n_frames_col: str = "n_frames",
+) -> DataFrame:
+    """Deterministic frame sampling plan for video payloads: one row per
+    (media_id, frame_idx), at most ``max_frames`` evenly-strided indices
+    per video (always including frame 0).
+
+    Pure relational: stride = ceil(n_frames / max_frames), indices =
+    sequence(0, n_frames-1, stride) — GENERATED per row, no Python and
+    no shuffle. Downstream, the (media_id, frame_idx) plan joins back to
+    payloads and feeds :func:`extract_frame_features`; at 100 TB the
+    sampling decision costs a projection, and only SAMPLED frames ever
+    reach the Arrow decode path.
+    """
+    stride = F.ceil(
+        F.col(n_frames_col).cast("double") / F.lit(max_frames)
+    ).cast("int")
+    return features.select(
+        id_col,
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.col(n_frames_col) - 1,
+                F.greatest(stride, F.lit(1)),
+            )
+        ).alias("frame_idx"),
+    )
+
+
+def extract_frame_features(
+    media: DataFrame,
+    frame_plan: DataFrame,
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Per-sampled-frame decode: (media_id, frame_idx, phash64).
+
+    Arrow-batched ``mapInPandas`` over payload⋈frame_plan — the decode
+    itself is the md5-derived STUB (no codecs in this container; a real
+    deployment replaces the per-frame body with
+    ``av.open(...).decode(video=0)`` + pHash), but the plumbing is the
+    production shape: the join ships each payload once per SAMPLED
+    frame, batches stream per partition, nothing touches the driver.
+
+    The stub phash is 63-bit (md5 of payload bytes + frame index) so
+    identical payloads agree frame-by-frame and distinct ones are
+    hash-independent — exactly the property the downstream Hamming
+    machinery needs for testing.
+    """
+    joined = media.select(id_col, "payload").join(frame_plan, id_col)
+
+    def batches(it):
+        import hashlib as _hashlib
+
+        import pandas as _pd
+
+        for pdf in it:
+            hashes = [
+                int(
+                    _hashlib.md5(
+                        (p or b"") + b":frame:" + str(i).encode()
+                    ).hexdigest()[:16],
+                    16,
+                )
+                >> 1
+                for p, i in zip(pdf["payload"], pdf["frame_idx"])
+            ]
+            yield _pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "frame_idx": pdf["frame_idx"],
+                    "phash64": _pd.array(hashes, dtype="int64"),
+                }
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("phash64", T.LongType()),
+        ]
+    )
+    return joined.mapInPandas(batches, schema)
+
+
+def phash_near_duplicates(
+    df: DataFrame,
+    id_col: str = "media_id",
+    phash_col: str = "phash64",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Perceptual near-dup pairs: (id_a, id_b, hamming ≤ ``max_hamming``).
+
+    Banding by pigeonhole: split the 64-bit hash into ``max_hamming+1``
+    contiguous bands — two hashes within Hamming distance ``max_hamming``
+    differ in at most ``max_hamming`` bands, so at least ONE band matches
+    exactly. Candidates come from per-band equi-joins (bucketed,
+    Σ|bucket|², never corpus²  — the LSH shape of operators/dedup.py),
+    then one ``bit_count(xor)`` verifies the exact distance JVM-side.
+    100% recall within the radius by construction; no Python, two
+    shuffles (band join + pair distinct).
+    """
+    n_bands = max_hamming + 1
+    width = 64 // n_bands
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftrightunsigned(F.col(phash_col), b * width)
+                .bitwiseAND(F.lit((1 << width) - 1) if b < n_bands - 1 else F.lit((1 << (64 - b * width)) - 1))
+                .alias("key"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    banded = df.select(
+        F.col(id_col), F.col(phash_col), F.explode(bands).alias("bk")
+    ).select(
+        id_col, phash_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.bit_count(
+                F.col(f"a.{phash_col}").bitwiseXOR(F.col(f"b.{phash_col}"))
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+    return pairs

@@ -1,7 +1,10 @@
-"""Multimodal operators (operators/multimodal.py): binary exact dedup.
+"""Multimodal operators (operators/multimodal.py): binary exact dedup,
+frame sampling, and perceptual-hash near-dup.
 
 The decode plumbing itself is covered by q_multimodal_decode and the
-differential suite; this file tests the byte-level dedup helper."""
+differential suite; this file tests the byte-level dedup helper, the
+relational frame-sampling plan, the per-frame Arrow decode stub, and
+the pigeonhole-banded Hamming join (vs a brute-force Python oracle)."""
 
 
 def test_media_exact_duplicates(spark):
@@ -39,3 +42,85 @@ def test_media_dedup_null_payloads_excluded(spark):
     groups = media_exact_duplicates(df).collect()
     assert len(groups) == 1 and groups[0].keep_id == 1
     assert "ids" not in groups[0].asDict()  # member list is opt-in
+
+
+def test_frame_sampling_stride_law(spark):
+    """≤ max_frames indices per video, frame 0 always included, indices
+    strictly increasing and < n_frames — across the n_frames range."""
+    from etl_sber_spark.operators.multimodal import sample_frame_indices
+
+    rows = [(n, n) for n in range(1, 70)]  # media_id == n_frames
+    df = spark.createDataFrame(rows, "media_id long, n_frames int")
+    got = {}
+    for r in sample_frame_indices(df, max_frames=8).collect():
+        got.setdefault(r.media_id, []).append(r.frame_idx)
+    for n in range(1, 70):
+        idx = sorted(got[n])
+        assert idx[0] == 0
+        assert len(idx) <= 8
+        assert all(0 <= i < n for i in idx)
+        assert idx == got[n]  # explode preserves order per row
+
+
+def test_extract_frame_features_deterministic_and_payload_keyed(spark):
+    """Identical payloads agree frame-by-frame; distinct payloads
+    differ; plumbing is mapInPandas over the sampled-join (one row per
+    planned frame)."""
+    from etl_sber_spark.operators.multimodal import extract_frame_features
+
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(b"same-bytes")),
+            (2, bytearray(b"same-bytes")),
+            (3, bytearray(b"other-bytes")),
+        ],
+        "media_id long, payload binary",
+    )
+    plan = spark.createDataFrame(
+        [(m, i) for m in (1, 2, 3) for i in (0, 5)],
+        "media_id long, frame_idx int",
+    )
+    rows = extract_frame_features(media, plan).collect()
+    assert len(rows) == 6
+    ph = {(r.media_id, r.frame_idx): r.phash64 for r in rows}
+    assert ph[(1, 0)] == ph[(2, 0)] and ph[(1, 5)] == ph[(2, 5)]
+    assert ph[(1, 0)] != ph[(3, 0)]
+    assert ph[(1, 0)] != ph[(1, 5)]  # frame index is part of the key
+    assert all(v >= 0 for v in ph.values())
+
+
+def test_phash_near_duplicates_pigeonhole_exact(spark):
+    """The banded join must return EXACTLY the pairs with Hamming ≤ k
+    (100% recall by pigeonhole; precision by the bit_count verify) —
+    checked against a brute-force Python oracle on planted + random
+    hashes."""
+    import random
+
+    from etl_sber_spark.operators.multimodal import phash_near_duplicates
+
+    rng = random.Random(42)
+    base = rng.getrandbits(63)
+    hashes = {1: base}
+    # planted: distances 1, 3 (in), 4 (out) from base, spread across bands
+    hashes[2] = base ^ (1 << 5)
+    hashes[3] = base ^ (1 << 1) ^ (1 << 20) ^ (1 << 62)
+    hashes[4] = base ^ (1 << 2) ^ (1 << 18) ^ (1 << 33) ^ (1 << 50)
+    for i in range(5, 40):
+        hashes[i] = rng.getrandbits(63)
+    df = spark.createDataFrame(
+        list(hashes.items()), "media_id long, phash64 long"
+    )
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in phash_near_duplicates(df, max_hamming=3).collect()
+    }
+    want = {}
+    ids = sorted(hashes)
+    for x in ids:
+        for y in ids:
+            if x < y:
+                d = bin(hashes[x] ^ hashes[y]).count("1")
+                if d <= 3:
+                    want[(x, y)] = d
+    assert got == want
+    assert (1, 2) in got and (1, 3) in got and (1, 4) not in got
