@@ -504,33 +504,63 @@ def q_grouping_sets(spark, sf_dir):
     "q_window_funcs",
     oracle="""
     SELECT event_id, user_id,
-           lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-               AS next_type,
-           dense_rank() OVER (PARTITION BY user_id ORDER BY event_type)
-               AS type_rank
+           lead(event_type) OVER w_time AS next_type,
+           lag(event_type)  OVER w_time AS prev_type,
+           first_value(event_type) OVER w_time AS first_type,
+           nth_value(event_type, 2) OVER w_time AS second_type,
+           dense_rank() OVER w_type AS type_rank,
+           ntile(4) OVER w_time AS quartile,
+           round(percent_rank() OVER w_val, 6) AS val_pct_rank,
+           round(cume_dist() OVER w_val, 6) AS val_cume_dist
     FROM events
+    WINDOW w_time AS (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           w_type AS (PARTITION BY user_id ORDER BY event_type),
+           w_val  AS (PARTITION BY user_id ORDER BY value, event_id)
     """,
 )
 def q_window_funcs(spark, sf_dir):
-    """W1+W2 in one projection (consolidates round-2's q_lead +
-    q_dense_rank into one driver row):
+    """The analytic window-function battery in one projection
+    (consolidates round-2's q_lead + q_dense_rank; widened in round 4
+    with the rest of the standard surface):
 
     - W1 lead(city) per client ordered by event time (main.py:505), with
-      the unique-key tiebreak canonicalization (SURVEY §2.7);
+      the unique-key tiebreak canonicalization (SURVEY §2.7) — plus lag,
+      first_value and nth_value on the same running frame;
     - W2 dense_rank per partition (main.py:506, 527-528 — 'client seen
       in a second distinct city'); the rank=2 RESIDUAL FILTER (F9) and
-      the composed rule stay pinned by q_fraud_rule3_shape and q_topk.
+      the composed rule stay pinned by q_fraud_rule3_shape and q_topk;
+    - distribution functions: ntile(4), percent_rank, cume_dist (rounded
+      to 6 decimals: both engines compute the same rational number, the
+      round guards the rendering).
 
-    Two window specs over the same partition key plan as one shuffle +
-    two sorts — Spark reuses the hash partitioning between them."""
+    Three window specs over the same partition key plan as ONE shuffle —
+    Spark reuses the hash partitioning across the per-ordering sorts."""
     e = load_table(spark, sf_dir, "events")
-    w_lead = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    w_rank = Window.partitionBy("user_id").orderBy("event_type")
+    w_time = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_type = Window.partitionBy("user_id").orderBy("event_type")
+    w_val = Window.partitionBy("user_id").orderBy("value", "event_id")
     return e.select(
         "event_id",
         "user_id",
-        F.lead("event_type").over(w_lead).alias("next_type"),
-        F.dense_rank().over(w_rank).alias("type_rank"),
+        F.lead("event_type").over(
+            Window.partitionBy("user_id").orderBy("ts", "event_id")
+        ).alias("next_type"),
+        F.lag("event_type").over(
+            Window.partitionBy("user_id").orderBy("ts", "event_id")
+        ).alias("prev_type"),
+        F.first("event_type").over(w_time).alias("first_type"),
+        F.nth_value("event_type", 2).over(w_time).alias("second_type"),
+        F.dense_rank().over(w_type).alias("type_rank"),
+        F.ntile(4).over(
+            Window.partitionBy("user_id").orderBy("ts", "event_id")
+        ).alias("quartile"),
+        F.round(F.percent_rank().over(w_val), 6).alias("val_pct_rank"),
+        F.round(F.cume_dist().over(w_val), 6).alias("val_cume_dist"),
     )
 
 
