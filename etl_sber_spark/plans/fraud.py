@@ -78,8 +78,24 @@ def data_view(
         else scd2_current(terminals_hist, processing_ts)
     ).select("terminal_id", "terminal_type", "terminal_city")
 
+    return enrich_transactions(fact_today, trm, clients, accounts, cards)
+
+
+def enrich_transactions(
+    transactions: DataFrame,
+    trm: DataFrame,
+    clients: DataFrame,
+    accounts: DataFrame,
+    cards: DataFrame,
+) -> DataFrame:
+    """The denormalization join chain shared by the nightly
+    :func:`data_view` and the live stream (streaming/mart.py) — ONE
+    definition, so the batch and streaming enrichments cannot drift.
+    ``trm`` arrives pre-filtered/projected (as-of semantics are the
+    caller's: the nightly view pins ``processing_ts``, the stream uses
+    the dim version current at each micro-batch)."""
     return (
-        fact_today.alias("trs")
+        transactions.alias("trs")
         .join(
             F.broadcast(cards.alias("crd")),
             F.trim(F.col("crd.card_num")) == F.col("trs.card_num"),

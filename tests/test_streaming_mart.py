@@ -1,0 +1,192 @@
+"""Live enriched mart (streaming/mart.py): the nightly denormalization
+join running continuously, with dimension versions bound at each
+micro-batch's processing time.
+
+Replays the three reference days as three stream invocations with the
+SCD2 terminal dim advanced between them (plus a planted city change —
+the reference snapshots only ever change the unprojected address
+column), then checks the point-in-time law: every live row's terminal
+attributes equal the dim version open at its batch's as-of timestamp —
+day-1 rows keep day-1 attributes even after the dim moved on. Plus
+replay idempotence (marker loss) and inner-join coverage.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_sber_spark import schemas
+from etl_sber_spark.operators.scd import scd2_apply, scd2_current
+from etl_sber_spark.pipeline import TERMINAL_ATTRS, T_HIST
+from etl_sber_spark.sinks.warehouse import Warehouse
+from etl_sber_spark.sources.io import read_terminals_xlsx, read_transactions_csv
+from etl_sber_spark.streaming.mart import (
+    MARKER,
+    T_LIVE,
+    stream_enriched_transactions,
+)
+
+from .fixtures_bank import build_bank_tables
+
+REF = "/root/reference"
+
+
+def _ts(day: str) -> dt.datetime:
+    return dt.datetime(2021, 3, int(day), 23, 50, 0)
+
+
+PLANTED_CITY = "г. Тестоград"
+
+
+def _busy_terminal(spark) -> str:
+    """A terminal transacting on BOTH day 1 and day 2 (deterministic:
+    smallest id) — the planted dim change must affect live rows on each
+    side of the dim swap."""
+    t1 = read_transactions_csv(
+        spark, f"{REF}/transactions_01032021.txt"
+    ).select("terminal")
+    t2 = read_transactions_csv(
+        spark, f"{REF}/transactions_02032021.txt"
+    ).select("terminal")
+    both = t1.intersect(t2)
+    return both.agg(F.min("terminal")).collect()[0][0]
+
+
+def _load_terminals(spark, wh, day, planted_terminal=None):
+    stg = read_terminals_xlsx(spark, f"{REF}/terminals_{day}032021.xlsx")
+    if planted_terminal is not None:
+        # the reference snapshots only ever change terminal_address,
+        # which the enriched view does not project — plant a CITY change
+        # from day 2 on so the point-in-time law is observable in the
+        # live table's own columns
+        stg = stg.withColumn(
+            "terminal_city",
+            F.when(
+                F.col("terminal_id") == planted_terminal,
+                F.lit(PLANTED_CITY),
+            ).otherwise(F.col("terminal_city")),
+        )
+    hist = (
+        wh.read(T_HIST)
+        if wh.has_data(T_HIST)
+        else spark.createDataFrame([], schemas.TERMINALS_HIST)
+    )
+    wh.overwrite_versioned(
+        scd2_apply(hist, stg, "terminal_id", TERMINAL_ATTRS, _ts(day)), T_HIST
+    )
+
+
+@pytest.fixture(scope="module")
+def streamed(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("livemart")
+    inbox = root / "inbox"
+    inbox.mkdir()
+    wh = Warehouse(spark, str(root / "wh"))
+    bank = build_bank_tables(spark)
+    ckpt = str(root / "ckpt")
+
+    planted = _busy_terminal(spark)
+    for day in ("01", "02", "03"):
+        _load_terminals(
+            spark, wh, day, planted_terminal=planted if day != "01" else None
+        )
+        shutil.copy(
+            f"{REF}/transactions_{day}032021.txt",
+            inbox / f"transactions_{day}032021.txt",
+        )
+        q = stream_enriched_transactions(
+            spark, str(inbox), wh, ckpt, bank, as_of=_ts(day)
+        )
+        q.awaitTermination()
+    return spark, wh, bank, inbox, ckpt, planted
+
+
+def test_live_rows_cover_both_days(streamed):
+    spark, wh, _, _, _, _ = streamed
+    live = wh.read(T_LIVE)
+    n_in = sum(
+        read_transactions_csv(
+            spark, f"{REF}/transactions_{d}032021.txt"
+        ).count()
+        for d in ("01", "02", "03")
+    )
+    # the bank fixture covers every card and the terminals file every
+    # terminal, so the inner enrichment drops nothing
+    assert live.count() == n_in
+    assert set(r.batch_id for r in live.select("batch_id").distinct().collect()) == {0, 1, 2}
+
+
+def test_point_in_time_dimension_binding(streamed):
+    """Each live row's terminal attributes == the dim version open at
+    ITS batch's as-of — the as-of law, checked for every row."""
+    spark, wh, _, _, _, _ = streamed
+    hist = wh.read(T_HIST)
+    live = wh.read(T_LIVE)
+    for batch_id, day in ((0, "01"), (1, "02"), (2, "03")):
+        dim = scd2_current(hist, _ts(day)).select(
+            F.col("terminal_type").alias("want_type"),
+            F.col("terminal_city").alias("want_city"),
+        )
+        rows = live.filter(F.col("batch_id") == batch_id)
+        joined = rows.join(
+            dim,
+            (rows.terminal_type == dim.want_type)
+            & (rows.terminal_city == dim.want_city),
+            "left_semi",
+        )
+        assert joined.count() == rows.count()
+
+
+def test_early_rows_keep_early_attributes(streamed):
+    """Day-1 live rows of the planted terminal keep the ORIGINAL city;
+    day-2/3 rows carry the planted one — a batch recompute against
+    today's dim could not reproduce the day-1 rows."""
+    spark, wh, _, _, _, planted = streamed
+    hist = wh.read(T_HIST)
+    v1_city = (
+        scd2_current(hist, _ts("01"))
+        .filter(F.col("terminal_id") == planted)
+        .collect()[0]["terminal_city"]
+    )
+    assert v1_city != PLANTED_CITY
+
+    day1_ids = {
+        r["trans_id"]
+        for r in read_transactions_csv(
+            spark, f"{REF}/transactions_01032021.txt"
+        )
+        .filter(F.col("terminal") == planted)
+        .select("trans_id")
+        .collect()
+    }
+    assert day1_ids, "planted terminal must transact on day 1"
+    live = wh.read(T_LIVE)
+    got_day1 = {
+        r["terminal_city"]
+        for r in live.filter(
+            (F.col("batch_id") == 0) & F.col("trans_id").isin(*day1_ids)
+        ).collect()
+    }
+    assert got_day1 == {v1_city}
+
+    day2_rows = live.filter(
+        (F.col("batch_id") == 1) & (F.col("terminal_city") == PLANTED_CITY)
+    )
+    assert day2_rows.count() > 0
+
+
+def test_marker_loss_replay_is_idempotent(streamed):
+    spark, wh, bank, inbox, ckpt, _ = streamed
+    before = wh.read(T_LIVE).count()
+    wh.drop(MARKER)
+    # re-running over the drained inbox (checkpoint intact) must not
+    # duplicate anything, marker or no marker
+    q = stream_enriched_transactions(
+        spark, str(inbox), wh, ckpt, bank, as_of=_ts("03")
+    )
+    q.awaitTermination()
+    assert wh.read(T_LIVE).count() == before
