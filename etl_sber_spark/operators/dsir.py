@@ -166,6 +166,7 @@ def resample_top_fraction(
     fraction: float,
     id_col: str = "doc_id",
     seed: int = 0,
+    exact: bool = True,
 ) -> DataFrame:
     """Deterministic importance resampling: keep the top ``fraction`` of
     documents by perturbed weight (Gumbel-top-k == sampling without
@@ -173,15 +174,23 @@ def resample_top_fraction(
 
     The Gumbel noise is hash-derived — u = (hash64(id, seed)+1) / (2^60+1)
     ∈ (0, 1), g = −log(−log u) — so selection is reproducible and
-    membership is stable under repartitioning (no RNG anywhere). The
-    top-k threshold uses the two-phase rank (window over perturbed key)
-    that Catalyst compiles to a filter-pushed rank, not a global sort of
-    the corpus.
+    membership is stable under repartitioning (no RNG anywhere).
+
+    ``exact=True`` ranks with a global window: WindowGroupLimit prunes
+    each input partition to k rows first, but the FINAL rank still
+    funnels up to partitions×k rows through one task — exact size,
+    correct only while k (= n×fraction) is a driver-tractable count.
+    That is the curation reality for small selected subsets; for
+    corpus-scale fractions pass ``exact=False``: the cut becomes a
+    quantile THRESHOLD on the perturbed key (approxQuantile, 0.1%
+    relative error) and selection is a pure filter — no global window,
+    no corpus-sized task — at the cost of the selected size being
+    approximate (±rel_err·n) and the threshold being a property of this
+    frame's data (re-deriving on different data picks a different
+    cut, as any quantile does).
     """
     if not 0 < fraction <= 1:
         raise ValueError("fraction must be in (0, 1]")
-    n = weights.count()
-    k = max(1, int(n * fraction))
     u = (hash64(F.col(id_col), seed) + F.lit(1)).cast("double") / F.lit(
         float((1 << 60) + 1)
     )
@@ -189,6 +198,15 @@ def resample_top_fraction(
     perturbed = weights.withColumn(
         "_key", F.col("log_weight") * math.log(2) + gumbel
     )
+    if not exact:
+        if fraction == 1:
+            return perturbed.drop("_key")
+        (threshold,) = perturbed.approxQuantile(
+            "_key", [1.0 - fraction], 0.001
+        )
+        return perturbed.filter(F.col("_key") >= threshold).drop("_key")
+    n = weights.count()
+    k = max(1, int(n * fraction))
     from pyspark.sql import Window
 
     ranked = perturbed.withColumn(

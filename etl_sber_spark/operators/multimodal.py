@@ -199,7 +199,11 @@ def sample_frame_indices(
     stride = F.ceil(
         F.col(n_frames_col).cast("double") / F.lit(max_frames)
     ).cast("int")
-    return features.select(
+    # n_frames <= 0 (corrupt/truncated metadata — routine in real media
+    # tables) contributes NO rows instead of crashing the stage:
+    # sequence(0, -1, 1) throws 'Illegal sequence boundaries'
+    # (round-4 review finding)
+    return features.filter(F.col(n_frames_col) > 0).select(
         id_col,
         F.explode(
             F.sequence(
@@ -231,6 +235,7 @@ def extract_frame_features(
     machinery needs for testing.
     """
     joined = media.select(id_col, "payload").join(frame_plan, id_col)
+    _id = id_col  # bound by value into the executor closure
 
     def batches(it):
         import hashlib as _hashlib
@@ -250,7 +255,7 @@ def extract_frame_features(
             ]
             yield _pd.DataFrame(
                 {
-                    "media_id": pdf["media_id"],
+                    _id: pdf[_id],
                     "frame_idx": pdf["frame_idx"],
                     "phash64": _pd.array(hashes, dtype="int64"),
                 }
@@ -258,7 +263,7 @@ def extract_frame_features(
 
     schema = T.StructType(
         [
-            T.StructField("media_id", T.LongType()),
+            T.StructField(id_col, T.LongType()),
             T.StructField("frame_idx", T.IntegerType()),
             T.StructField("phash64", T.LongType()),
         ]
@@ -285,13 +290,21 @@ def phash_near_duplicates(
     """
     n_bands = max_hamming + 1
     width = 64 // n_bands
+
+    def band_key(b: int):
+        shifted = F.shiftrightunsigned(F.col(phash_col), b * width)
+        if b == n_bands - 1:
+            # last band: the shift already dropped every lower band and
+            # there are no higher bits — masking would need a 64-bit
+            # all-ones literal, which does not fit a long (max_hamming=0
+            # crashed here pre-review)
+            return shifted
+        return shifted.bitwiseAND(F.lit((1 << width) - 1))
+
     bands = F.array(
         *[
             F.struct(
-                F.lit(b).alias("band"),
-                F.shiftrightunsigned(F.col(phash_col), b * width)
-                .bitwiseAND(F.lit((1 << width) - 1) if b < n_bands - 1 else F.lit((1 << (64 - b * width)) - 1))
-                .alias("key"),
+                F.lit(b).alias("band"), band_key(b).alias("key")
             )
             for b in range(n_bands)
         ]

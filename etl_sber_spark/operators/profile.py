@@ -22,8 +22,10 @@ Design points for 100 TB:
 - **Min/max/sample rendered as strings** so one fixed output schema
   covers heterogeneous column types (the driver-side contract of every
   profiler UI); numeric mean additionally computed where the type
-  allows, in exact DECIMAL before the final double cast (the repo
-  float rule).
+  allows — exact DECIMAL accumulation for integer/decimal columns, but
+  plain double ``avg`` for float/double ones: a profiler runs against
+  UNKNOWN data, and a decimal accumulator dies (ANSI) or silently
+  skips (non-ANSI) on legitimate doubles like 1e30.
 """
 
 from __future__ import annotations
@@ -85,12 +87,28 @@ def profile(
         else:
             aggs.append(F.lit(None).cast("string").alias(f"{c}__mn"))
             aggs.append(F.lit(None).cast("string").alias(f"{c}__mx"))
-        if isinstance(dt, _NUMERIC):
-            # exact decimal accumulation -> double division of identical
-            # operands (order-independent, engine-portable)
+        if isinstance(dt, (T.FloatType, T.DoubleType)):
+            # floats: plain double avg. A decimal accumulator here would
+            # CRASH the whole profile under ANSI on any value outside
+            # its precision (1e30 is a legitimate double) and silently
+            # null such rows out of the mean under ANSI-off — profiling
+            # must never assume the data it is inspecting is tame
+            # (round-4 review finding).
+            aggs.append(F.avg(col).alias(f"{c}__mean"))
+        elif isinstance(dt, T.DecimalType):
+            # decimals: Spark widens the sum's precision itself
             aggs.append(
                 (
-                    F.sum(col.cast(T.DecimalType(30, 6))).cast("double")
+                    F.sum(col).cast("double")
+                    / F.count(col).cast("double")
+                ).alias(f"{c}__mean")
+            )
+        elif isinstance(dt, _NUMERIC):
+            # integers: DECIMAL(38,0) accumulation is exact and cannot
+            # overflow (9e18 max-longs x 1e19 rows fits 38 digits)
+            aggs.append(
+                (
+                    F.sum(col.cast(T.DecimalType(38, 0))).cast("double")
                     / F.count(col).cast("double")
                 ).alias(f"{c}__mean")
             )

@@ -59,17 +59,25 @@ def resample(
     ts_col: str,
     value_col: str,
     step_seconds: int,
+    value_decimal: tuple[int, int] = (18, 2),
 ) -> DataFrame:
     """(key, bucket, n_events, value_sum): fixed-width bucket aggregate.
 
-    ``value_sum`` accumulates in DECIMAL(18,2) (exact, order-independent
-    — the repo-wide float-aggregation rule) and is emitted as DOUBLE.
+    ``value_sum`` accumulates in DECIMAL (exact, order-independent — the
+    repo-wide float-aggregation rule) and is emitted as DOUBLE.
+    ``value_decimal`` is the accumulator's (precision, scale) — the
+    default (18,2) fits 2-decimal business metrics up to 1e16; a series
+    whose values exceed the precision FAILS the cast under ANSI (the
+    correct loud behavior — under ANSI-off it would silently null rows
+    out of the sum), so widen it to match the column's real range, e.g.
+    ``(38, 2)`` for astronomical counters (round-4 review finding).
     """
+    p, s = value_decimal
     return (
         df.select(
             F.col(key_col),
             bucket_ts(ts_col, step_seconds).alias("bucket"),
-            F.col(value_col).cast(T.DecimalType(18, 2)).alias("_v"),
+            F.col(value_col).cast(T.DecimalType(p, s)).alias("_v"),
         )
         .groupBy(key_col, "bucket")
         .agg(
@@ -127,6 +135,7 @@ def gap_fill(
     value_col: str,
     step_seconds: int,
     max_steps: int = DEFAULT_MAX_STEPS,
+    value_decimal: tuple[int, int] = (18, 2),
 ) -> DataFrame:
     """Regularized series with LOCF: one row per key per step.
 
@@ -138,7 +147,9 @@ def gap_fill(
     bucket alone — (key, bucket) is unique post-aggregate, so no
     tiebreak is needed and the window is deterministic.
     """
-    b = resample(df, key_col, ts_col, value_col, step_seconds)
+    b = resample(
+        df, key_col, ts_col, value_col, step_seconds, value_decimal
+    )
     spine = time_spine(b, key_col, step_seconds, max_steps)
     j = spine.join(b, [key_col, "bucket"], "left")
     w = (

@@ -37,14 +37,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
-from .. import schemas
 from ..operators.scd import scd2_current
+from ..pipeline import T_HIST
 from ..plans.fraud import enrich_transactions
 from ..sinks.warehouse import Warehouse
 from .idempotent import run_idempotent_increments
 from .inbox import stream_transactions
 
-T_HIST = "dwh_dim_terminals_hist"
 T_LIVE = "rep_live_enriched"
 MARKER = "rep_live_enriched__applied"
 
@@ -73,11 +72,19 @@ def stream_enriched_transactions(
     )
 
     def transform(batch_df: DataFrame, batch_id: int) -> dict[str, DataFrame]:
-        hist = (
-            wh.read(T_HIST)
-            if wh.has_data(T_HIST)
-            else spark.createDataFrame([], schemas.TERMINALS_HIST)
-        )
+        if not wh.has_data(T_HIST):
+            # FAIL the batch rather than enrich against an empty dim: an
+            # inner join to nothing yields zero rows, the harness would
+            # still mark the batch applied and the checkpoint would
+            # consume the files — the batch's transactions silently and
+            # PERMANENTLY lost (round-4 review finding). Raising leaves
+            # the checkpoint unadvanced; the stream resumes cleanly once
+            # the nightly dim load has run.
+            raise RuntimeError(
+                f"live mart: dimension table '{T_HIST}' is missing or "
+                "empty — start the stream after the first terminals load"
+            )
+        hist = wh.read(T_HIST)
         ts = as_of if as_of is not None else F.current_timestamp()
         trm = scd2_current(hist, ts).select(
             "terminal_id", "terminal_type", "terminal_city"

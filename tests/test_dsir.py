@@ -135,3 +135,17 @@ def test_resample_fraction_validates(corpus):
         resample_top_fraction(w, 0.0)
     with pytest.raises(ValueError):
         resample_top_fraction(w, 1.5)
+
+
+def test_resample_fraction_approx_threshold_path(corpus):
+    """exact=False selects by quantile threshold (no global window) and
+    lands within the documented tolerance of the target size."""
+    target = corpus.filter(F.col("lang") == "en")
+    w = importance_weights(corpus, target, n_buckets=B)
+    picked = resample_top_fraction(w, 0.5, seed=7, exact=False)
+    n = picked.count()
+    assert 1 <= n <= w.count()
+    # on 6 rows the 0.1% rel-err quantile is effectively exact
+    assert abs(n - 3) <= 1
+    plan = picked._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan

@@ -124,3 +124,41 @@ def test_phash_near_duplicates_pigeonhole_exact(spark):
                     want[(x, y)] = d
     assert got == want
     assert (1, 2) in got and (1, 3) in got and (1, 4) not in got
+
+
+def test_frame_sampling_skips_zero_frame_media(spark):
+    """Corrupt metadata (n_frames <= 0) yields no rows instead of
+    crashing the stage (round-4 review finding)."""
+    from etl_sber_spark.operators.multimodal import sample_frame_indices
+
+    df = spark.createDataFrame(
+        [(1, 0), (2, -3), (3, 4)], "media_id long, n_frames int"
+    )
+    got = sorted(
+        (r.media_id, r.frame_idx)
+        for r in sample_frame_indices(df, max_frames=8).collect()
+    )
+    assert got == [(3, 0), (3, 1), (3, 2), (3, 3)]
+
+
+def test_extract_frame_features_honors_id_col(spark):
+    from etl_sber_spark.operators.multimodal import extract_frame_features
+
+    media = spark.createDataFrame(
+        [(7, bytearray(b"x"))], "vid long, payload binary"
+    )
+    plan = spark.createDataFrame([(7, 0)], "vid long, frame_idx int")
+    rows = extract_frame_features(media, plan, id_col="vid").collect()
+    assert len(rows) == 1 and rows[0].vid == 7
+
+
+def test_phash_near_duplicates_radius_zero(spark):
+    """max_hamming=0 == exact perceptual duplicates (the single-band
+    mask overflowed a long pre-review)."""
+    from etl_sber_spark.operators.multimodal import phash_near_duplicates
+
+    df = spark.createDataFrame(
+        [(1, 12345), (2, 12345), (3, 12344)], "media_id long, phash64 long"
+    )
+    got = {(r.id_a, r.id_b) for r in phash_near_duplicates(df, max_hamming=0).collect()}
+    assert got == {(1, 2)}

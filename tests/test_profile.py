@@ -105,3 +105,14 @@ def test_top_values(mixed):
         ("a", 2, 1),
         (None, 1, 2),  # NULL renders as NULL but counts as a value
     ]
+
+
+def test_profile_survives_huge_doubles(spark):
+    """A 1e30 double must not abort the profile (ANSI decimal overflow)
+    nor silently skew the mean (round-4 review finding)."""
+    df = spark.createDataFrame(
+        [(1, 1e30), (2, 2e30), (3, None)], "id long, v double"
+    )
+    p = {r["column"]: r for r in profile(df, exact_distinct=True).collect()}
+    assert p["v"]["mean"] == pytest.approx(1.5e30)
+    assert p["v"]["n_null"] == 1

@@ -122,23 +122,30 @@ def test_live_rows_cover_both_days(streamed):
 
 def test_point_in_time_dimension_binding(streamed):
     """Each live row's terminal attributes == the dim version open at
-    ITS batch's as-of — the as-of law, checked for every row."""
+    ITS batch's as-of — the as-of law, keyed through the row's OWN
+    terminal (trans_id → source transaction → terminal_id → as-of dim);
+    a whole-dim semi-join on (type, city) would pass whenever ANY open
+    terminal shares the low-cardinality pair (review finding)."""
     spark, wh, _, _, _, _ = streamed
     hist = wh.read(T_HIST)
     live = wh.read(T_LIVE)
     for batch_id, day in ((0, "01"), (1, "02"), (2, "03")):
+        tx = read_transactions_csv(
+            spark, f"{REF}/transactions_{day}032021.txt"
+        ).select("trans_id", F.col("terminal").alias("terminal_id"))
         dim = scd2_current(hist, _ts(day)).select(
+            "terminal_id",
             F.col("terminal_type").alias("want_type"),
             F.col("terminal_city").alias("want_city"),
         )
+        want = tx.join(dim, "terminal_id")
         rows = live.filter(F.col("batch_id") == batch_id)
-        joined = rows.join(
-            dim,
-            (rows.terminal_type == dim.want_type)
-            & (rows.terminal_city == dim.want_city),
-            "left_semi",
+        assert want.count() == rows.count()
+        bad = rows.join(want, "trans_id").filter(
+            (F.col("terminal_type") != F.col("want_type"))
+            | (F.col("terminal_city") != F.col("want_city"))
         )
-        assert joined.count() == rows.count()
+        assert bad.count() == 0
 
 
 def test_early_rows_keep_early_attributes(streamed):
@@ -190,3 +197,34 @@ def test_marker_loss_replay_is_idempotent(streamed):
     )
     q.awaitTermination()
     assert wh.read(T_LIVE).count() == before
+
+
+def test_missing_dim_fails_batch_instead_of_losing_rows(spark, tmp_path):
+    """Starting the stream before the first dim load must FAIL the batch
+    (checkpoint unadvanced), not enrich to zero rows and mark the batch
+    applied (round-4 review finding)."""
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    shutil.copy(
+        f"{REF}/transactions_01032021.txt",
+        inbox / "transactions_01032021.txt",
+    )
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    bank = build_bank_tables(spark)
+    q = stream_enriched_transactions(
+        spark, str(inbox), wh, str(tmp_path / "ckpt"), bank, as_of=_ts("01")
+    )
+    with pytest.raises(Exception, match="missing or empty"):
+        q.awaitTermination()
+    assert not wh.has_data(T_LIVE)
+    assert not wh.has_data(MARKER)
+    # after the dim load the SAME checkpoint drains the file
+    _load_terminals(spark, wh, "01")
+    q2 = stream_enriched_transactions(
+        spark, str(inbox), wh, str(tmp_path / "ckpt"), bank, as_of=_ts("01")
+    )
+    q2.awaitTermination()
+    n = read_transactions_csv(
+        spark, f"{REF}/transactions_01032021.txt"
+    ).count()
+    assert wh.read(T_LIVE).count() == n

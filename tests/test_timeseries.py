@@ -106,3 +106,17 @@ def test_spine_guard_allows_exact_cap(spark):
     )
     b = resample(ok, "user_id", "ts", "value", HOUR)
     assert time_spine(b, "user_id", HOUR, max_steps=1000).count() == 1000
+
+
+def test_resample_accumulator_widens(spark):
+    """value_decimal widens the exact accumulator for large-range
+    series (the default (18,2) is a stated contract and fails LOUDLY
+    under ANSI when exceeded — round-4 review finding)."""
+    rows = [(1, _ts(0), 1e17), (1, _ts(0, 30), 2e17)]
+    df = spark.createDataFrame(rows, "user_id int, ts timestamp, value double")
+    out = resample(
+        df, "user_id", "ts", "value", HOUR, value_decimal=(38, 2)
+    ).collect()
+    assert out[0]["value_sum"] == 3e17
+    with pytest.raises(Exception):
+        resample(df, "user_id", "ts", "value", HOUR).collect()
