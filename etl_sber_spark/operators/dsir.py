@@ -108,6 +108,7 @@ def importance_weights(
     text_col: str = "text",
     n_buckets: int = DEFAULT_BUCKETS,
     seed: int = 0,
+    target_within_corpus: bool = False,
 ) -> DataFrame:
     """Per-document DSIR log importance weight against ``target``.
 
@@ -121,9 +122,22 @@ def importance_weights(
     to the driver — metadata scale, the k-means-centroid pattern) so the
     log-ratio table can ride the scoring join as a broadcast literal
     frame instead of a shuffled scalar-subquery dance.
+
+    ``target_within_corpus=True`` declares that ``target``'s rows are a
+    SUBSET of ``corpus`` (same ids, same text) — the target gram counts
+    then come from the already-pinned corpus gram frame semi-joined to
+    the target ids, skipping the second tokenize+hash pass over the
+    target text (the dominant per-pass cost). Semantics are identical
+    by definition of the flag; the caller is asserting the subset
+    relationship, not changing the model.
     """
     g_corpus = pin(hashed_grams(corpus, id_col, text_col, n_buckets, seed))
-    g_target = hashed_grams(target, id_col, text_col, n_buckets, seed)
+    if target_within_corpus:
+        # no forced broadcast: a target slice can be a large fraction of
+        # the corpus (AQE picks broadcast when the id set is small)
+        g_target = g_corpus.join(target.select(id_col), id_col, "left_semi")
+    else:
+        g_target = hashed_grams(target, id_col, text_col, n_buckets, seed)
 
     def counts(g: DataFrame) -> dict[int, int]:
         rows = g.groupBy("bucket").agg(F.count(F.lit(1)).alias("c")).collect()

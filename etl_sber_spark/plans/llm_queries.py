@@ -568,7 +568,10 @@ def q_dsir_weights(spark, sf_dir):
 
     d = load_table(spark, sf_dir, "documents")
     return importance_weights(
-        d, d.filter(F.col("lang") == "en"), n_buckets=_DSIR_B
+        d,
+        d.filter(F.col("lang") == "en"),
+        n_buckets=_DSIR_B,
+        target_within_corpus=True,
     )
 
 

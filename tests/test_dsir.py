@@ -149,3 +149,20 @@ def test_resample_fraction_approx_threshold_path(corpus):
     assert abs(n - 3) <= 1
     plan = picked._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
+
+
+def test_target_within_corpus_matches_general_path(corpus):
+    """The subset fast path (counts from the pinned corpus gram frame)
+    must be value-identical to the general two-pass computation."""
+    target = corpus.filter(F.col("lang") == "en")
+    a = {
+        r["doc_id"]: (r["n_grams"], r["log_weight"])
+        for r in importance_weights(corpus, target, n_buckets=B).collect()
+    }
+    b = {
+        r["doc_id"]: (r["n_grams"], r["log_weight"])
+        for r in importance_weights(
+            corpus, target, n_buckets=B, target_within_corpus=True
+        ).collect()
+    }
+    assert a == b
