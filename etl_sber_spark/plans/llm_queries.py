@@ -986,7 +986,7 @@ _RAW_NTOK_SQL = r"""
 """
 
 _RAW_QUALITY_SQL = r"""
-    round(0.3 * least(greatest(length(text), 1)::DOUBLE / 100.0, 1.0)
+    floor((0.3 * least(greatest(length(text), 1)::DOUBLE / 100.0, 1.0)
           + 0.4 * ((length(text)
                     - length(regexp_replace(text, '[A-Za-zА-яЁё]', '', 'g')))::DOUBLE
                    / greatest(length(text), 1))
@@ -998,7 +998,8 @@ _RAW_QUALITY_SQL = r"""
                         THEN 1.0 ELSE 0.5 END)
           + 0.1 * (1.0 - least(((length(text)
                     - length(regexp_replace(text, '[.,;:!?"]', '', 'g')))::DOUBLE
-                   / greatest(length(text), 1)) * 5.0, 1.0)), 4)
+                   / greatest(length(text), 1)) * 5.0, 1.0))) * 10000.0 + 0.5)
+    / 10000.0
 """
 
 _CURATE_BANDS = _BANDS_CTE.replace(

@@ -55,3 +55,23 @@ def test_token_count_edges(spark):
         [("",), ("   ",), ("one",), ("two words",)], ["text"]
     ).select(token_count(F.col("text")).alias("n"))
     assert [r.n for r in df.collect()] == [0, 0, 1, 2]
+
+
+def test_quality_score_rounding_is_portable(spark):
+    """quality_score uses floor(x*1e4+0.5)/1e4, not engine round():
+    Spark's BigDecimal HALF_UP and DuckDB's std::round diverge on x1e4
+    ties (three sf0.1 docs graded 0.8232 vs 0.8233 in round 4). Pin the
+    quantized form: every score is an exact multiple of 1e-4 whose
+    scaled value reproduces under the same floor arithmetic in Python."""
+    from etl_sber_spark.functions.text import quality_score
+    from etl_sber_spark.sources.tables import load_table
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    rows = d.select(
+        quality_score("text").alias("q"),
+        F.floor(quality_score("text") * 10000.0 + 0.5).alias("scaled"),
+    ).collect()
+    assert rows
+    for r in rows:
+        assert r["q"] == r["scaled"] / 10000.0
+        assert 0.0 <= r["q"] <= 1.0001
