@@ -510,8 +510,10 @@ def q_grouping_sets(spark, sf_dir):
            nth_value(event_type, 2) OVER w_time AS second_type,
            dense_rank() OVER w_type AS type_rank,
            ntile(4) OVER w_time AS quartile,
-           round(percent_rank() OVER w_val, 6) AS val_pct_rank,
-           round(cume_dist() OVER w_val, 6) AS val_cume_dist
+           floor((percent_rank() OVER w_val) * 1000000.0 + 0.5) / 1000000.0
+               AS val_pct_rank,
+           floor((cume_dist() OVER w_val) * 1000000.0 + 0.5) / 1000000.0
+               AS val_cume_dist
     FROM events
     WINDOW w_time AS (PARTITION BY user_id ORDER BY ts, event_id
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
@@ -530,9 +532,11 @@ def q_window_funcs(spark, sf_dir):
     - W2 dense_rank per partition (main.py:506, 527-528 — 'client seen
       in a second distinct city'); the rank=2 RESIDUAL FILTER (F9) and
       the composed rule stay pinned by q_fraud_rule3_shape and q_topk;
-    - distribution functions: ntile(4), percent_rank, cume_dist (rounded
-      to 6 decimals: both engines compute the same rational number, the
-      round guards the rendering).
+    - distribution functions: ntile(4), percent_rank, cume_dist —
+      quantized with the portable floor(x*1e6+0.5)/1e6 (NOT engine
+      round(): percent_rank is a small-denominator rational, the class
+      where Spark's shortest-decimal HALF_UP and DuckDB's scaled
+      std::round can disagree — the q_curate sf0.1 lesson).
 
     Three window specs over the same partition key plan as ONE shuffle —
     Spark reuses the hash partitioning across the per-ordering sorts."""
@@ -559,8 +563,13 @@ def q_window_funcs(spark, sf_dir):
         F.ntile(4).over(
             Window.partitionBy("user_id").orderBy("ts", "event_id")
         ).alias("quartile"),
-        F.round(F.percent_rank().over(w_val), 6).alias("val_pct_rank"),
-        F.round(F.cume_dist().over(w_val), 6).alias("val_cume_dist"),
+        (
+            F.floor(F.percent_rank().over(w_val) * 1000000.0 + 0.5)
+            / 1000000.0
+        ).alias("val_pct_rank"),
+        (
+            F.floor(F.cume_dist().over(w_val) * 1000000.0 + 0.5) / 1000000.0
+        ).alias("val_cume_dist"),
     )
 
 
