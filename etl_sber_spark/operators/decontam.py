@@ -175,3 +175,55 @@ def leakage_guarded_split(
             F.lit(False)
         ),
     )
+
+
+def semantic_contamination(
+    corpus_emb: DataFrame,
+    probe_emb: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-level decontamination: corpus documents semantically
+    close to any evaluation probe.
+
+    The n-gram sweep (:func:`contaminated_docs`) misses paraphrased or
+    translated benchmark leakage; the standard complement scores each
+    corpus embedding against the probe set and flags cosine ≥
+    ``threshold``. Same scale shape as the n-gram sweep: probes
+    (benchmarks — thousands, not terabytes) BROADCAST against the
+    corpus scan, exact cosine evaluated in place, ONE aggregate keyed
+    on the corpus id — the corpus never shuffles; only the (small) hit
+    set does.
+
+    Output: hit documents only — (``id_col``, ``n_probe_hits``,
+    ``max_sim`` rounded to 6, ``nearest_probe`` = probe id of the max,
+    ties to the smaller probe id). Callers anti-join to drop. Documents
+    with a zero-norm embedding never match (NULL cosine — the semdedup
+    convention).
+    """
+    from .semdedup import _safe_cosine
+    from .spread import spread
+
+    p = probe_emb.select(
+        F.col(id_col).alias("_probe_id"), F.col(vec_col).alias("_p_vec")
+    )
+    sim = F.floor(
+        _safe_cosine(F.col(vec_col), F.col("_p_vec")) * F.lit(1_000_000.0)
+        + F.lit(0.5)
+    ) / F.lit(1_000_000.0)
+    scored = (
+        spread(corpus_emb)
+        .join(F.broadcast(p), F.col("_probe_id").isNotNull())
+        .select(id_col, "_probe_id", sim.alias("_sim"))
+        .filter(F.col("_sim") >= threshold)
+    )
+    # max_by on (sim, -probe_id): highest similarity wins, ties to the
+    # SMALLER probe id — deterministic across partitionings
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_probe_hits"),
+        F.max("_sim").alias("max_sim"),
+        F.max_by(
+            "_probe_id", F.struct(F.col("_sim"), (-F.col("_probe_id")))
+        ).alias("nearest_probe"),
+    )

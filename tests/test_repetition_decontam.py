@@ -170,3 +170,46 @@ def test_leakage_guard_matches_gram_table(spark):
             assert flag == bool(grams.get(d, set()) & hold_grams), d
     # the small-vocab corpus really leaks across splits
     assert any(flag for _, flag in out.values())
+
+
+def test_semantic_contamination_planted(spark):
+    """Planted near-probe embeddings are flagged with the right nearest
+    probe and similarity; orthogonal ones are not; zero-norm never
+    matches."""
+    from etl_sber_spark.operators.decontam import semantic_contamination
+
+    corpus = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0]),      # == probe 10
+            (2, [0.9, 0.1, 0.0]),      # close to probe 10
+            (3, [0.0, 0.0, 1.0]),      # orthogonal to both probes
+            (4, [0.0, 0.0, 0.0]),      # zero norm: never matches
+            (5, [0.0, 1.0, 0.0]),      # == probe 11 AND probe 12 (tie)
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    probes = spark.createDataFrame(
+        [(10, [1.0, 0.0, 0.0]), (11, [0.0, 1.0, 0.0]), (12, [0.0, 2.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        r["vec_id"]: r
+        for r in semantic_contamination(corpus, probes, threshold=0.9).collect()
+    }
+    assert set(got) == {1, 2, 5}
+    assert got[1]["nearest_probe"] == 10 and got[1]["max_sim"] == 1.0
+    assert got[2]["nearest_probe"] == 10 and 0.9 <= got[2]["max_sim"] < 1.0
+    # doc 5 matches both probes at sim 1.0 -> tie breaks to smaller id
+    assert got[5]["n_probe_hits"] == 2 and got[5]["nearest_probe"] == 11
+
+
+def test_semantic_contamination_clean_corpus_empty(spark):
+    from etl_sber_spark.operators.decontam import semantic_contamination
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    probes = spark.createDataFrame(
+        [(9, [0.0, 1.0])], "vec_id long, embedding array<float>"
+    )
+    assert semantic_contamination(corpus, probes, 0.5).count() == 0
