@@ -181,3 +181,37 @@ def build_mixture(
         )
         .drop("_n_copies")
     )
+
+
+def temperature_weights(
+    stats: Mapping[str, int], temperature: float = 1.0
+) -> dict[str, float]:
+    """Temperature-scaled sampling weights from measured token counts —
+    the standard multilingual/multi-source rebalancing knob (mBERT /
+    XLM-R exponent-smoothed sampling; T=1 reproduces natural
+    proportions, T→∞ approaches uniform, T<1 sharpens toward the big
+    sources). w_i ∝ (n_i / N) ** (1/T), normalized to sum to 1.
+
+    Driver arithmetic on sources-sized input; feed the result straight
+    into :func:`mixture_plan`:
+
+        stats = {r["source"]: r["n_tokens"] for r in
+                 source_token_stats(df).collect()}
+        plan = mixture_plan(stats, temperature_weights(stats, 3.0),
+                            budget_tokens=10**9)
+
+    Deterministic: plain float arithmetic over a sorted dict — no RNG,
+    no order dependence.
+    """
+    if temperature <= 0:
+        raise ValueError("temperature must be > 0")
+    total = float(sum(stats.values()))
+    if total <= 0:
+        raise ValueError("stats must contain at least one token")
+    raw = {
+        src: (n / total) ** (1.0 / temperature)
+        for src, n in sorted(stats.items())
+        if n > 0
+    }
+    z = sum(raw.values())
+    return {src: w / z for src, w in raw.items()}

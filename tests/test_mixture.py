@@ -170,3 +170,41 @@ def test_mixture_plan_properties():
             assert 0 <= sp.frac_threshold < RESOLUTION
 
     check()
+
+
+def test_temperature_weights_limits_and_laws():
+    from etl_sber_spark.operators.mixture import temperature_weights
+
+    stats = {"web": 8_000_000, "code": 1_500_000, "wiki": 500_000}
+    # T=1: natural proportions
+    w1 = temperature_weights(stats, 1.0)
+    assert w1["web"] == pytest.approx(0.8)
+    assert w1["wiki"] == pytest.approx(0.05)
+    # higher T flattens: small sources gain, big ones lose
+    w3 = temperature_weights(stats, 3.0)
+    assert w3["wiki"] > w1["wiki"] and w3["web"] < w1["web"]
+    # T -> large approaches uniform
+    w100 = temperature_weights(stats, 100.0)
+    assert max(w100.values()) - min(w100.values()) < 0.02
+    # always a distribution
+    for w in (w1, w3, w100):
+        assert sum(w.values()) == pytest.approx(1.0)
+    # zero-token sources are excluded, invalid T rejected
+    assert "empty" not in temperature_weights({**stats, "empty": 0}, 2.0)
+    with pytest.raises(ValueError):
+        temperature_weights(stats, 0.0)
+
+
+def test_temperature_weights_chain_into_plan():
+    from etl_sber_spark.operators.mixture import (
+        mixture_plan,
+        temperature_weights,
+    )
+
+    stats = {"web": 1_000_000, "wiki": 10_000}
+    plan = mixture_plan(
+        stats, temperature_weights(stats, 5.0), budget_tokens=500_000
+    )
+    # flattened weights upsample wiki far above its natural share
+    assert plan["wiki"].repeat_factor > 5
+    assert plan["web"].repeat_factor < 1
