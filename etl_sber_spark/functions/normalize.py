@@ -20,6 +20,26 @@ def max_ts_lit() -> Column:
     return F.lit(MAX_TS).cast(T.TimestampType())
 
 
+def portable_round(col: Column, ndigits: int) -> Column:
+    """Cross-engine deterministic rounding: ``floor(x·10ⁿ + 0.5)/10ⁿ``.
+
+    Engine ``round()`` builtins DIVERGE near scaled ties: Spark rounds
+    the shortest-decimal rendering HALF_UP (BigDecimal.valueOf) while
+    DuckDB ``std::round``s the scaled double — a graded quality score of
+    0.82325 rendered 0.8233 vs 0.8232 (the round-4 sf0.1 sweep flake).
+    Every step here is a single IEEE operation with one result in both
+    engines, so differentially-graded outputs MUST use this form for any
+    value that can be a small-denominator rational (ratios, ranks,
+    weighted sums of decimal-ish inputs). The DuckDB-side rendering is
+    the literal ``floor(x * 10^n + 0.5) / 10^n``. Negative inputs round
+    half-up toward +∞ (not away from zero) — fine for the similarity /
+    score ranges this engine grades; state the contract if reusing on
+    signed data.
+    """
+    scale = float(10**ndigits)
+    return F.floor(col * F.lit(scale) + F.lit(0.5)) / F.lit(scale)
+
+
 def comma_decimal(col: Column | str, precision: int = 20, scale: int = 2) -> Column:
     """Repair a comma-decimal string (``'1046,40'``) into a decimal.
 

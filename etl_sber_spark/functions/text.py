@@ -86,14 +86,12 @@ def quality_score(col: Column | str) -> Column:
     score = (
         0.3 * length_ok + 0.4 * alpha + 0.2 * tok_ok + 0.1 * (1.0 - F.least(punct * 5.0, F.lit(1.0)))
     )
-    # portable 4-decimal rounding: floor(x*1e4 + 0.5)/1e4 (the quantizer
-    # trick, operators/quantize.py) — every step is one IEEE op both
-    # engines compute identically. Engine round() builtins DIVERGE on
-    # ×1e4 ties: Spark rounds the shortest-decimal rendering HALF_UP
-    # (BigDecimal.valueOf), DuckDB std::round()s the scaled double —
-    # at sf0.1 three docs landed on 0.82325 and graded 0.8232 vs 0.8233
-    # (found in the round-4 full-scale differential sweep).
-    return F.floor(score * F.lit(10000.0) + F.lit(0.5)) / F.lit(10000.0)
+    # portable_round, NOT engine round(): at sf0.1 three docs landed on
+    # the 0.82325 tie and graded 0.8232 vs 0.8233 across engines (see
+    # functions/normalize.portable_round for the full story)
+    from .normalize import portable_round
+
+    return portable_round(score, 4)
 
 
 def doc_fingerprint(col: Column | str, seed: int = 0) -> Column:

@@ -202,28 +202,47 @@ def semantic_contamination(
     with a zero-norm embedding never match (NULL cosine — the semdedup
     convention).
     """
-    from .semdedup import _safe_cosine
+    from ..functions.normalize import portable_round
+    from ..functions.vectors import dot_product, l2_norm
     from .spread import spread
 
+    # norms precomputed ONCE per side: the join evaluates O(n·p) pairs,
+    # and recomputing each row's norm p times (and each probe's n
+    # times) would triple the dominant in-scan arithmetic — the pair
+    # expression is a single dot product + one multiply (review
+    # finding). try_divide keeps the zero-norm → NULL contract of
+    # semdedup._safe_cosine.
     p = probe_emb.select(
-        F.col(id_col).alias("_probe_id"), F.col(vec_col).alias("_p_vec")
+        F.col(id_col).alias("_probe_id"),
+        F.col(vec_col).alias("_p_vec"),
+        l2_norm(F.col(vec_col)).alias("_p_norm"),
     )
-    sim = F.floor(
-        _safe_cosine(F.col(vec_col), F.col("_p_vec")) * F.lit(1_000_000.0)
-        + F.lit(0.5)
-    ) / F.lit(1_000_000.0)
+    c = spread(corpus_emb).select(
+        id_col,
+        F.col(vec_col).alias("_a_vec"),
+        l2_norm(F.col(vec_col)).alias("_a_norm"),
+    )
+    sim = portable_round(
+        F.try_divide(
+            dot_product(F.col("_a_vec"), F.col("_p_vec")),
+            F.col("_a_norm") * F.col("_p_norm"),
+        ),
+        6,
+    )
     scored = (
-        spread(corpus_emb)
-        .join(F.broadcast(p), F.col("_probe_id").isNotNull())
+        c.join(F.broadcast(p), F.col("_probe_id").isNotNull())
         .select(id_col, "_probe_id", sim.alias("_sim"))
         .filter(F.col("_sim") >= threshold)
     )
-    # max_by on (sim, -probe_id): highest similarity wins, ties to the
-    # SMALLER probe id — deterministic across partitionings
+    # min_by on (-sim, probe_id): highest similarity wins, ties to the
+    # SMALLEST probe id — deterministic across partitionings. The
+    # negation sits on _sim (always numeric); negating _probe_id would
+    # crash (ANSI) or NULL out (non-ANSI) on string probe ids, which
+    # id_col explicitly permits (review finding).
     return scored.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_probe_hits"),
         F.max("_sim").alias("max_sim"),
-        F.max_by(
-            "_probe_id", F.struct(F.col("_sim"), (-F.col("_probe_id")))
+        F.min_by(
+            "_probe_id", F.struct((-F.col("_sim")), F.col("_probe_id"))
         ).alias("nearest_probe"),
     )

@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..functions.normalize import comma_decimal
+from ..functions.normalize import comma_decimal, portable_round
 from ..operators.bandjoin import band_partner_groups
 from ..sources.tables import load_table
 
@@ -563,13 +563,12 @@ def q_window_funcs(spark, sf_dir):
         F.ntile(4).over(
             Window.partitionBy("user_id").orderBy("ts", "event_id")
         ).alias("quartile"),
-        (
-            F.floor(F.percent_rank().over(w_val) * 1000000.0 + 0.5)
-            / 1000000.0
-        ).alias("val_pct_rank"),
-        (
-            F.floor(F.cume_dist().over(w_val) * 1000000.0 + 0.5) / 1000000.0
-        ).alias("val_cume_dist"),
+        portable_round(F.percent_rank().over(w_val), 6).alias(
+            "val_pct_rank"
+        ),
+        portable_round(F.cume_dist().over(w_val), 6).alias(
+            "val_cume_dist"
+        ),
     )
 
 

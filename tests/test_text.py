@@ -58,20 +58,21 @@ def test_token_count_edges(spark):
 
 
 def test_quality_score_rounding_is_portable(spark):
-    """quality_score uses floor(x*1e4+0.5)/1e4, not engine round():
-    Spark's BigDecimal HALF_UP and DuckDB's std::round diverge on x1e4
-    ties (three sf0.1 docs graded 0.8232 vs 0.8233 in round 4). Pin the
-    quantized form: every score is an exact multiple of 1e-4 whose
-    scaled value reproduces under the same floor arithmetic in Python."""
+    """quality_score must use portable_round (floor(x*1e4+0.5)/1e4),
+    not engine round(): Spark's BigDecimal HALF_UP and DuckDB's
+    std::round diverge on ×1e4 ties (three sf0.1 docs graded 0.8232 vs
+    0.8233 in round 4). Value-level assertions can't pin this — every
+    4-decimal multiple satisfies the floor identity under EITHER
+    implementation (first version of this test was a tautology, review
+    finding) — so pin the EXPRESSION: the plan must round via FLOOR and
+    must not contain a round() call."""
     from etl_sber_spark.functions.text import quality_score
     from etl_sber_spark.sources.tables import load_table
 
     d = load_table(spark, "/root/testdata/sf0.001", "documents")
-    rows = d.select(
-        quality_score("text").alias("q"),
-        F.floor(quality_score("text") * 10000.0 + 0.5).alias("scaled"),
-    ).collect()
-    assert rows
-    for r in rows:
-        assert r["q"] == r["scaled"] / 10000.0
-        assert 0.0 <= r["q"] <= 1.0001
+    q = d.select(quality_score("text").alias("q"))
+    plan = q._jdf.queryExecution().optimizedPlan().toString()
+    assert "FLOOR" in plan.upper()
+    assert "round(" not in plan.lower()
+    rows = q.collect()
+    assert rows and all(0.0 <= r["q"] <= 1.0001 for r in rows)
