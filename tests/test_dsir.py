@@ -166,3 +166,14 @@ def test_target_within_corpus_matches_general_path(corpus):
         ).collect()
     }
     assert a == b
+
+
+def test_importance_weights_scoring_join_is_broadcast(corpus):
+    """SCALE.md claim: the per-gram scoring join broadcasts the
+    n_buckets-row log-ratio table -- the corpus side never shuffles for
+    scoring (the only shuffle is the final per-doc aggregate)."""
+    target = corpus.filter(F.col("lang") == "en")
+    w = importance_weights(corpus, target, n_buckets=B)
+    plan = w._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

@@ -162,3 +162,21 @@ def test_phash_near_duplicates_radius_zero(spark):
     )
     got = {(r.id_a, r.id_b) for r in phash_near_duplicates(df, max_hamming=0).collect()}
     assert got == {(1, 2)}
+
+
+def test_phash_plan_is_bucketed_not_allpairs(spark):
+    """SCALE.md claim: candidates come from band equi-joins (bucketed),
+    never an all-pairs product."""
+    from etl_sber_spark.operators.multimodal import phash_near_duplicates
+
+    df = spark.createDataFrame(
+        [(i, i * 7919) for i in range(50)], "media_id long, phash64 long"
+    )
+    plan = (
+        phash_near_duplicates(df, max_hamming=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan

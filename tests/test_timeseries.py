@@ -120,3 +120,21 @@ def test_resample_accumulator_widens(spark):
     assert out[0]["value_sum"] == 3e17
     with pytest.raises(Exception):
         resample(df, "user_id", "ts", "value", HOUR).collect()
+
+
+def test_gap_fill_plan_shape(series):
+    """SCALE.md claim: resample's hash-aggregate is the only
+    corpus-sized shuffle; spine generation is explode over a tiny
+    aggregate; the spine⋈buckets join and LOCF window reuse the key
+    partitioning. Pin: no cartesian/BNLJ, and the Exchange count stays
+    at the audited 4 (agg partials, join sides, window) — a regression
+    adding a corpus-wide reshuffle fails this."""
+    plan = (
+        gap_fill(series, "user_id", "ts", "value", HOUR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert plan.count("Exchange") <= 4
