@@ -334,3 +334,73 @@ def phash_near_duplicates(
         .distinct()
     )
     return pairs
+
+
+def media_near_duplicates(
+    frame_hashes: DataFrame,
+    id_col: str = "media_id",
+    phash_col: str = "phash64",
+    max_hamming: int = 3,
+    min_matching_frames: int = 2,
+) -> DataFrame:
+    """Video/image-set near-dup groups from per-frame perceptual hashes
+    — the composed multimodal twin of text curation's near-dup stage.
+
+    Input: the :func:`extract_frame_features` shape (``id_col``,
+    ``frame_idx``, ``phash_col``). Two media match when at least
+    ``min_matching_frames`` of their sampled frames are within
+    ``max_hamming`` of each other (frame ORDER is deliberately ignored:
+    re-encodes shift frame indices, and sampled indices differ when
+    lengths differ). Matching pairs feed
+    :func:`..components.connected_components`, so transitive chains
+    (A≈B≈C re-encoded at three bitrates) collapse into ONE group with
+    the min-id keeper — the same one-survivor contract as
+    curate_corpus(transitive=True).
+
+    Scale: frame-level candidates come from the pigeonhole-banded
+    Hamming join (bucketed, never all-pairs); the per-media-pair vote
+    is one aggregate over matched frame pairs; CC runs on the
+    (tiny) video-pair graph. Output: (``id_col``, ``group_id``,
+    ``is_keeper``) for every media id that appears in any group —
+    singletons are omitted (at corpus scale emitting a row per clean
+    video would dominate the output; callers anti-join the non-keepers
+    to dedupe).
+    """
+    from .components import connected_components
+
+    # one row per DISTINCT (media, frame-hash): a still video whose
+    # sampled frames all hash identically must not multiply the vote
+    distinct_fh = frame_hashes.select(id_col, phash_col).distinct()
+    # synthetic row key so the banded join pairs FRAME HASHES — the
+    # per-media grouping happens in the vote, not the join
+    keyed = distinct_fh.withColumn(
+        "_rk",
+        F.xxhash64(F.col(id_col).cast("string"), F.col(phash_col)),
+    )
+    pairs = phash_near_duplicates(
+        keyed, id_col="_rk", phash_col=phash_col, max_hamming=max_hamming
+    )
+    a = keyed.select(
+        F.col("_rk").alias("id_a"), F.col(id_col).alias("_ma")
+    )
+    b = keyed.select(
+        F.col("_rk").alias("id_b"), F.col(id_col).alias("_mb")
+    )
+    media_pairs = (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .filter(F.col("_ma") != F.col("_mb"))
+        .select(
+            F.least("_ma", "_mb").alias("id_a"),
+            F.greatest("_ma", "_mb").alias("id_b"),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_matching_frames"))
+        .filter(F.col("n_matching_frames") >= min_matching_frames)
+    )
+    comp = connected_components(media_pairs.select("id_a", "id_b"))
+    return comp.select(
+        F.col("node").alias(id_col),
+        F.col("component").alias("group_id"),
+        (F.col("node") == F.col("component")).alias("is_keeper"),
+    )

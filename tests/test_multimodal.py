@@ -180,3 +180,62 @@ def test_phash_plan_is_bucketed_not_allpairs(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoop" not in plan
+
+
+def test_media_near_duplicates_transitive_groups(spark):
+    """Composed video near-dup: frame-match voting + connected
+    components. A≈B and B≈C (disjoint matching frames) must land in ONE
+    group with the min-id keeper even though A and C share nothing;
+    a single matching frame (below min_matching_frames) must NOT link."""
+    from etl_sber_spark.operators.multimodal import media_near_duplicates
+
+    # anchors chosen pairwise FAR apart (the first draft used single-bit
+    # constants, which sit at Hamming 2 of each other and silently
+    # linked everything); the loop below self-checks the fixture
+    h1, h2 = 0x0F0F0F0F0F, 0x3333333333
+    h3, h4 = 0x5555555555, 0x6666666666
+    d_far, e1, e2 = 0x7070707070, 0x1248124812, 0x2184218421
+    anchors = [h1, h2, h3, h4, d_far, e1, e2]
+    for i, x in enumerate(anchors):
+        for y in anchors[i + 1:]:
+            assert bin(x ^ y).count("1") > 7, (hex(x), hex(y))
+    rows = [
+        # A and B share frames h1, h2 (exact / hamming 1)
+        (1, 0, h1), (1, 1, h2),
+        # B and C share frames h3, h4
+        (2, 0, h1 ^ 1), (2, 1, h2), (2, 3, h3), (2, 4, h4),
+        (3, 0, h3 ^ 2), (3, 1, h4),
+        # D matches A on ONE frame only -> below the vote threshold
+        (4, 0, h1), (4, 1, d_far),
+        # E matches nothing
+        (5, 0, e1), (5, 1, e2),
+    ]
+    df = spark.createDataFrame(
+        rows, "media_id long, frame_idx int, phash64 long"
+    )
+    got = {
+        r["media_id"]: r
+        for r in media_near_duplicates(
+            df, max_hamming=3, min_matching_frames=2
+        ).collect()
+    }
+    assert set(got) == {1, 2, 3}
+    assert all(r["group_id"] == 1 for r in got.values())
+    assert got[1]["is_keeper"] and not got[2]["is_keeper"]
+
+
+def test_media_near_duplicates_still_video_single_vote(spark):
+    """A still video (every sampled frame hashes identically) counts
+    ONE distinct frame hash, so it cannot reach min_matching_frames=2
+    against another still video by repetition alone."""
+    from etl_sber_spark.operators.multimodal import media_near_duplicates
+
+    rows = [(1, i, 42) for i in range(8)] + [(2, i, 43) for i in range(8)]
+    df = spark.createDataFrame(
+        rows, "media_id long, frame_idx int, phash64 long"
+    )
+    assert (
+        media_near_duplicates(df, max_hamming=3, min_matching_frames=2)
+        .count()
+        == 0
+    )
