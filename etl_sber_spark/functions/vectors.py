@@ -33,4 +33,13 @@ def l2_norm(a: Column | str) -> Column:
 
 
 def cosine_similarity(a: Column | str, b: Column | str) -> Column:
-    return dot_product(a, b) / (l2_norm(a) * l2_norm(b))
+    """NULL on a zero-norm side (``try_divide``), never an error.
+
+    Zero vectors are a routine artifact of failed embedding calls; a
+    plain ``/`` raises DIVIDE_BY_ZERO under Spark 4's default ANSI mode
+    and would abort a corpus-wide top-k/dedup job on one bad row. NULL
+    similarity ranks after every real similarity (DESC puts NULLs
+    last), which is the wanted degradation — and matches DuckDB's
+    divide-by-zero → NULL, so differential oracles agree.
+    """
+    return F.try_divide(dot_product(a, b), l2_norm(a) * l2_norm(b))

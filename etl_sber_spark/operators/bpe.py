@@ -46,6 +46,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .dedup import tokens_expr
 from .materialize import pin
 from .spread import spread
 
@@ -56,32 +57,30 @@ EOW = "</w>"
 def word_frequencies(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Distinct-word dictionary ``(word, n)`` — the one corpus-scale pass.
 
-    Words are lowercased whitespace tokens (the same normalization as
-    operators/vocab.token_frequencies, so a BPE vocab and a word vocab
-    trained on the same corpus agree on what a "word" is).
+    Words are lowercased whitespace tokens — the SHARED
+    ``dedup.tokens_expr`` (one definition, so a BPE vocab, a word vocab
+    and the dedup shingles trained on the same corpus agree on what a
+    "word" is by construction, not by copy-paste — review finding).
     """
     return (
         spread(df)
-        .select(
-            F.explode(
-                F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-            ).alias("word")
-        )
+        .select(F.explode(tokens_expr(text_col)).alias("word"))
         .filter(F.col("word") != "")
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("n"))
     )
 
 
+def _symbols_expr() -> F.Column:
+    """word → its initial symbol sequence: characters plus the
+    end-of-word marker (one definition — training's `_initial_symbols`
+    and `encode_words` must agree on it exactly)."""
+    return F.concat(F.split(F.col("word"), ""), F.array(F.lit(EOW)))
+
+
 def _initial_symbols(words: DataFrame) -> DataFrame:
     """(word, n, symbols): characters plus the end-of-word marker."""
-    return words.select(
-        "word",
-        "n",
-        F.concat(
-            F.split(F.col("word"), ""), F.array(F.lit(EOW))
-        ).alias("symbols"),
-    )
+    return words.select("word", "n", _symbols_expr().alias("symbols"))
 
 
 def _pair_counts(words: DataFrame) -> DataFrame:
@@ -177,10 +176,7 @@ def encode_words(
     loop). Cost is O(|dictionary| x merges) — paid on the distinct-word
     dictionary, never on the corpus.
     """
-    out = words.withColumn(
-        "symbols",
-        F.concat(F.split(F.col("word"), ""), F.array(F.lit(EOW))),
-    )
+    out = words.withColumn("symbols", _symbols_expr())
     for i, (left, right, _) in enumerate(merges):
         out = out.withColumn("symbols", _merge_expr(left, right))
         if (i + 1) % chunk == 0:
@@ -207,10 +203,7 @@ def bpe_encode(
     toks = spread(df).select(
         F.col(id_col),
         F.posexplode_outer(
-            F.filter(
-                F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
-                lambda w: w != "",
-            )
+            F.filter(tokens_expr(text_col), lambda w: w != "")
         ).alias("pos", "word"),
     )
     dictionary = encode_words(

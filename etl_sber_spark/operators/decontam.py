@@ -41,17 +41,22 @@ from ..functions.repetition import ngram_array
 
 
 def _gram_hashes(
-    df: DataFrame, id_col: str, text_col: str, n: int
+    df: DataFrame, id_col: str, text_col: str, n: int, dedup: bool = True
 ) -> DataFrame:
-    """(id, gram_hash) DISTINCT pairs."""
-    return (
-        df.select(
-            F.col(id_col),
-            F.explode(ngram_array(F.col(text_col), n)).alias("g"),
-        )
-        .select(id_col, hash64(F.col("g")).alias("gh"))
-        .dropDuplicates([id_col, "gh"])
-    )
+    """(id, gram_hash) pairs; ``dedup`` makes them DISTINCT.
+
+    The CORPUS side passes ``dedup=False``: dropDuplicates is a
+    corpus-sized shuffle executed before the broadcast join, and the
+    hit aggregate already counts with count_distinct, so duplicate
+    grams cannot change any output (review finding — the shuffle
+    contradicted the module's "no corpus shuffle" contract). The probe
+    side keeps the dedup: it shrinks the broadcast table.
+    """
+    grams = df.select(
+        F.col(id_col),
+        F.explode(ngram_array(F.col(text_col), n)).alias("g"),
+    ).select(id_col, hash64(F.col("g")).alias("gh"))
+    return grams.dropDuplicates([id_col, "gh"]) if dedup else grams
 
 
 def contaminated_docs(
@@ -80,7 +85,7 @@ def contaminated_docs(
     the gram table actually fits, degrading to a shuffle join instead
     of blowing the broadcast cap.
     """
-    corpus_grams = _gram_hashes(corpus, id_col, text_col, n)
+    corpus_grams = _gram_hashes(corpus, id_col, text_col, n, dedup=False)
     probe_grams = _gram_hashes(probes, probe_id_col, probe_text_col, n)
     if broadcast_probes:
         probe_grams = F.broadcast(probe_grams)
@@ -106,14 +111,18 @@ def decontaminate(
     probe_text_col: str = "text",
 ) -> DataFrame:
     """The clean corpus: ``corpus`` minus contaminated documents
-    (left_anti against the hit list — the hit list is tiny, so this is
-    a broadcast anti-join over the scan)."""
+    (left_anti against the hit list).
+
+    The hit list is NOT force-broadcast: on a heavily contaminated
+    corpus it is O(corpus) rows, and a forced broadcast would OOM the
+    driver or hit the broadcast cap instead of degrading — the same
+    hazard ngram_jaccard documents (operators/dedup.py). AQE broadcasts
+    it when it actually fits (the common case), else shuffles (review
+    finding)."""
     hits = contaminated_docs(
         corpus, probes, n, min_hits, id_col, text_col, probe_id_col, probe_text_col
     )
-    return corpus.join(
-        F.broadcast(hits.select(id_col)), id_col, "left_anti"
-    )
+    return corpus.join(hits.select(id_col), id_col, "left_anti")
 
 
 def leakage_guarded_split(

@@ -137,9 +137,17 @@ def curate_increment(
       the grown corpus.
     """
     sigs = pin(minhash_signatures(new_docs, id_col, text_col))
-    vs_index = near_dup_vs_index(
-        sigs, index_sigs, est_threshold, id_col
-    ).select(F.col("new_id").alias(id_col)).distinct()
+    # pinned: duplicate-sized, but its SUBTREE is the index-bands join +
+    # estimator — and it feeds three consumers (batch_docs/batch_sigs
+    # anti-joins and the final annotation join). The normal caller
+    # (streaming/corpus.py) additionally materializes BOTH returned
+    # frames per micro-batch; unpinned, the dominant new-vs-index join
+    # re-ran once per action (review finding).
+    vs_index = pin(
+        near_dup_vs_index(sigs, index_sigs, est_threshold, id_col)
+        .select(F.col("new_id").alias(id_col))
+        .distinct()
+    )
 
     # in-batch near-dups among docs that SURVIVED the index check —
     # exact verification (text is at hand for both sides of each pair)
@@ -151,7 +159,11 @@ def curate_increment(
         / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
         >= exact_threshold
     )
-    batch_drops = verified.select(F.col("id_b").alias(id_col)).distinct()
+    # pinned for the same reason: the LSH + n-gram verify chain must run
+    # once, not once per materialization of annotated/keeper_sigs
+    batch_drops = pin(
+        verified.select(F.col("id_b").alias(id_col)).distinct()
+    )
 
     annotated = (
         new_docs.join(

@@ -42,7 +42,7 @@ from pyspark.sql import functions as F
 
 from pyspark.sql import Column
 
-from ..functions.vectors import dot_product, l2_norm
+from ..functions.vectors import cosine_similarity
 from .components import connected_components
 from .materialize import pin
 from .similarity import (
@@ -56,13 +56,14 @@ from .spread import spread
 
 
 def _safe_cosine(a: Column, b: Column) -> Column:
-    """Cosine that yields NULL (not a DIVIDE_BY_ZERO crash under
-    Spark 4's ANSI default) when either vector has zero norm —
-    zero embeddings are a routine artifact of failed embedding calls,
-    and one bad row must not abort a corpus-wide dedup. A NULL
-    similarity fails every ≥-threshold gate, so zero vectors pass
-    through as singletons."""
-    return F.try_divide(dot_product(a, b), l2_norm(a) * l2_norm(b))
+    """Cosine that yields NULL when either vector has zero norm — now
+    simply :func:`..functions.vectors.cosine_similarity`, which carries
+    the try_divide guard for every caller (review finding: the
+    similarity operators used an unguarded ``/`` that raised
+    DIVIDE_BY_ZERO under Spark 4's ANSI default). A NULL similarity
+    fails every ≥-threshold gate, so zero vectors pass through as
+    singletons."""
+    return cosine_similarity(a, b)
 
 
 def semantic_assignments(

@@ -195,6 +195,17 @@ def cosine_topk_bruteforce(
             ),
         )
     )
+    return _per_query_topk(scored, k, id_col)
+
+
+def _per_query_topk(scored: DataFrame, k: int, id_col: str) -> DataFrame:
+    """The shared ranking tail of every top-k operator: keep each
+    query's ``k`` highest-similarity rows, ties broken by the smaller
+    candidate id (deterministic across partitionings — the DuckDB
+    differential oracles replicate exactly this ORDER BY). One
+    definition so the three operators' output contracts cannot drift
+    (review finding). NULL sims (zero-norm vectors) sort last under
+    DESC, so broken embeddings never enter a top-k."""
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col(id_col)
     )
@@ -461,10 +472,7 @@ def cosine_topk_ivf(
             F.round(sim_expr, SIM_SCALE).alias("sim"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col(id_col))
-    return scored.withColumn("rank", F.row_number().over(w)).filter(
-        F.col("rank") <= k
-    )
+    return _per_query_topk(scored, k, id_col)
 
 
 def embedding_neardup_pairs(
@@ -552,7 +560,4 @@ def cosine_topk_lsh(
             ).alias("sim"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col(id_col))
-    return scored.withColumn("rank", F.row_number().over(w)).filter(
-        F.col("rank") <= k
-    )
+    return _per_query_topk(scored, k, id_col)

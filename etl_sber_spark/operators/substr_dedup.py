@@ -145,7 +145,14 @@ def remove_duplicate_spans(
     with every non-first duplicated span removed, tokens re-joined with
     single spaces — whitespace normalizes as everywhere in the text
     pipeline) and ``n_tokens_removed``. Rows with no duplicated span
-    pass through with the normalized text and 0 removed."""
+    pass through with the normalized text and 0 removed.
+
+    Spans MATCH case-insensitively (span_hashes hashes the lowercased
+    tokens — case variants of boilerplate collapse, as in
+    :func:`remove_duplicate_lines`), but the rebuilt text keeps each
+    surviving token's ORIGINAL case (review finding: reconstructing
+    from the match-side tokens silently case-folded the whole corpus,
+    including documents with no duplicated span at all)."""
     spans = pin(span_hashes(df, id_col, text_col, window))
     dup = duplicate_span_starts(spans, id_col)
     per_doc = dup.groupBy(id_col).agg(
@@ -158,7 +165,10 @@ def remove_duplicate_spans(
             _merged_intervals(F.col("starts"), window),
         ),
     )
-    toks = tokens_expr(text_col)
+    # case-PRESERVING tokens for reconstruction: same split on the same
+    # trimmed text as tokens_expr (identical length/positions — lower()
+    # never changes whitespace), minus the lower() the hash side needs
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
     # keep token j iff no merged interval covers it; intervals are few
     # after merging (contiguous duplicate runs collapse), so the
     # exists() scan per token is cheap

@@ -32,7 +32,6 @@ deliverable (§7.5).
 from __future__ import annotations
 
 import json
-import os
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -44,6 +43,28 @@ from ..operators.materialize import pin
 def shard_expr(id_col: str, n_shards: int, seed: int = 0):
     """Deterministic shard id in [0, n_shards) from the row id."""
     return F.pmod(hash64(F.col(id_col).cast("string"), seed), F.lit(n_shards))
+
+
+def _write_manifest(df: DataFrame, path: str, filename: str, manifest: dict) -> None:
+    """Write the manifest through the Hadoop FileSystem API of the
+    export path's own scheme, so the root may be any Spark-writable URI
+    (s3a://, hdfs://, file:/, bare local path). A driver-local
+    ``open()`` only works for bare local paths — and failed AFTER the
+    full corpus write had already succeeded, or silently wrote to a
+    wrong local directory literally named ``file:/...`` (review
+    finding)."""
+    jvm = df.sparkSession._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path, filename)
+    fs = p.getFileSystem(df.sparkSession._jsc.hadoopConfiguration())
+    out = fs.create(p, True)  # overwrite, like the shard write itself
+    try:
+        out.write(
+            bytearray(
+                json.dumps(manifest, indent=1, sort_keys=True).encode("utf-8")
+            )
+        )
+    finally:
+        out.close()
 
 
 def export_jsonl(
@@ -152,8 +173,7 @@ def export_jsonl(
         "order_seed": order_seed if order == "shuffled" else None,
         "shards": shards,
     }
-    with open(os.path.join(path, "manifest.json"), "w") as f:
-        json.dump(manifest, f, indent=1, sort_keys=True)
+    _write_manifest(sharded, path, "manifest.json", manifest)
     return manifest
 
 
@@ -206,6 +226,5 @@ def export_packed(
         "n_fragments": int(stats["n_fragments"] or 0),
         "compression": compression,
     }
-    with open(os.path.join(path, "_manifest.json"), "w") as f:
-        json.dump(manifest, f, indent=1, sort_keys=True)
+    _write_manifest(pinned, path, "_manifest.json", manifest)
     return manifest

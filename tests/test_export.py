@@ -192,3 +192,32 @@ def test_export_packed_round_trip(spark, tmp_path):
 
     with pytest.raises(ValueError, match="n_files"):
         export_packed(bins, str(tmp_path / "bad"), budget=budget, n_files=0)
+
+
+def test_export_manifest_respects_path_scheme(spark, tmp_path):
+    """Review regression: the manifest is written through the Hadoop
+    FileSystem API of the export path's scheme. With a 'file:/...' URI
+    the old driver-local open() either crashed (no such local dir for
+    remote schemes) or wrote to a bogus local directory literally named
+    'file:...' — AFTER the corpus write had already succeeded."""
+    local_dir = tmp_path / "corpus_uri"
+    out = "file:" + str(local_dir)
+    d = load_table(spark, SF_SMALL, "documents")
+    manifest = export_jsonl(d, out, n_shards=2)
+    on_disk = json.load(open(local_dir / "manifest.json"))
+    assert on_disk == manifest
+    assert manifest["n_rows"] == d.count()
+    # and nothing was dropped beside a literal 'file:...' directory
+    assert not os.path.exists("file:" + str(local_dir))
+
+
+def test_export_packed_manifest_respects_path_scheme(spark, tmp_path):
+    from etl_sber_spark.operators.packing import materialize_bins
+    from etl_sber_spark.sinks.export import export_packed
+
+    d = load_table(spark, SF_SMALL, "documents").limit(50)
+    bins = materialize_bins(d, budget=64, n_buckets=4)
+    local_dir = tmp_path / "packed_uri"
+    manifest = export_packed(bins, "file:" + str(local_dir), budget=64, n_files=2)
+    on_disk = json.load(open(local_dir / "_manifest.json"))
+    assert on_disk == manifest

@@ -118,3 +118,46 @@ def test_build_mart_does_not_mutate_shared_schema(spark, tmp_path):
     for _ in range(2):  # the SECOND zero-fact day used to break
         build_mart(wh, bank, ts)
     assert len(schemas.FACT_TRANSACTIONS.fields) == n_fields
+
+
+def test_topk_operators_survive_zero_norm_embeddings(spark):
+    """Review regression: cosine_similarity used a plain `/`, which
+    raises DIVIDE_BY_ZERO under Spark 4's default ANSI mode the moment
+    one embedding has zero norm (a routine artifact of failed embedding
+    calls). The guarded form yields NULL, which sorts last under DESC —
+    broken embeddings never crash the job and never enter a top-k."""
+    from etl_sber_spark.functions.vectors import cosine_similarity
+    from etl_sber_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        embedding_neardup_pairs,
+    )
+
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0, 0.0]),
+        (3, [0.0, 0.0, 0.0, 0.0]),  # zero-norm: failed embedding call
+        (4, [0.0, 1.0, 0.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+
+    sim = (
+        emb.alias("a")
+        .crossJoin(emb.alias("b"))
+        .select(
+            cosine_similarity(F.col("a.embedding"), F.col("b.embedding")).alias("s")
+        )
+    )
+    # 7 of 16 ordered pairs touch the zero vector -> NULL, none raise
+    assert sim.filter(F.col("s").isNull()).count() == 7
+
+    topk = cosine_topk_bruteforce(emb, emb.filter("vec_id = 1"), k=3)
+    got = [r.vec_id for r in topk.orderBy("rank").collect()]
+    # the zero vector ranks LAST (NULL sim), after every real similarity
+    assert got == [2, 4, 3]
+    assert topk.filter("vec_id = 3").collect()[0].sim is None
+
+    # the pairwise near-dup sweep must not crash either; zero vectors
+    # simply never reach any >= threshold
+    pairs = embedding_neardup_pairs(emb, n_dims=4, threshold=0.5)
+    ids = {x for r in pairs.collect() for x in (r.id_a, r.id_b)}
+    assert 3 not in ids

@@ -213,3 +213,32 @@ def test_semantic_contamination_clean_corpus_empty(spark):
         [(9, [0.0, 1.0])], "vec_id long, embedding array<float>"
     )
     assert semantic_contamination(corpus, probes, 0.5).count() == 0
+
+
+def test_decontam_duplicate_corpus_grams_count_once(spark):
+    """Review regression: the corpus side no longer pays a
+    dropDuplicates shuffle — correctness now rests on the hit
+    aggregate's count_distinct, so a document repeating the same
+    contaminated n-gram many times must still count it ONCE."""
+    probe = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "probe_id int, text string",
+    )
+    gram = "the quick brown fox jumps over the lazy dog"
+    corpus = spark.createDataFrame(
+        [
+            # the 9-token probe text pasted twice -> its grams occur
+            # twice in this doc, plus filler between the copies
+            (1, f"{gram} filler words bridge the copies {gram}"),
+            (2, "completely unrelated text with no overlap whatsoever here"),
+        ],
+        "doc_id int, text string",
+    )
+    hits = {
+        r.doc_id: r
+        for r in contaminated_docs(corpus, probe, n=9, min_hits=1).collect()
+    }
+    assert set(hits) == {1}
+    # exactly the distinct 9-gram(s) of the probe, not 2x them
+    assert hits[1].n_hit_ngrams == 1
+    assert hits[1].n_probe_docs == 1

@@ -257,3 +257,33 @@ def test_line_dedup_idempotent_real_corpus(spark):
     )
     twice = remove_duplicate_lines(once)
     assert twice.filter(F.col("n_lines_removed") > 0).count() == 0
+
+
+def test_span_dedup_preserves_original_case(spark):
+    """Review regression: reconstruction must use case-PRESERVING
+    tokens. Matching stays case-insensitive (lowercased hashes), but a
+    document's surviving text keeps its original capitalization — the
+    old code rebuilt from the lowercased match-side tokens and silently
+    case-folded the entire corpus, including untouched documents."""
+    upper_passage = PASSAGE.upper()
+    rows = [
+        (1, "Mixed CASE Document with No duplicates AT all"),
+        (2, f"first occurrence here {PASSAGE} tail words"),
+        # case variant of the passage -> still matches (insensitive),
+        # but the SURVIVING tokens keep their case
+        (3, f"Second COPY follows {upper_passage} Ending Words"),
+    ]
+    out = {
+        r.doc_id: r
+        for r in remove_duplicate_spans(
+            spark.createDataFrame(rows, "doc_id int, text string"), window=8
+        ).collect()
+    }
+    assert out[1].n_tokens_removed == 0
+    assert out[1].text_dedup == "Mixed CASE Document with No duplicates AT all"
+    assert out[2].n_tokens_removed == 0
+    assert PASSAGE in out[2].text_dedup
+    # the case-variant copy was detected and removed...
+    assert out[3].n_tokens_removed == 8
+    # ...and what survives is the ORIGINAL casing of doc 3's own tokens
+    assert out[3].text_dedup == "Second COPY follows Ending Words"
