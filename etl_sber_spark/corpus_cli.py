@@ -2,8 +2,10 @@
 
 The LLM-pipeline twin of ``python -m etl_sber_spark`` (the bank nightly
 batch): drain the JSONL inbox as ONE availableNow pass of the
-incremental-curation stream, then print the run's funnel as one JSON
-line (the cron/airtight-log contract the bank CLI follows)::
+incremental-curation stream, then print warehouse totals as one JSON
+line. The totals are CUMULATIVE across all runs to date (curated_total,
+kept_total, index_size — the same convention as crawl_cli); a single
+run's throughput is the diff of two consecutive runs' lines::
 
     python -m etl_sber_spark.corpus_cli \
         --inbox /data/crawl_inbox --warehouse /data/corpus_wh

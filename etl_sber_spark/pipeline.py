@@ -91,7 +91,15 @@ def load_transactions(
         "create_date", F.lit(processing_ts).cast("timestamp")
     ).withColumn("load_date", F.to_date(F.lit(processing_ts.date())))
     if idempotent:
-        wh.overwrite_partitions(fact, T_FACT, partition_by=["load_date"])
+        # dynamic overwrite only replaces partitions PRESENT in the
+        # frame — a rows→ZERO correction (the day's input was all bad)
+        # would leave the stale partition in place and the rerun would
+        # silently "correct" nothing (review finding). Drop the day's
+        # partition explicitly when the corrected input is empty.
+        if fact.isEmpty():
+            wh.drop_partition(T_FACT, "load_date", processing_ts.date())
+        else:
+            wh.overwrite_partitions(fact, T_FACT, partition_by=["load_date"])
     else:
         wh.append(fact, T_FACT, partition_by=["load_date"])
 
@@ -142,7 +150,15 @@ def build_mart(
         blacklist = _read_or_empty(T_BLACKLIST, schemas.PASSPORT_BLACKLIST)
         report = build_fraud_report(view, blacklist, processing_ts)
         if idempotent:
-            wh.overwrite_partitions(report, T_MART, partition_by=["report_dt"])
+            # same rows→zero correction hole as load_transactions: an
+            # empty corrected report must DROP the day's partition, not
+            # leave the stale one standing (review finding)
+            if report.isEmpty():
+                wh.drop_partition(T_MART, "report_dt", processing_ts.date())
+            else:
+                wh.overwrite_partitions(
+                    report, T_MART, partition_by=["report_dt"]
+                )
         else:
             wh.append(report, T_MART, partition_by=["report_dt"])
         if not wh.has_data(T_MART):  # zero-row day: no readable files yet

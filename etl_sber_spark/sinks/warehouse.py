@@ -186,6 +186,24 @@ class Warehouse:
             .parquet(self._dir(name))
         )
 
+    def drop_partition(self, name: str, col: str, value) -> bool:
+        """Remove ONE Hive-style partition directory (``<col>=<value>``).
+
+        The missing half of :meth:`overwrite_partitions`: dynamic
+        partition overwrite replaces only the partitions PRESENT in the
+        written frame, so a correction whose new content is EMPTY (the
+        day's rows were all bad and the fixed input has none) replaces
+        nothing and the stale partition survives (review finding —
+        pipeline.py's idempotent rerun). Values render as Spark writes
+        them (dates/ints via str()). Returns True when a directory was
+        removed. Not for versioned tables (those swap whole versions).
+        """
+        d = os.path.join(self._dir(name), f"{col}={value}")
+        if not os.path.isdir(d):
+            return False
+        shutil.rmtree(d)
+        return True
+
     def compact_partition(
         self,
         name: str,

@@ -108,9 +108,17 @@ def read_transactions_csv_quarantine(
             ),
         }
     )
-    ok = F.col("_ts").isNotNull() & F.col("_amt").isNotNull() & F.col(
-        "transaction_id"
-    ).isNotNull()
+    # a row is bad only when a present value FAILED to parse. A NULL
+    # raw field parses to NULL in the strict reader too (casting NULL
+    # is not an ANSI error), so quarantining it would silently change
+    # which rows load when a landing zone switches readers — the
+    # documented contract is accept-set parity (review finding). The
+    # strict reader has no NOT NULL constraint on transaction_id
+    # either; key/NULL gates belong to downstream quality checks.
+    ok = (
+        (F.col("transaction_date").isNull() | F.col("_ts").isNotNull())
+        & (F.col("amount").isNull() | F.col("_amt").isNotNull())
+    )
     good = trimmed.filter(ok).select(
         F.col("transaction_id").alias("trans_id"),
         F.col("_ts").alias("trans_date"),

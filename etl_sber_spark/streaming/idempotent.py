@@ -69,12 +69,18 @@ def run_idempotent_increments(
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         if wh.has_data(marker):
-            # explicit select: batch_id is the PARTITION column, so a
-            # positional r[0] on the raw read would grab 'applied'
-            done = {
-                r[0] for r in wh.read(marker).select("batch_id").collect()
-            }
-            if batch_id in done:
+            # membership test for ONE batch_id, answered by partition
+            # pruning — collecting every applied id was O(total batches)
+            # driver work per micro-batch, growing forever on a resident
+            # stream (review finding). batch_id is the partition column,
+            # so this filter prunes to at most one directory.
+            applied = (
+                wh.read(marker)
+                .filter(F.col("batch_id") == batch_id)
+                .limit(1)
+                .count()
+            )
+            if applied:
                 print(f"[{marker}] batch {batch_id} already applied")
                 return
         outputs = transform(batch_df, batch_id)

@@ -67,7 +67,7 @@ def load_transactions_available_now(
     processing_ts: dt.datetime,
     *,
     dedup_ids: bool = False,
-    watermark: str = "1 day",
+    dedup_horizon_days: int = 7,
     archive_to: str | None = None,
     max_files_per_trigger: int | None = None,
 ) -> StreamingQuery:
@@ -86,16 +86,27 @@ def load_transactions_available_now(
     stamp + ``load_date`` partition (pipeline.py).
 
     ``dedup_ids=True`` additionally enforces RECORD-level exactly-once:
-    ``dropDuplicatesWithinWatermark`` on trans_id, so a transaction
-    re-shipped in a later file (supplier re-sends, overlapping exports)
-    lands once — the streaming analog of the blacklist anti-join idiom
-    (SURVEY §2.5 J3). Plain ``dropDuplicates(['trans_id'])`` would NOT
-    bound state here: Spark only evicts dropDuplicates state when the
-    event-time column is part of the dedup keys, so id-only dedup state
-    grows with lifetime distinct ids. The WithinWatermark variant
-    (Spark 3.5+) evicts each id once it is older than the watermark
-    horizon, trading the unbounded guarantee for "no duplicate arrives
-    more than ``watermark`` late" — exactly the re-shipped-file window.
+    a transaction re-shipped in a later file (supplier re-sends,
+    overlapping exports) lands once — the streaming analog of the
+    blacklist anti-join idiom (SURVEY §2.5 J3). Implemented as an
+    anti-join against the trans_ids already LOADED in the last
+    ``dedup_horizon_days`` of ``load_date`` partitions (partition-
+    pruned, single-column scan), plus an in-batch dropDuplicates —
+    NOT as watermarked streaming-dedup state. The watermark form
+    (``dropDuplicatesWithinWatermark``) drops every row older than the
+    watermark as late input, so one delayed supplier FILE would vanish
+    wholesale, non-duplicates included (review finding); the anti-join
+    loads late data normally and only suppresses true re-ships.
+    Duplicates re-shipped later than the horizon do land twice — the
+    same bound the watermark had, without the data loss. Crash-replay
+    stays exactly-once: a replayed batch's rows are already in the
+    fact, so the anti-join removes them.
+
+    Mode is per-directory: ``dedup_ids=False`` writes through Spark's
+    transactional file sink (``_spark_metadata`` log). Readers of such
+    a directory resolve files THROUGH the log, so later appends written
+    by the dedup path would be invisible — do not mix modes on one
+    ``out_dir``.
     """
     typed = stream_transactions(
         spark,
@@ -103,18 +114,43 @@ def load_transactions_available_now(
         archive_to=archive_to,
         max_files_per_trigger=max_files_per_trigger,
     )
-    if dedup_ids:
-        typed = typed.withWatermark(
-            "trans_date", watermark
-        ).dropDuplicatesWithinWatermark(["trans_id"])
     fact = typed.withColumn(
         "create_date", F.lit(processing_ts).cast("timestamp")
     ).withColumn("load_date", F.to_date(F.lit(processing_ts.date())))
+    if not dedup_ids:
+        return (
+            fact.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", checkpoint_dir)
+            .partitionBy("load_date")
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    cutoff = processing_ts.date() - dt.timedelta(days=dedup_horizon_days)
+
+    def apply_batch(batch_df, batch_id: int) -> None:
+        import os as _os
+
+        b = batch_df.dropDuplicates(["trans_id"])
+        entries = _os.listdir(out_dir) if _os.path.isdir(out_dir) else []
+        # committed data only: a crashed write leaves _temporary, which
+        # is not readable parquet
+        if any(
+            "=" in e or e.endswith(".parquet") or e.startswith("part-")
+            for e in entries
+        ):
+            seen = (
+                spark.read.parquet(out_dir)
+                .filter(F.col("load_date") >= F.lit(cutoff))
+                .select("trans_id")
+            )
+            b = b.join(seen, "trans_id", "left_anti")
+        b.write.mode("append").partitionBy("load_date").parquet(out_dir)
+
     return (
-        fact.writeStream.format("parquet")
-        .option("path", out_dir)
+        fact.writeStream.foreachBatch(apply_batch)
         .option("checkpointLocation", checkpoint_dir)
-        .partitionBy("load_date")
         .trigger(availableNow=True)
         .start()
     )

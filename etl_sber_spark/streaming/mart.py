@@ -23,6 +23,16 @@ checkpointed file source, batch_id-partition overwrite writes, marker
 fast-skip — so a crash mid-batch replays into the same partitions
 instead of duplicating enriched rows.
 
+No row left behind: the enrichment joins are INNER (the nightly mart's
+faithful shape), so a transaction whose dimension rows have not landed
+yet would otherwise vanish while the checkpoint consumed its file.
+Unmatched rows are parked in ``rep_live_pending`` (batch_id-partitioned
+like every harness output) and retried by every subsequent batch until
+the dims catch up; an anti-join against the live table keeps the
+retries exactly-once. Drained pending partitions are retained (they are
+inert — duplicate-filtered on every read); prune them with the
+warehouse retention tooling if the table ever matters for storage.
+
 Scale: per micro-batch cost is batch-rows × (4 broadcast joins), the
 nightly view's own shape; nothing accumulates in streaming state (the
 enrichment is stateless — the stateful fraud rules live in
@@ -41,10 +51,11 @@ from ..operators.scd import scd2_current
 from ..pipeline import T_HIST
 from ..plans.fraud import enrich_transactions
 from ..sinks.warehouse import Warehouse
-from .idempotent import run_idempotent_increments
+from .idempotent import read_index_excluding, run_idempotent_increments
 from .inbox import stream_transactions
 
 T_LIVE = "rep_live_enriched"
+T_PENDING = "rep_live_pending"
 MARKER = "rep_live_enriched__applied"
 
 
@@ -89,15 +100,46 @@ def stream_enriched_transactions(
         trm = scd2_current(hist, ts).select(
             "terminal_id", "terminal_type", "terminal_city"
         )
-        return {
-            T_LIVE: enrich_transactions(
-                batch_df,
-                trm,
-                bank_tables["clients"],
-                bank_tables["accounts"],
-                bank_tables["cards"],
+        # Retry loop for dim-less rows (round-4 review finding #2): the
+        # enrichment is a chain of INNER joins, so a transaction whose
+        # terminal/card/account/client has not reached the warehouse yet
+        # (a terminal live intra-day before the nightly dim load) would
+        # produce no output while the checkpoint still consumed its
+        # file — per-ROW silent permanent loss, the same failure the
+        # empty-dim guard above blocks per-batch. Instead, unmatched
+        # rows land in T_PENDING and are retried on every subsequent
+        # batch until the dims catch up:
+        #
+        # - carry-in = all pending partitions EXCEPT this batch's own
+        #   (read_index_excluding — the replay rule), minus anything
+        #   already enriched into T_LIVE (a row is retried by every
+        #   later batch until it matches, so older pending partitions
+        #   keep already-drained copies; the anti-join makes the
+        #   re-reads harmless and replay idempotent by construction);
+        # - the T_LIVE anti-join reads ONE column (trans_id) of the
+        #   live table and is skipped entirely in the common case of no
+        #   pending rows, so the steady-state batch cost is unchanged.
+        pending = read_index_excluding(wh, T_PENDING, batch_id)
+        if pending is not None and not pending.isEmpty():
+            done = read_index_excluding(wh, T_LIVE, batch_id)
+            if done is not None:
+                pending = pending.join(
+                    done.select("trans_id"), "trans_id", "left_anti"
+                )
+            batch_df = batch_df.unionByName(
+                pending.dropDuplicates(["trans_id"])
             )
-        }
+        enriched = enrich_transactions(
+            batch_df,
+            trm,
+            bank_tables["clients"],
+            bank_tables["accounts"],
+            bank_tables["cards"],
+        )
+        unmatched = batch_df.join(
+            enriched.select("trans_id"), "trans_id", "left_anti"
+        )
+        return {T_LIVE: enriched, T_PENDING: unmatched}
 
     return run_idempotent_increments(
         spark,

@@ -87,10 +87,17 @@ def velocity_alerts(
     ``max_per_hour`` transactions inside any trailing 1-hour window.
 
     The streaming-native sibling of batch rule 3: per-card state is the
-    list of transaction timestamps still inside the trailing hour
+    list of transaction timestamps within 1 hour of the NEWEST seen
     (pruned each batch, so per-card state is bounded by the card's
-    1-hour burst size). Emits one alert row per offending transaction.
-    Self-contained closure (executors have no repo on sys.path).
+    1-hour burst size). Each event's window is the two-sided
+    ``(ts-1h, ts]`` — an out-of-order event never counts events that
+    happened after it (review finding). An event arriving more than 1h
+    behind the card's newest may undercount its window (older
+    timestamps were pruned) — the bounded-state trade-off, shared with
+    any watermarked evaluation of this rule; the batch rule replayed
+    nightly remains the exact authority. Emits one alert row per
+    offending transaction. Self-contained closure (executors have no
+    repo on sys.path).
 
     TOTAL state is bounded too (round-3 fix, ADVICE r2): a
     ProcessingTimeTimeout evicts the entry for any card idle longer
@@ -133,14 +140,25 @@ def velocity_alerts(
         # whole trailing-hour window and suppress real alerts. The
         # batch rule filters NULL ts the same way (bandjoin _non_null).
         new_ts = [t for t in new_ts if not _pd.isna(t)]
+        # The rule window for an event at ts is (ts-1h, ts] — bounded on
+        # BOTH sides. A late cross-batch event used to be counted
+        # against every FUTURE timestamp already in state (the window
+        # degenerated to (ts-1h, ∞)), firing spurious alerts for bursts
+        # that never co-occurred in any real trailing hour (review
+        # finding). State is pruned against the NEWEST timestamp seen,
+        # not the current event's — pruning by a late event's cutoff
+        # would (a) not bound state and (b) previously evicted nothing.
         for ts in sorted(new_ts):
             ts = ts.to_pydatetime() if hasattr(ts, "to_pydatetime") else ts
             cutoff = ts - _dt.timedelta(hours=1)
-            recent = [t for t in recent if t > cutoff]
             recent.append(ts)
-            if len(recent) > max_per_hour:
+            n_window = sum(1 for t in recent if cutoff < t <= ts)
+            if n_window > max_per_hour:
                 alerts_ts.append(ts)
-                alerts_n.append(len(recent))
+                alerts_n.append(n_window)
+        if recent:
+            horizon = max(recent) - _dt.timedelta(hours=1)
+            recent = [t for t in recent if t > horizon]
         state.update((recent,))
         state.setTimeoutDuration(timeout_ms)
         yield _pd.DataFrame(

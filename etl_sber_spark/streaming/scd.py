@@ -103,6 +103,28 @@ def stream_scd2_snapshots(
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         # runs on the DRIVER (foreachBatch contract); the collects are
         # the distinct snapshot-timestamp list and one max — metadata-scale
+        #
+        # NULL snapshot_ts first (schema'd CSV nulls any unparseable
+        # timestamp under PERMISSIVE): such a row belongs to NO
+        # snapshot — left in, the None stamp either crashed the
+        # `ts <= high` comparison (TypeError, wedging the stream on
+        # permanent replay of the same file) or silently vanished from
+        # every staging filter (review finding). They are quarantined
+        # to an inspectable side table, batch_id-partitioned so a
+        # crash-replay overwrites instead of duplicating.
+        bad = batch_df.filter(F.col(snapshot_ts_col).isNull())
+        if not bad.isEmpty():
+            rejects = f"{table}__scd2_rejects"
+            wh.overwrite_partitions(
+                bad.withColumn("batch_id", F.lit(batch_id)),
+                rejects,
+                ["batch_id"],
+            )
+            print(
+                f"[stream_scd2] batch {batch_id}: quarantined rows with "
+                f"NULL {snapshot_ts_col} to {rejects}"
+            )
+        batch_df = batch_df.filter(F.col(snapshot_ts_col).isNotNull())
         stamps = [
             r[0]
             for r in batch_df.select(snapshot_ts_col)

@@ -146,3 +146,35 @@ def test_xlsx_cell_stringify():
     assert _cell_str(4511123456.0) == "4511123456"  # Excel numeric cell
     assert _cell_str(1.5) == "1.5"
     assert _cell_str("P0001") == "P0001"
+
+
+def test_quarantine_null_fields_match_strict_reader(spark, tmp_path):
+    """Review regression: a NULL (empty) field is not a PARSE failure —
+    the strict reader keeps such rows with NULL typed values, so the
+    quarantining reader must route them to `good` too (its documented
+    contract is accept-set parity with the strict reader). Only rows
+    whose PRESENT values fail to parse are quarantined."""
+    from etl_sber_spark.sources.io import read_transactions_csv
+
+    p = tmp_path / "transactions_nulls.txt"
+    p.write_text(
+        "transaction_id;transaction_date;amount;card_num;oper_type;oper_result;terminal\n"
+        "1;2021-03-01 10:00:00;;1111 2222;PAYMENT;SUCCESS;P0001\n"   # empty amount
+        "2;;100,50;1111 2222;PAYMENT;SUCCESS;P0001\n"                 # empty date
+        ";2021-03-01 12:00:00;7,25;3333 4444;WITHDRAW;REJECT;A0002\n" # empty id
+        "4;NOT A DATE;1,00;1111 2222;PAYMENT;SUCCESS;P0001\n"         # real parse failure
+    )
+    strict = read_transactions_csv(spark, str(p)).filter("trans_id != '4' or trans_id is null")
+    good, bad = read_transactions_csv_quarantine(spark, str(p))
+    assert bad.count() == 1
+    assert bad.collect()[0].transaction_id == "4"
+    # good == the strict reader's rows (minus the one strict would die on)
+    key = lambda t: (t[0] is None, str(t))
+    g = sorted(
+        ((r.trans_id, r.trans_date, r.amt) for r in good.collect()), key=key
+    )
+    s = sorted(
+        ((r.trans_id, r.trans_date, r.amt) for r in strict.collect()), key=key
+    )
+    assert g == s
+    assert len(g) == 3

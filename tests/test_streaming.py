@@ -83,3 +83,52 @@ def test_record_level_dedup_across_files(spark, tmp_path):
     q.awaitTermination(120)
     df = spark.read.parquet(str(tmp_path / "out"))
     assert sorted(r.trans_id for r in df.collect()) == ["1", "2", "3"]
+
+
+def test_dedup_ids_loads_late_files(spark, tmp_path):
+    """Review regression: dedup_ids must suppress RE-SHIPPED ids only.
+    The old watermarked implementation dropped every row older than the
+    dedup state's watermark as late input — a delayed supplier file
+    vanished wholesale, non-duplicates included. The anti-join
+    implementation loads late data normally."""
+    import os
+    import time
+
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    header = (
+        "transaction_id;transaction_date;amount;card_num;oper_type;"
+        "oper_result;terminal\n"
+    )
+    # fresh file: recent event times (advances any watermark far past
+    # the late file's events)
+    (inbox / "transactions_b.txt").write_text(
+        header
+        + "10;2021-03-04 11:00:00;2,00;c2;PAYMENT;SUCCESS;P1\n"
+        + "11;2021-03-04 12:00:00;3,00;c3;PAYMENT;SUCCESS;P1\n"
+    )
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    q = load_transactions_available_now(
+        spark, str(inbox), out, ck, dt.datetime(2021, 3, 4, 23, 50),
+        dedup_ids=True,
+    )
+    q.awaitTermination(120)
+
+    # the LATE file arrives days later: three-day-old events, one of
+    # them (id 10) a true re-ship
+    (inbox / "transactions_a_late.txt").write_text(
+        header
+        + "1;2021-03-01 10:00:00;1,00;c1;PAYMENT;SUCCESS;P1\n"
+        + "10;2021-03-04 11:00:00;2,00;c2;PAYMENT;SUCCESS;P1\n"
+    )
+    now = time.time()
+    os.utime(inbox / "transactions_a_late.txt", (now, now))
+    q = load_transactions_available_now(
+        spark, str(inbox), out, ck, dt.datetime(2021, 3, 4, 23, 55),
+        dedup_ids=True,
+    )
+    q.awaitTermination(120)
+
+    df = spark.read.parquet(out)
+    # the late NON-duplicate row loaded; the re-ship landed exactly once
+    assert sorted(r.trans_id for r in df.collect()) == ["1", "10", "11"]

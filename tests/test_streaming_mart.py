@@ -228,3 +228,86 @@ def test_missing_dim_fails_batch_instead_of_losing_rows(spark, tmp_path):
         spark, f"{REF}/transactions_01032021.txt"
     ).count()
     assert wh.read(T_LIVE).count() == n
+
+
+def test_dimless_rows_park_in_pending_and_retry(spark, tmp_path):
+    """Review regression: a transaction whose terminal has not reached
+    the warehouse yet (live intra-day before the nightly dim load) must
+    NOT be silently dropped by the inner enrichment joins — it parks in
+    rep_live_pending and is enriched by a later batch once the dim
+    catches up, exactly once."""
+    from etl_sber_spark.streaming.mart import T_PENDING
+
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    bank = build_bank_tables(spark)
+    ckpt = str(tmp_path / "ckpt")
+
+    # day-1 dim WITHOUT one terminal that transacts on day 1
+    missing = _busy_terminal(spark)
+    stg = read_terminals_xlsx(spark, f"{REF}/terminals_01032021.xlsx").filter(
+        F.col("terminal_id") != missing
+    )
+    wh.overwrite_versioned(
+        scd2_apply(
+            spark.createDataFrame([], schemas.TERMINALS_HIST),
+            stg, "terminal_id", TERMINAL_ATTRS, _ts("01"),
+        ),
+        T_HIST,
+    )
+    shutil.copy(
+        f"{REF}/transactions_01032021.txt", inbox / "transactions_01.txt"
+    )
+    q = stream_enriched_transactions(
+        spark, str(inbox), wh, ckpt, bank, as_of=_ts("01")
+    )
+    q.awaitTermination()
+
+    day1 = read_transactions_csv(spark, f"{REF}/transactions_01032021.txt")
+    n_day1 = day1.count()
+    n_missing = day1.filter(F.col("terminal") == missing).count()
+    assert n_missing > 0
+    live = wh.read(T_LIVE)
+    assert live.count() == n_day1 - n_missing
+    pending = wh.read(T_PENDING)
+    assert pending.count() == n_missing
+    assert {r.terminal for r in pending.collect()} == {missing}
+
+    # the nightly dim load catches up (full day-2 snapshot), a new file
+    # arrives -> the parked rows enrich in the NEXT batch
+    full = read_terminals_xlsx(spark, f"{REF}/terminals_02032021.xlsx")
+    wh.overwrite_versioned(
+        scd2_apply(wh.read(T_HIST), full, "terminal_id", TERMINAL_ATTRS, _ts("02")),
+        T_HIST,
+    )
+    shutil.copy(
+        f"{REF}/transactions_02032021.txt", inbox / "transactions_02.txt"
+    )
+    q = stream_enriched_transactions(
+        spark, str(inbox), wh, ckpt, bank, as_of=_ts("02")
+    )
+    q.awaitTermination()
+
+    n_day2 = read_transactions_csv(
+        spark, f"{REF}/transactions_02032021.txt"
+    ).count()
+    live = wh.read(T_LIVE)
+    # every row of both days present, the parked ones exactly once
+    assert live.count() == n_day1 + n_day2
+    assert live.groupBy("trans_id").count().filter("count > 1").count() == 0
+
+    # a third drained batch must not re-enrich the stale pending copies
+    shutil.copy(
+        f"{REF}/transactions_03032021.txt", inbox / "transactions_03.txt"
+    )
+    q = stream_enriched_transactions(
+        spark, str(inbox), wh, ckpt, bank, as_of=_ts("03")
+    )
+    q.awaitTermination()
+    n_day3 = read_transactions_csv(
+        spark, f"{REF}/transactions_03032021.txt"
+    ).count()
+    live = wh.read(T_LIVE)
+    assert live.count() == n_day1 + n_day2 + n_day3
+    assert live.groupBy("trans_id").count().filter("count > 1").count() == 0

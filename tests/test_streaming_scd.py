@@ -235,3 +235,39 @@ def test_stale_snapshot_skipped_after_no_change_snapshot(spark, tmp_path):
     os.utime(late, (now, now))
     stream_scd2_snapshots(*args).awaitTermination(120)
     assert _rows(wh.read("terminals_hist")) == want
+
+
+def test_null_snapshot_ts_rows_quarantined_not_wedging(spark, tmp_path):
+    """Review regression: a snapshot row whose timestamp fails CSV
+    parsing (NULL under the schema'd PERMISSIVE read) used to crash the
+    batch (None in the stamp list -> TypeError against the high-water
+    mark) and wedge the stream on permanent replay of the same file.
+    Such rows now land in <table>__scd2_rejects; the snapshot's good
+    rows apply normally."""
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    ts = dt.datetime(2021, 3, 1, 23, 50)
+    name = os.path.join(str(inbox), "terminals_bad.csv")
+    with open(name, "w") as f:
+        f.write("terminal_id,terminal_city,terminal_address,snapshot_ts\n")
+        f.write(f"A8966,Moscow,Lenina 1,{ts:%Y-%m-%d %H:%M:%S}\n")
+        f.write("BROKEN,Nowhere,Void 0,2021-03-01 25:99:99\n")  # unparseable ts
+
+    q = stream_scd2_snapshots(
+        spark, str(inbox), wh, "dim_q", KEY, ATTRS, SNAP_SCHEMA,
+        str(tmp_path / "ck"),
+    )
+    q.awaitTermination(120)
+
+    hist = wh.read("dim_q")
+    assert [r.terminal_id for r in hist.collect()] == ["A8966"]
+    rejects = wh.read("dim_q__scd2_rejects")
+    assert [r.terminal_id for r in rejects.collect()] == ["BROKEN"]
+    # a second empty drain is a no-op (the stream is not wedged)
+    q = stream_scd2_snapshots(
+        spark, str(inbox), wh, "dim_q", KEY, ATTRS, SNAP_SCHEMA,
+        str(tmp_path / "ck"),
+    )
+    q.awaitTermination(120)
+    assert wh.read("dim_q").count() == 1

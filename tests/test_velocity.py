@@ -104,3 +104,41 @@ def test_malformed_timestamp_does_not_wipe_velocity_state(spark, tmp_path):
     assert len(alerts) == 1
     assert alerts[0].n_last_hour == 6
     assert str(alerts[0].alert_ts) == "2021-03-01 10:30:00"
+
+
+def test_late_event_does_not_count_future_transactions(spark, tmp_path):
+    """Review regression: an event's rule window is the two-sided
+    (ts-1h, ts]. A late cross-batch event used to be counted against
+    every FUTURE timestamp already in state — 5 on-time transactions
+    plus one late 11:50 arrival fired a spurious n_last_hour=6 alert
+    although no real trailing hour ever held more than 5."""
+    import os
+    import time
+
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    card = "7777 8888"
+    # batch 1: exactly max_per_hour tx between 12:00-12:40 -> no alert
+    _file(
+        inbox / "transactions_b1.txt",
+        [(f"2021-03-01 12:{m:02d}:00", card) for m in (0, 10, 20, 30, 40)],
+    )
+    # batch 2: one LATE event at 11:50 — its own trailing hour
+    # (10:50, 11:50] holds only itself: still no alert
+    _file(inbox / "transactions_b2.txt", [("2021-03-01 11:50:00", card)])
+    now = time.time()
+    os.utime(inbox / "transactions_b1.txt", (now - 60, now - 60))
+    os.utime(inbox / "transactions_b2.txt", (now, now))
+
+    typed = stream_transactions(spark, str(inbox), max_files_per_trigger=1)
+    q = (
+        velocity_alerts(typed, max_per_hour=5)
+        .writeStream.format("memory")
+        .queryName("velocity_late")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert spark.sql("SELECT * FROM velocity_late").count() == 0

@@ -202,3 +202,49 @@ def test_clustered_append_tightens_zone_maps(spark, tmp_path):
         assert hi1 < lo2, f"overlapping zone maps: {ordered}"
     # and together they tile ~one domain width, not files x domain
     assert sum(mx - mn for mn, mx in clustered) < 120_000
+
+
+def test_idempotent_rerun_with_empty_correction_drops_stale_day(
+    spark, tmp_path
+):
+    """Review regression: dynamic partition overwrite replaces only the
+    partitions PRESENT in the written frame, so a rows->ZERO correction
+    (the day's rows were all bad; the fixed input has none) used to
+    leave the stale partition standing and report the old rows as 'the
+    day's report'. The idempotent path now drops the day's partition
+    explicitly when the corrected frame is empty."""
+    import csv
+
+    from etl_sber_spark.pipeline import load_transactions
+    from etl_sber_spark.sources.io import read_transactions_csv
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    ts = dt.datetime(2021, 3, 1, 23, 50)
+    stg = read_transactions_csv(spark, f"{REF}/transactions_01032021.txt")
+    load_transactions(wh, stg, ts, idempotent=True)
+    assert wh.read(T_FACT).count() == 15650
+
+    # the corrected file for the day is EMPTY (header only)
+    empty_csv = tmp_path / "transactions_fixed.txt"
+    empty_csv.write_text(
+        "transaction_id;transaction_date;amount;card_num;oper_type;"
+        "oper_result;terminal\n"
+    )
+    load_transactions(
+        wh, read_transactions_csv(spark, str(empty_csv)), ts, idempotent=True
+    )
+    assert not wh.has_data(T_FACT) or wh.read(T_FACT).filter(
+        F.col("load_date") == ts.date()
+    ).count() == 0
+
+
+def test_drop_partition_removes_only_named_partition(spark, tmp_path):
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id int, part string"
+    )
+    wh.append(df, "t", partition_by=["part"])
+    assert wh.drop_partition("t", "part", "a") is True
+    assert [r.part for r in wh.read("t").collect()] == ["b"]
+    # dropping a partition that does not exist is a no-op
+    assert wh.drop_partition("t", "part", "zzz") is False
