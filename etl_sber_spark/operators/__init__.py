@@ -5,9 +5,11 @@ range joins (asof, rangejoin), skew handling (skew), data-quality gates
 (quality), incremental rollup maintenance (rollup_maintenance).
 
 LLM training-data pipeline: text dedup (dedup, substr_dedup),
-embedding similarity + semantic dedup (similarity, quantize, semdedup),
-dedup clustering + soft weights (components), curation and its
-incremental/crawl front-ends (curate, incremental, crawl),
+batched model inference (inference), embedding similarity + semantic
+dedup (similarity, quantize, semdedup) and its persisted-index
+increment (semindex), dedup clustering + soft weights (components),
+curation and its incremental/crawl front-ends (curate, incremental,
+crawl),
 decontamination + leakage-guarded splits (decontam), sampling/splits
 (sampling), chunking/packing/materialization (packing), FIM transform
 (fim), ranking (ranking), tokenizers (bpe, vocab), LM quality gate

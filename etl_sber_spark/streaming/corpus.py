@@ -62,6 +62,10 @@ def stream_corpus_increments(
     exact_threshold: float = 0.8,
     max_files_per_trigger: int = 1,
     processing_time: str | None = None,
+    centroids: DataFrame | None = None,
+    semantic_index_table: str = "semantic_index",
+    semantic_threshold: float = 0.95,
+    encoder=None,
 ) -> StreamingQuery:
     """Start the landing-zone stream; returns the StreamingQuery.
 
@@ -70,6 +74,19 @@ def stream_corpus_increments(
     annotated docs (with ``batch_id``) to ``curated_table``, keepers'
     signatures to ``index_table``, malformed lines to
     ``quarantine_table``.
+
+    Pass ``centroids`` (a FIXED k-means frame — train once, persist
+    like the BPE merge table; retraining invalidates the index, see
+    operators/semindex.py) to add the SEMANTIC stage: each batch's
+    lexical keepers are embedded (``encoder`` — the deterministic stub
+    by default, a real model in production; operators/inference.py) and
+    deduped against the persisted quantized embedding index in
+    ``semantic_index_table``. Semantic drops get their
+    ``index_semantic_dup``/``batch_semantic_dup`` reason in the curated
+    table, are EXCLUDED from the minhash index (a dropped doc is not
+    corpus), and survivors' index rows append — the full per-crawl
+    lexical→semantic maintenance loop, one availableNow pass per cron
+    tick.
     """
     raw = (
         spark.readStream.schema(corrupt_capture_schema())
@@ -98,11 +115,58 @@ def stream_corpus_increments(
             est_threshold=est_threshold,
             exact_threshold=exact_threshold,
         )
-        return {
+        out = {
             curated_table: annotated,
             index_table: keeper_sigs,
             quarantine_table: bad,
         }
+        if centroids is not None:
+            from ..operators.inference import embed_texts
+            from ..operators.materialize import pin
+            from ..operators.semindex import (
+                empty_semantic_index,
+                semantic_increment,
+            )
+
+            lex_keep = annotated.filter(
+                F.col("drop_reason").isNull()
+            ).select("doc_id", "text")
+            # pinned: the model pass is the expensive step and feeds
+            # both the index-row build and the annotation join
+            emb = pin(embed_texts(lex_keep, id_col="doc_id", encoder=encoder))
+            sem_index = read_index_excluding(
+                wh, semantic_index_table, batch_id
+            )
+            if sem_index is None:
+                sem_index = empty_semantic_index(spark, "doc_id")
+            sem_ann, sem_keep_rows = semantic_increment(
+                emb,
+                sem_index,
+                centroids,
+                threshold=semantic_threshold,
+                id_col="doc_id",
+            )
+            # pinned: consumed by the curated-table reason merge AND the
+            # minhash-index exclusion — unpinned, the embed mapInPandas
+            # pass would re-run per write
+            sem_drops = pin(
+                sem_ann.filter(F.col("drop_reason").isNotNull()).select(
+                    "doc_id", F.col("drop_reason").alias("_sem_reason")
+                )
+            )
+            out[curated_table] = annotated.join(
+                sem_drops, "doc_id", "left"
+            ).select(
+                *[c for c in annotated.columns if c != "drop_reason"],
+                F.coalesce(
+                    F.col("drop_reason"), F.col("_sem_reason")
+                ).alias("drop_reason"),
+            )
+            out[index_table] = keeper_sigs.join(
+                sem_drops.select("doc_id"), "doc_id", "left_anti"
+            )
+            out[semantic_index_table] = sem_keep_rows
+        return out
 
     return run_idempotent_increments(
         spark,

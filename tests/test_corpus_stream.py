@@ -195,3 +195,95 @@ def test_corpus_cli_subprocess(tmp_path):
     # the near-dup of the indexed doc is dropped; index unchanged
     assert (r2["curated_total"], r2["kept_total"], r2["dropped_total"]) == (2, 1, 1)
     assert r2["index_size"] == 1
+
+
+def _topic_encoder(texts):
+    """Test encoder: the vector depends ONLY on the first word, so
+    same-topic texts are semantically identical (cosine 1) while being
+    lexically distinct — the planted-semantic-dup shape the md5 stub
+    cannot produce (it maps distinct texts to independent vectors)."""
+    import hashlib
+
+    out = []
+    for t in texts:
+        d = hashlib.md5(t.split()[0].lower().encode()).digest()
+        out.append([float(d[i]) + 1.0 for i in range(4)])
+    return out
+
+
+def test_stream_semantic_stage_dedupes_lexical_survivors(spark, tmp_path):
+    """centroids= adds the semantic stage: lexically-distinct same-topic
+    docs drop as batch/index semantic dups, are excluded from the
+    minhash index, and keepers grow the persisted semantic index."""
+    from etl_sber_spark.operators.similarity import kmeans_centroids
+
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    ckpt = str(tmp_path / "ckpt")
+
+    seed = spark.createDataFrame(
+        [
+            (i, _topic_encoder([w])[0])
+            for i, w in enumerate(["apple", "banana", "cherry", "durian"])
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    cents = kmeans_centroids(seed, k=2).localCheckpoint(eager=True)
+
+    def run():
+        q = stream_corpus_increments(
+            spark,
+            str(inbox),
+            wh,
+            ckpt,
+            centroids=cents,
+            semantic_threshold=0.999,
+            encoder=_topic_encoder,
+        )
+        q.awaitTermination(120)
+
+    # batch 1: docs 1/3 share a topic (lexically distinct) -> 3 drops
+    # in-batch; doc 2 is its own topic
+    _write_jsonl(
+        inbox / "b1.jsonl",
+        [
+            {"doc_id": 1, "text": "apple pie with cinnamon and sugar",
+             "lang": "en", "source": "a"},
+            {"doc_id": 2, "text": "banana bread with walnuts and honey",
+             "lang": "en", "source": "a"},
+            {"doc_id": 3, "text": "apple strudel layered with raisins folded",
+             "lang": "en", "source": "a"},
+        ],
+    )
+    run()
+    got = {r.doc_id: r.drop_reason for r in wh.read("curated_docs").collect()}
+    assert got == {1: None, 2: None, 3: "batch_semantic_dup"}
+    assert sorted(
+        r.doc_id for r in wh.read("minhash_index").collect()
+    ) == [1, 2]
+    assert sorted(
+        r.doc_id for r in wh.read("semantic_index").collect()
+    ) == [1, 2]
+
+    # batch 2: doc 11 re-visits the apple topic (vs the INDEX — doc 1's
+    # text is long gone), doc 12 is a new topic and survives
+    _write_jsonl(
+        inbox / "b2.jsonl",
+        [
+            {"doc_id": 11, "text": "apple crumble topped with oats baked",
+             "lang": "en", "source": "a"},
+            {"doc_id": 12, "text": "cherry clafoutis dusted with sugar powder",
+             "lang": "en", "source": "a"},
+        ],
+    )
+    run()
+    got = {r.doc_id: r.drop_reason for r in wh.read("curated_docs").collect()}
+    assert got[11] == "index_semantic_dup"
+    assert got[12] is None
+    assert sorted(
+        r.doc_id for r in wh.read("minhash_index").collect()
+    ) == [1, 2, 12]
+    assert sorted(
+        r.doc_id for r in wh.read("semantic_index").collect()
+    ) == [1, 2, 12]
