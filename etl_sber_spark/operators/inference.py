@@ -57,8 +57,12 @@ from pyspark.sql import types as T
 
 from .spread import spread
 
-#: embedding width of the stub encoder (matches the fixture
-#: embeddings.parquet so stub output chains into every consumer)
+#: stub encoder width — a compact test default, NOT a property of any
+#: fixture (the testdata embeddings table is 64-dim). Mixing widths in
+#: one consumer fails SILENTLY in Spark: zip_with pads the shorter
+#: array with NULLs, so dot products and cosines go NULL and threshold
+#: filters drop everything — keep one width per embedding space
+#: (embedding_coverage's n_distinct_dims is the gate for this).
 DEFAULT_DIMS = 16
 
 
@@ -132,7 +136,17 @@ def embed_texts(
             idx = [i for i, t in enumerate(texts) if t is not None]
             for s in range(0, len(idx), _cap):
                 chunk = idx[s : s + _cap]
-                encoded = enc([texts.iloc[i] for i in chunk])
+                encoded = list(enc([texts.iloc[i] for i in chunk]))
+                # loud, not truncated: an encoder that drops a failed
+                # item (or is off by one) would otherwise leave the
+                # tail NULL, indistinguishable from the NULL-text case
+                if len(encoded) != len(chunk):
+                    raise ValueError(
+                        f"encoder returned {len(encoded)} vectors for "
+                        f"{len(chunk)} texts — one vector per text is "
+                        "the contract (raise inside the encoder for "
+                        "failed items instead of dropping them)"
+                    )
                 for i, v in zip(chunk, encoded):
                     vecs[i] = _np.asarray(v, dtype=_np.float32)
             yield _pd.DataFrame({_id: pdf[_id], _out: vecs})
@@ -154,39 +168,43 @@ def embedding_coverage(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """One-row operational check of an embedding table against its
-    corpus: total docs, embedded docs, NULL/zero-vector counts, and
-    distinct dims observed (a healthy table has exactly one).
+    corpus: total docs, embedded docs, duplicate-row / NULL-vector /
+    zero-vector counts, and distinct dims observed (a healthy table has
+    exactly one dim and zero of each anomaly count).
 
-    Shape: one LEFT join on the id + one aggregate — the coverage gate a
-    pipeline runs before trusting semdedup/ANN results (docs without an
-    embedding row silently skip those stages — curate_corpus's stated
-    contract — so coverage must be MEASURED, not assumed).
+    Shape: a per-id pre-aggregate on the embedding side, one LEFT join
+    on the id, one final aggregate — the coverage gate a pipeline runs
+    before trusting semdedup/ANN results (docs without an embedding row
+    silently skip those stages — curate_corpus's stated contract — so
+    coverage must be MEASURED, not assumed). The pre-aggregate is what
+    keeps the corpus counts honest: joining raw embedding rows would
+    fan out on duplicate ids and inflate ``n_docs``/``n_embedded``
+    exactly when the table is anomalous (review finding);
+    ``n_dup_rows`` surfaces those duplicates instead.
     """
-    e = embeddings.select(
-        F.col(emb_id_col).alias(id_col),
-        F.col(vec_col).alias("_vec"),
-        F.lit(True).alias("_has_row"),
-    )
-    joined = df.select(id_col).join(e, id_col, "left")
     is_zero = F.aggregate(
-        F.col("_vec").cast("array<double>"),
+        F.col(vec_col).cast("array<double>"),
         F.lit(0.0),
         lambda acc, x: acc + x * x,
     ) == F.lit(0.0)
+    per_id = embeddings.groupBy(F.col(emb_id_col).alias(id_col)).agg(
+        F.count(F.lit(1)).alias("_n_rows"),
+        F.sum(F.col(vec_col).isNull().cast("long")).alias("_n_null"),
+        F.sum(
+            F.when(F.col(vec_col).isNotNull() & is_zero, 1).otherwise(0)
+        ).alias("_n_zero"),
+        F.collect_set(F.size(F.col(vec_col))).alias("_dims"),
+    )
+    joined = df.select(id_col).join(per_id, id_col, "left")
     return joined.agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.sum(F.coalesce(F.col("_has_row"), F.lit(False)).cast("long")).alias(
-            "n_embedded"
-        ),
+        F.sum((F.col("_n_rows") >= 1).cast("long")).alias("n_embedded"),
         F.sum(
-            (F.col("_has_row").isNotNull() & F.col("_vec").isNull()).cast(
-                "long"
-            )
-        ).alias("n_null_vec"),
-        F.sum(
-            F.when(F.col("_vec").isNotNull() & is_zero, 1).otherwise(0)
-        ).alias("n_zero_vec"),
-        F.count_distinct(
-            F.when(F.col("_vec").isNotNull(), F.size(F.col("_vec")))
+            F.greatest(F.col("_n_rows") - 1, F.lit(0)).cast("long")
+        ).alias("n_dup_rows"),
+        F.sum("_n_null").alias("n_null_vec"),
+        F.sum("_n_zero").alias("n_zero_vec"),
+        F.size(
+            F.array_distinct(F.flatten(F.collect_list("_dims")))
         ).alias("n_distinct_dims"),
     )

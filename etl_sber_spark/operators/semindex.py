@@ -36,8 +36,14 @@ Similarity convention: all-integer quantized cosine
 so increment results are bit-deterministic across partitionings and the
 recall-vs-float cost is the one tests/test_quantize.py pins (recall@10
 ≥ 0.9). Replay safety: a re-run increment sees its own keepers in the
-grown index; the id-equality guard makes those self-matches invisible,
-so crash-replay annotates identically (tested).
+grown index; the id-equality guard makes those SELF-matches invisible,
+so the KEEP/DROP verdicts replay identically (tested). The *reason*
+label is weaker: a doc dropped as ``batch_semantic_dup`` can re-report
+as ``index_semantic_dup`` on replay (its batch-mate keeper is now in
+the index and is a different id — the guard cannot hide it). Callers
+needing bit-stable replayed annotations must exclude their own prior
+append from the index read — exactly what the streaming harness's
+``read_index_excluding`` does (streaming/corpus.py).
 
 Reference parity: the reference has no incremental or embedding surface
 (nightly full snapshots, main.py) — LLM-pipeline extension per SURVEY
@@ -81,10 +87,30 @@ def build_semantic_index(
 ) -> DataFrame:
     """(id, cluster_id, q_scale, qvec): the index representation of an
     embedding frame — one projection, zero shuffles, zero joins (the
-    centroid matrix rides as a literal; plan-pinned in tests)."""
+    centroid matrix rides as a literal; plan-pinned in tests).
+
+    NULL and zero-norm vectors are FILTERED, not indexed: both are
+    routine failed-call artifacts (embed_texts' stated NULL-text
+    contract; inference.embedding_coverage counts them), and an index
+    row for either can never match anything (NULL quantized cosine) —
+    it would only bloat its cluster's candidate join forever (review
+    finding). In :func:`semantic_increment` such docs therefore skip
+    the stage entirely: kept unless another gate fires, never appended
+    — the same no-embedding contract curate_corpus states.
+    """
     cent_rows = _centroid_rows(centroids)
+    if not cent_rows:
+        raise ValueError(
+            "centroids frame is empty — an empty quantizer would give "
+            "every row a NULL cluster_id and silently disable all "
+            "semantic dedup (train kmeans_centroids on a non-empty "
+            "sample, or check the table name)"
+        )
     scale, q = quantize_cols(vec_col)
-    return spread(embeddings).select(
+    has_signal = F.col(vec_col).isNotNull() & F.exists(
+        F.col(vec_col).cast("array<double>"), lambda x: x != 0.0
+    )
+    return spread(embeddings).filter(has_signal).select(
         F.col(id_col),
         nearest_centroids_expr(quantize_vec(vec_col), cent_rows, 1)[0].alias(
             "cluster_id"

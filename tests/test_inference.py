@@ -95,6 +95,21 @@ def test_max_batch_rows_validated(spark):
         embed_texts(_docs(spark), max_batch_rows=0)
 
 
+def test_short_encoder_output_fails_loudly(spark):
+    """Review regression: an encoder that DROPS a failed item (instead
+    of raising) must error, not leave the tail silently NULL."""
+
+    def lossy(texts):
+        return [[1.0, 0.0] for _ in texts[:-1]]
+
+    df = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(8)], "doc_id long, text string"
+    )
+    with pytest.raises(Exception) as e:
+        embed_texts(df, encoder=lossy).collect()
+    assert "one vector per text" in str(e.value)
+
+
 def test_id_type_preserved(spark):
     df = spark.createDataFrame(
         [("a", "x"), ("b", "y")], "doc_id string, text string"
@@ -131,6 +146,7 @@ def test_embedding_coverage_report(spark):
     emb = spark.createDataFrame(
         [
             (0, [1.0, 2.0]),
+            (0, [9.0, 9.0]),  # duplicate row for one id (double append)
             (1, [0.0, 0.0]),  # zero vector (failed call artifact)
             (2, None),  # NULL vector
             (3, [1.0, 2.0, 3.0]),  # odd dims
@@ -139,8 +155,11 @@ def test_embedding_coverage_report(spark):
         "vec_id long, embedding array<double>",
     )
     row = embedding_coverage(docs, emb).collect()[0]
+    # the dup row must NOT fan n_docs/n_embedded out through the join
+    # (review finding) — it surfaces in n_dup_rows instead
     assert row.n_docs == 6
     assert row.n_embedded == 4  # ids 0-3; 4 and 5 have no row
+    assert row.n_dup_rows == 1
     assert row.n_null_vec == 1
     assert row.n_zero_vec == 1
     assert row.n_distinct_dims == 2  # {2, 3}

@@ -88,6 +88,30 @@ def test_build_semantic_index_plan_is_projection_only(spark, centroids):
             assert "RoundRobinPartitioning" in line, line
 
 
+def test_null_and_zero_vectors_skip_the_stage(spark, toy_centroids):
+    """Review regression: NULL/zero-norm embeddings (failed-call
+    artifacts per embed_texts' contract) must neither be indexed (a
+    permanent junk row that can never match) nor dropped — they skip
+    the stage, like curate_corpus's no-embedding contract."""
+    inc = _frame(
+        spark,
+        [(1, _vec(1)), (2, None), (3, [0.0, 0.0, 0.0, 0.0])],
+    )
+    empty = build_semantic_index(_frame(spark, []), toy_centroids)
+    ann, keep = semantic_increment(inc, empty, toy_centroids, threshold=0.999)
+    got = {r.vec_id: r.drop_reason for r in ann.collect()}
+    assert got == {1: None, 2: None, 3: None}
+    assert [r.vec_id for r in keep.collect()] == [1]
+
+
+def test_empty_centroids_raise(spark):
+    empty_cents = spark.createDataFrame(
+        [], "centroid_id int, centroid array<double>"
+    )
+    with pytest.raises(ValueError, match="centroids frame is empty"):
+        build_semantic_index(_frame(spark, [(1, _vec(1))]), empty_cents)
+
+
 def test_increment_loop_with_planted_duplicates(spark, tmp_path, toy_centroids):
     """Three increments through a persisted warehouse index: in-batch
     dups drop as batch_semantic_dup, cross-increment dups as
