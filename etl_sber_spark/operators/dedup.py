@@ -216,63 +216,63 @@ def ngram_jaccard(
     """Exact 3-gram Jaccard overlap for given (id_a, id_b) pairs.
 
     The verify step after LSH: only candidate pairs are scored (joins
-    keyed on shingle/doc — linear in candidate volume, not corpus²).
-    Output: (id_a, id_b, n_inter, n_a, n_b) as exact integers; jaccard =
-    n_inter / (n_a + n_b - n_inter).
+    keyed on the candidate ids — linear in candidate volume, not
+    corpus²). Output: (id_a, id_b, n_inter, n_a, n_b) as exact
+    integers; jaccard = n_inter / (n_a + n_b - n_inter).
 
-    The shingle set is cached: it feeds three joins (sizes, side a,
-    side b) and recomputing the explode per consumer would triple the
-    dominant scan cost. ``sh`` accepts an ALREADY-CACHED shingle frame
-    from the caller (shared with minhash in the composed pipeline).
-    ``pairs`` is cached here too: it is referenced four times (pair-id
-    set, intersection seed, and the final re-attach join) and is
-    usually the OUTPUT OF THE LSH BAND JOIN — plan-audited uncached,
-    that join re-ran once per reference.
+    Shape (r4 rewrite, measured 0.90 → 0.50 s at sf0.1, identical
+    output on the real LSH candidates): candidate docs' shingle SETS
+    are collected to one array row each, and the intersection is a
+    per-pair ``array_intersect`` — two candidate-sized joins replace
+    the previous (doc, shingle)-keyed join cascade (intersect join +
+    size aggregate + two re-attach joins), whose five shuffle stages
+    were pure latency for a handful of pairs. Scale note: a collected
+    row is doc-shingle-set-sized — bounded by document length, which
+    corpus pipelines cap upstream (and the old cascade's groupBy rows
+    keyed by (pair) carried the same order of data through its
+    shuffle). Candidate restriction comes first either way: the
+    semi-join keeps every downstream operator candidate-sized.
+
+    ``sh`` accepts an ALREADY-PINNED shingle frame from the caller
+    (shared with minhash in the composed pipeline); ``pairs`` is
+    pinned here — it is usually the OUTPUT OF THE LSH BAND JOIN, which
+    plan-audited uncached re-ran once per reference.
+
+    A pair whose side has ZERO shingles (doc under 3 tokens) drops
+    from the output (no set to verify against) — the LSH band join
+    cannot emit such pairs anyway (no shingles → no signature).
     """
     pairs = pin(pairs)
     if sh is None:
         sh = pin(shingles(df, id_col, text_col))
-    # Restrict ALL consumers to candidate-doc shingles first: the
-    # candidate id set is tiny (LSH output), so the semi-join broadcasts
-    # and every downstream join/aggregate touches candidate shingles
-    # only. Without this, sizing the corpus is a corpus-sized shuffle,
-    # and the (doc, shingle)-keyed intersection join shuffles the FULL
-    # shingle set — both for a handful of output rows.
+    # Restrict to candidate-doc shingles first: the candidate id set is
+    # tiny (LSH output), so the semi-join broadcasts and every
+    # downstream join/aggregate touches candidate shingles only. No
+    # forced broadcast: on a duplication-HEAVY corpus (30-50% near-dups
+    # is normal for web crawls) pair_ids is O(corpus) and a forced
+    # broadcast would blow the 8 GB cap — AQE picks broadcast when it
+    # fits and degrades to a shuffle semi-join when it must.
     pair_ids = pairs.select(
         F.explode(F.array("id_a", "id_b")).alias(id_col)
     ).distinct()
-    # No forced broadcast: on a typical corpus the candidate set is
-    # tiny and AQE converts the semi-join to a broadcast join on its
-    # own; on a duplication-HEAVY corpus (30-50% near-dups is normal
-    # for web crawls) pair_ids is O(corpus) and a forced broadcast
-    # would blow the 8 GB broadcast cap — the shuffle semi-join is the
-    # correct degradation there.
-    sh_cand = sh.join(pair_ids, id_col, "left_semi")
-    sizes = sh_cand.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
-    inter = (
-        pairs.select("id_a", "id_b")
-        .join(sh_cand.alias("sa"), F.col("id_a") == F.col(f"sa.{id_col}"))
-        .join(
-            sh_cand.alias("sb"),
-            (F.col("id_b") == F.col(f"sb.{id_col}"))
-            & (F.col("sa.shingle") == F.col("sb.shingle")),
-        )
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+    sets = (
+        sh.join(pair_ids, id_col, "left_semi")
+        .groupBy(id_col)
+        .agg(F.collect_set("shingle").alias("_set"))
     )
+    a = sets.select(F.col(id_col).alias("id_a"), F.col("_set").alias("_sa"))
+    b = sets.select(F.col(id_col).alias("id_b"), F.col("_set").alias("_sb"))
     return (
         pairs.select("id_a", "id_b")
-        .join(inter, ["id_a", "id_b"], "left")
-        .na.fill({"n_inter": 0})
-        .join(
-            sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("n_a")),
+        .join(a, "id_a")
+        .join(b, "id_b")
+        .select(
             "id_a",
-        )
-        .join(
-            sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("n_b")),
             "id_b",
+            F.size(F.array_intersect("_sa", "_sb")).alias("n_inter"),
+            F.size("_sa").alias("n_a"),
+            F.size("_sb").alias("n_b"),
         )
-        .select("id_a", "id_b", "n_inter", "n_a", "n_b")
     )
 
 
@@ -334,6 +334,14 @@ def simhash32(
     spread() parallelizes the per-token md5 on few-split scans (r3
     re-measurement: 0.91→0.77 s warm at sf0.1; an earlier unspread
     verdict predated the shared-session warmup and was compile-bound).
+
+    The explode is NOT a scale hazard: the 32 sums partially aggregate
+    map-side, so the shuffle carries ≈ one row per (doc, input
+    partition), never per token. A shuffle-free per-row rewrite (staged
+    hashed-token array + 32 F.aggregate folds) was built and REJECTED
+    by measurement (r4: 1.03 s vs 0.91 s warm at sf0.1) — 32
+    higher-order-function passes over the array lose to the codegen'd
+    hash aggregate, and the shuffle they save was already doc-sized.
     """
     toks = spread(df).select(
         F.col(id_col), F.explode(F.array_distinct(tokens_expr(text_col))).alias("tok")
