@@ -236,3 +236,36 @@ def domain_match_keys(
         .select(url_col)
         .distinct()
     )
+
+
+def extract_links(col: Column | str) -> Column:
+    """array<string> of the raw ``href`` values of every ``<a>`` tag.
+
+    Two-stage like :func:`has_noindex`: extract each ``<a …>`` tag as a
+    unit (the ``_ATTRS`` body tolerates '>' inside quoted attribute
+    values), then pull the href value out of the tag — matching the
+    quoted span (or unquoted token) as a unit so a value containing
+    spaces or '>' survives and trailing attributes never bleed in.
+    Values are RAW (relative links, fragments, javascript: pseudo-URLs
+    included) — resolution/filtering is the caller's step, normally
+    ``normalize_url`` (which yields NULL for anything non-http(s)).
+    Empty hrefs are dropped; NULL html → empty array.
+    """
+    h = _c(col)
+    tags = F.regexp_extract_all(h, F.lit(rf"(?is)(<a\b{_ATTRS}>)"), F.lit(1))
+    href = (
+        r"(?is)\bhref\s*=\s*"
+        r"(?:\"([^\"]*)\"|'([^']*)'|([^\s\"'>]+))"
+    )
+    vals = F.transform(
+        tags,
+        lambda tag: F.coalesce(
+            F.nullif(F.regexp_extract(tag, href, 1), F.lit("")),
+            F.nullif(F.regexp_extract(tag, href, 2), F.lit("")),
+            F.nullif(F.regexp_extract(tag, href, 3), F.lit("")),
+        ),
+    )
+    return F.coalesce(
+        F.filter(vals, lambda v: v.isNotNull()),
+        F.expr("CAST(array() AS array<string>)"),
+    )

@@ -9,7 +9,7 @@ batched model inference (inference), embedding similarity + semantic
 dedup (similarity, quantize, semdedup) and its persisted-index
 increment (semindex), dedup clustering + soft weights (components),
 curation and its incremental/crawl front-ends (curate, incremental,
-crawl),
+crawl), crawl-authority ranking (pagerank),
 decontamination + leakage-guarded splits (decontam), sampling/splits
 (sampling), chunking/packing/materialization (packing), FIM transform
 (fim), ranking (ranking), tokenizers (bpe, vocab), LM quality gate

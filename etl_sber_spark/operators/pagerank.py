@@ -1,0 +1,189 @@
+"""Deterministic distributed PageRank — the crawl-authority signal.
+
+Real crawl pipelines rank the frontier: which domains deserve fetch
+budget, which pages' text deserves corpus space. The standard signal is
+PageRank over the (host → host) link graph (Page et al., 1999; OPIC and
+friends are its online cousins), and at 100 TB the graph is
+edges-in-parquet, so the operator must be join-based, not in-memory.
+
+Shape per iteration (the classic Spark formulation, one shuffle each):
+
+- contributions: ``edges ⋈ ranks`` on the source, each edge carrying
+  ``rank/out_degree`` to its destination, summed per destination (the
+  groupBy's map-side partial aggregation keeps the shuffle
+  destination-sized);
+- dangling mass (nodes with no out-edges) is ONE scalar per iteration,
+  collected driver-side and folded back as a literal — the
+  k-means-centroid pattern (metadata scale, one row);
+- new rank = (1−d)/n + d·dangling/n + d·contrib;
+- each iteration's rank frame is pinned (lazy localCheckpoint): it
+  feeds the dangling sum AND the next iteration's join, and pinning
+  truncates the iterative lineage (the k-means/BPE loop discipline).
+
+Determinism (the repo-wide differential rule): double summation is
+partition-order dependent, so ranks live as LONG units of 10⁻¹²
+(``UNIT`` — the similarity.QUANT integer-quantization pattern). Every
+cross-row reduction is an exact integer sum (order-independent); every
+per-row derivation is a fixed chain of IEEE double ops quantized with
+``floor(x + 0.5)`` (arguments stay far below 2⁵³, so the floor is
+exact). The full trajectory is therefore bit-identical across
+partitionings, and the pure-Python oracle in tests/test_pagerank.py
+replays every iteration exactly.
+
+Quantization resolution: a node's floor rank is (1−d)·UNIT/n units —
+even at n = 10⁹ hosts (the full web's domain count) that is ~150
+units, so per-edge rounding (±0.5 unit) stays below 1% of the
+smallest rank; ``rank`` is emitted as the double units/UNIT.
+
+Fixed ``n_iter`` (no convergence test): a data-dependent stopping rule
+would make the output depend on float comparison order; 10-20
+iterations is the published practical horizon for web graphs.
+
+Reference parity: no graph surface in the reference (bank ETL) — LLM
+crawl-pipeline extension per SURVEY §7.5, public algorithm.
+"""
+
+from __future__ import annotations
+
+from decimal import ROUND_HALF_UP, Decimal
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.web import extract_links, normalize_url
+from .materialize import pin
+
+#: rank unit: 1 rank point = UNIT units (longs end-to-end)
+UNIT = 10**12
+
+
+def _half_up(x: Decimal) -> int:
+    return int(x.quantize(Decimal(1), rounding=ROUND_HALF_UP))
+
+
+def pagerank(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    *,
+    damping: float = 0.85,
+    n_iter: int = 10,
+) -> DataFrame:
+    """(node, rank double, rank_u long) over the directed edge list;
+    ranks sum to 1 within n·10⁻¹² (per-node quantization, tested).
+
+    ``edges`` rows are (src, dst); duplicate rows count once each
+    (pre-``distinct()`` for an unweighted graph — host_link_edges
+    does). Nodes appearing only as destinations are dangling: their
+    mass redistributes uniformly each iteration, the standard fix that
+    conserves total rank.
+    """
+    if n_iter < 1:
+        raise ValueError(f"n_iter must be >= 1, got {n_iter}")
+    e = pin(
+        edges.select(
+            F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst")
+        )
+    )
+    nodes = pin(
+        e.select(F.col("_src").alias("node"))
+        .union(e.select(F.col("_dst").alias("node")))
+        .distinct()
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.select(
+            "node",
+            F.lit(None).cast("double").alias("rank"),
+            F.lit(None).cast("long").alias("rank_u"),
+        )
+    out_deg = e.groupBy(F.col("_src").alias("node")).agg(
+        F.count(F.lit(1)).alias("_deg")
+    )
+    # degree rides the rank frame so the per-iteration join is ONE
+    # (edges ⋈ ranks); dangling nodes carry NULL degree
+    ranks = pin(
+        nodes.join(out_deg, "node", "left").withColumn(
+            "rank_u", F.lit(_half_up(Decimal(UNIT) / n)).cast("long")
+        )
+    )
+    d = Decimal(str(damping))
+    base_u = _half_up((Decimal(1) - d) * UNIT / n)
+    for _ in range(n_iter):
+        # ONE integer scalar driver-side per iteration (metadata scale);
+        # exact: a long sum, total ≈ UNIT ≪ 2⁶³
+        dangling_u = (
+            ranks.filter(F.col("_deg").isNull())
+            .agg(F.coalesce(F.sum("rank_u"), F.lit(0)).cast("long"))
+            .collect()[0][0]
+        )
+        share_u = _half_up(d * dangling_u / n)
+        # per-edge contribution: one IEEE division + exact floor —
+        # rank_u ≤ UNIT = 10¹² < 2⁵³, so every step has one result
+        contribs = (
+            e.join(
+                ranks.select(
+                    F.col("node").alias("_src"),
+                    F.floor(
+                        F.col("rank_u").cast("double") / F.col("_deg")
+                        + F.lit(0.5)
+                    ).alias("_c"),
+                ),
+                "_src",
+            )
+            .groupBy(F.col("_dst").alias("node"))
+            .agg(F.sum("_c").alias("_contrib"))
+        )
+        ranks = pin(
+            ranks.select("node", "_deg")
+            .join(contribs, "node", "left")
+            .withColumn(
+                "rank_u",
+                F.lit(base_u + share_u)
+                + F.floor(
+                    F.lit(float(damping))
+                    * F.coalesce(F.col("_contrib"), F.lit(0)).cast("double")
+                    + F.lit(0.5)
+                ),
+            )
+            .drop("_contrib")
+        )
+    return ranks.select(
+        "node",
+        (F.col("rank_u").cast("double") / F.lit(float(UNIT))).alias("rank"),
+        "rank_u",
+    )
+
+
+def host_link_edges(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """(src, dst) DISTINCT host-level link edges from raw crawled pages.
+
+    src = the page URL's canonical host, dst = each ``<a href>``
+    target's canonical host (functions/web.extract_links +
+    normalize_url) — absolute http(s) links only (relative and
+    protocol-relative links stay within their own host and carry no
+    cross-domain authority; normalize_url already yields NULL for
+    them). Self-edges are dropped: PageRank over a DOMAIN graph
+    measures external endorsement, and a site's internal nav would
+    otherwise dominate its own rank. One explode + one distinct
+    aggregate; payload columns never travel.
+    """
+
+    def host(c):
+        return F.try_parse_url(normalize_url(c), F.lit("HOST"))
+
+    return (
+        pages.select(
+            host(F.col(url_col)).alias("src"),
+            F.explode(extract_links(F.col(html_col))).alias("_link"),
+        )
+        .select("src", host(F.col("_link")).alias("dst"))
+        .filter(
+            F.col("src").isNotNull()
+            & F.col("dst").isNotNull()
+            & (F.col("src") != F.col("dst"))
+        )
+        .distinct()
+    )
