@@ -238,33 +238,60 @@ def domain_match_keys(
     )
 
 
-def extract_links(col: Column | str) -> Column:
-    """array<string> of the raw ``href`` values of every ``<a>`` tag.
+#: one `name=value` attribute as a sequential unit — quoted values are
+#: consumed whole, so an `href=` INSIDE another attribute's quoted
+#: value (`title="see href=evil"`) can never start a match (the
+#: left-to-right scan is already past it), and `data-href`/`xlink:href`
+#: are matched under their own full names, not as `href` (the \s
+#: anchor; review finding)
+_ATTR_UNIT = (
+    r"(?is)\s([a-zA-Z0-9:._-]+\s*=\s*"
+    r"(?:\"[^\"]*\"|'[^']*'|[^\s\"'>]+))"
+)
 
-    Two-stage like :func:`has_noindex`: extract each ``<a …>`` tag as a
-    unit (the ``_ATTRS`` body tolerates '>' inside quoted attribute
-    values), then pull the href value out of the tag — matching the
-    quoted span (or unquoted token) as a unit so a value containing
-    spaces or '>' survives and trailing attributes never bleed in.
-    Values are RAW (relative links, fragments, javascript: pseudo-URLs
+
+def extract_links(col: Column | str) -> Column:
+    """array<string> of the raw ``href`` values of every rendered
+    ``<a>`` tag.
+
+    Non-rendered markup goes first — script/style blocks and HTML
+    comments are stripped exactly as :func:`html_to_text` does, so a
+    commented-out or script-templated anchor never fabricates a link
+    (review finding). Then two-stage like :func:`has_noindex`: extract
+    each ``<a …>`` tag as a unit (the ``_ATTRS`` body tolerates '>'
+    inside quoted attribute values), tokenize the tag into sequential
+    ``name=value`` attribute units, and take the FIRST unit whose name
+    is exactly ``href`` (browser semantics) — so another attribute's
+    value containing ``href=``, or a ``data-href``/``xlink:href``
+    attribute, can neither supply nor displace the real link. Values
+    are RAW (relative links, fragments, javascript: pseudo-URLs
     included) — resolution/filtering is the caller's step, normally
     ``normalize_url`` (which yields NULL for anything non-http(s)).
     Empty hrefs are dropped; NULL html → empty array.
     """
     h = _c(col)
+    h = F.regexp_replace(
+        h, rf"(?is)<(script|style)\b{_ATTRS}>.*?</\1\s*>", " "
+    )
+    h = F.regexp_replace(h, r"(?s)<!--.*?-->", " ")
     tags = F.regexp_extract_all(h, F.lit(rf"(?is)(<a\b{_ATTRS}>)"), F.lit(1))
-    href = (
-        r"(?is)\bhref\s*=\s*"
+    unq = (
+        r"(?is)^href\s*=\s*"
         r"(?:\"([^\"]*)\"|'([^']*)'|([^\s\"'>]+))"
     )
-    vals = F.transform(
-        tags,
-        lambda tag: F.coalesce(
-            F.nullif(F.regexp_extract(tag, href, 1), F.lit("")),
-            F.nullif(F.regexp_extract(tag, href, 2), F.lit("")),
-            F.nullif(F.regexp_extract(tag, href, 3), F.lit("")),
-        ),
-    )
+
+    def href_of(tag):
+        units = F.regexp_extract_all(tag, F.lit(_ATTR_UNIT), F.lit(1))
+        first = F.get(
+            F.filter(units, lambda u: u.rlike(r"(?is)^href\s*=")), 0
+        )
+        return F.coalesce(
+            F.nullif(F.regexp_extract(first, unq, 1), F.lit("")),
+            F.nullif(F.regexp_extract(first, unq, 2), F.lit("")),
+            F.nullif(F.regexp_extract(first, unq, 3), F.lit("")),
+        )
+
+    vals = F.transform(tags, href_of)
     return F.coalesce(
         F.filter(vals, lambda v: v.isNotNull()),
         F.expr("CAST(array() AS array<string>)"),

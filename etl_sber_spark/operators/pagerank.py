@@ -70,20 +70,26 @@ def pagerank(
     n_iter: int = 10,
 ) -> DataFrame:
     """(node, rank double, rank_u long) over the directed edge list;
-    ranks sum to 1 within n·10⁻¹² (per-node quantization, tested).
+    ranks sum to 1 within a few units of 10⁻¹² per node (each node
+    accrues ≤ ±0.5 unit from each quantized term per iteration — the
+    conservation test pins |Σrank_u − UNIT| ≤ 4n).
 
     ``edges`` rows are (src, dst); duplicate rows count once each
     (pre-``distinct()`` for an unweighted graph — host_link_edges
-    does). Nodes appearing only as destinations are dangling: their
-    mass redistributes uniformly each iteration, the standard fix that
-    conserves total rank.
+    does). Rows with a NULL endpoint are DROPPED up front: a NULL
+    node cannot participate in the equi-joins, so left in it would
+    become a rank row whose mass silently vanishes from the total
+    (review finding) — malformed edges are the caller's quarantine
+    concern, not a rank sink. Nodes appearing only as destinations are
+    dangling: their mass redistributes uniformly each iteration, the
+    standard fix that conserves total rank.
     """
     if n_iter < 1:
         raise ValueError(f"n_iter must be >= 1, got {n_iter}")
     e = pin(
         edges.select(
             F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst")
-        )
+        ).filter(F.col("_src").isNotNull() & F.col("_dst").isNotNull())
     )
     nodes = pin(
         e.select(F.col("_src").alias("node"))
@@ -162,24 +168,31 @@ def host_link_edges(
 
     src = the page URL's canonical host, dst = each ``<a href>``
     target's canonical host (functions/web.extract_links +
-    normalize_url) — absolute http(s) links only (relative and
-    protocol-relative links stay within their own host and carry no
-    cross-domain authority; normalize_url already yields NULL for
-    them). Self-edges are dropped: PageRank over a DOMAIN graph
-    measures external endorsement, and a site's internal nav would
-    otherwise dominate its own rank. One explode + one distinct
-    aggregate; payload columns never travel.
+    normalize_url). Protocol-relative links (``//cdn.example/x`` — a
+    common legacy pattern that DOES carry cross-host endorsement) are
+    resolved by assuming http before normalization (http vs https does
+    not change the host, which is all this graph keeps). Path-relative
+    links stay within the page's own host and carry no cross-domain
+    authority — normalize_url yields NULL for them and they drop.
+    Self-edges are dropped too: PageRank over a DOMAIN graph measures
+    external endorsement, and a site's internal nav would otherwise
+    dominate its own rank. One explode + one distinct aggregate;
+    payload columns never travel.
     """
 
     def host(c):
         return F.try_parse_url(normalize_url(c), F.lit("HOST"))
 
+    resolved = F.when(
+        F.col("_link").startswith("//"),
+        F.concat(F.lit("http:"), F.col("_link")),
+    ).otherwise(F.col("_link"))
     return (
         pages.select(
             host(F.col(url_col)).alias("src"),
             F.explode(extract_links(F.col(html_col))).alias("_link"),
         )
-        .select("src", host(F.col("_link")).alias("dst"))
+        .select("src", host(resolved).alias("dst"))
         .filter(
             F.col("src").isNotNull()
             & F.col("dst").isNotNull()

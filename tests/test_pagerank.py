@@ -165,3 +165,56 @@ def test_host_graph_integration(spark):
     top = ranks.orderBy(F.col("rank_u").desc()).first()
     assert top.node == "hub.example"
     assert 0 < top.rank < 1
+
+
+def test_null_edges_dropped_not_rank_sinks(spark):
+    """Review regression: a NULL endpoint must not become a rank row
+    whose mass silently vanishes from the total."""
+    e = spark.createDataFrame(
+        [("a", None), ("a", "b"), ("b", "a"), (None, "a")],
+        "src string, dst string",
+    )
+    got = {r.node: r.rank_u for r in pagerank(e, n_iter=5).collect()}
+    assert set(got) == {"a", "b"}
+    assert abs(sum(got.values()) - UNIT) <= 4 * 2
+
+
+def test_extract_links_attribute_hygiene(spark):
+    """Review regression: href= inside another attribute's NAME
+    (data-href, xlink:href) or quoted VALUE must neither supply nor
+    displace the real link; commented-out and scripted anchors are not
+    rendered and produce nothing."""
+    df = spark.createDataFrame(
+        [
+            (1, '<a data-href="/tracking" href="http://real.com/">x</a>'),
+            (2, '<a title="see href=evil" href="http://real2.com/">y</a>'),
+            (3, '<a xlink:href="/svg" href="http://real3.com/">z</a>'),
+            (4, '<!-- <a href="http://retired.example/">old</a> -->'
+                '<script>var a = \'<a href="http://tpl.example/">t</a>\';'
+                "</script>"
+                '<a href="http://live.example/">live</a>'),
+            (5, '<a hreflang="en" href="http://real5.com/">h</a>'),
+            (6, '<a HREF="http://upper.com/">u</a>'),
+        ],
+        "id long, html string",
+    )
+    got = {r.id: r.links for r in df.select(
+        "id", extract_links("html").alias("links")
+    ).collect()}
+    assert got[1] == ["http://real.com/"]
+    assert got[2] == ["http://real2.com/"]
+    assert got[3] == ["http://real3.com/"]
+    assert got[4] == ["http://live.example/"]
+    assert got[5] == ["http://real5.com/"]
+    assert got[6] == ["http://upper.com/"]
+
+
+def test_protocol_relative_links_carry_endorsement(spark):
+    """Review regression: //cdn.example/x targets a DIFFERENT host —
+    the edge must exist (resolved as http; the host is scheme-free)."""
+    pages = spark.createDataFrame(
+        [("http://blog.example/p", '<a href="//cdn.example/lib">c</a>')],
+        "url string, html string",
+    )
+    got = {(r.src, r.dst) for r in host_link_edges(pages).collect()}
+    assert got == {("blog.example", "cdn.example")}
