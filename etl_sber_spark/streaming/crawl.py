@@ -63,6 +63,7 @@ def stream_crawl_increments(
     respect_noindex: bool = True,
     max_files_per_trigger: int = 1,
     processing_time: str | None = None,
+    host_edges_table: str | None = None,
 ) -> StreamingQuery:
     """Start the crawl landing-zone stream; returns the StreamingQuery.
 
@@ -72,6 +73,16 @@ def stream_crawl_increments(
     ``url_canon`` is already in ``url_index_table`` become
     ``'url_dup'``) → batch_id-partition overwrites of the annotated
     pages, the new index entries, the quarantine, and the marker.
+
+    ``host_edges_table`` additionally accumulates the host-level link
+    graph (operators/pagerank.host_link_edges over each batch's RAW
+    pages — links from dropped pages still carry endorsement; only the
+    linking page needs to have been fetched, not kept). The table is
+    the edge feed for :func:`..operators.pagerank.pagerank` — rank the
+    accumulated graph as a periodic batch job (dedupe with
+    ``distinct()`` across batches first: the same edge re-observed in
+    a later crawl lands in a new batch_id partition, and PageRank
+    counts duplicate rows once each).
     """
     raw = (
         spark.readStream.schema(corrupt_capture_schema(PAGE_SCHEMA))
@@ -116,11 +127,16 @@ def stream_crawl_increments(
                 .drop("_in_index")
             )
         keepers = annotated.filter(F.col("drop_reason").isNull())
-        return {
+        out = {
             pages_table: annotated,
             url_index_table: keepers.select("url_canon", "doc_id"),
             quarantine_table: bad,
         }
+        if host_edges_table is not None:
+            from ..operators.pagerank import host_link_edges
+
+            out[host_edges_table] = host_link_edges(good)
+        return out
 
     return run_idempotent_increments(
         spark,

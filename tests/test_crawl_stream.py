@@ -156,3 +156,58 @@ def test_crawl_cli_subprocess(tmp_path):
     assert r2["pages_total"] == 3 and r2["kept_total"] == 1
     assert r2["dropped"]["url_dup"] == 1
     assert r2["url_index_size"] == 1
+
+
+def test_crawl_stream_accumulates_host_edges(spark, tmp_path):
+    """host_edges_table= grows the host link graph per batch (raw
+    pages — a dropped page's outbound links still endorse), and the
+    accumulated distinct graph feeds pagerank."""
+    from etl_sber_spark.operators.pagerank import pagerank
+
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    ckpt = tmp_path / "ckpt"
+
+    _write_jsonl(
+        inbox / "b1.jsonl",
+        [
+            {"doc_id": 1, "url": "https://site.org/a",
+             "html": '<p>enough words here</p>'
+                     '<a href="https://hub.example/x">hub</a>'},
+            {"doc_id": 2, "url": "https://other.net/b",
+             "html": '<a href="http://hub.example/y">hub</a>'
+                     '<a href="https://site.org/a">site</a>'},
+        ],
+    )
+    _run(spark, inbox, wh, ckpt, host_edges_table="host_edges")
+
+    got = {(r.src, r.dst) for r in wh.read("host_edges").collect()}
+    assert got == {
+        ("site.org", "hub.example"),
+        ("other.net", "hub.example"),
+        ("other.net", "site.org"),
+    }
+
+    # batch 2: a refetch of page 1's URL (url_dup) still contributes
+    # its links; one new host appears
+    _write_jsonl(
+        inbox / "b2.jsonl",
+        [
+            {"doc_id": 11, "url": "https://site.org/a/",
+             "html": '<a href="https://hub.example/x">hub again</a>'},
+            {"doc_id": 12, "url": "https://fresh.io/c",
+             "html": '<a href="https://hub.example/z">hub</a>'},
+        ],
+    )
+    _run(spark, inbox, wh, ckpt, host_edges_table="host_edges")
+
+    edges = wh.read("host_edges").select("src", "dst")
+    got = {(r.src, r.dst) for r in edges.collect()}
+    assert ("fresh.io", "hub.example") in got
+    # the re-observed (site.org, hub.example) edge appears in BOTH
+    # batch partitions — pagerank input needs the documented distinct()
+    assert edges.count() == 5
+    ranks = pagerank(edges.distinct(), n_iter=5)
+    top = ranks.orderBy(F.col("rank_u").desc()).first()
+    assert top.node == "hub.example"
