@@ -17,5 +17,6 @@ decontamination + leakage-guarded splits (decontam), sampling/splits
 reporting (datacard), multimodal plumbing (multimodal).
 
 Shared infrastructure: materialize.pin (lazy localCheckpoint),
-spread (compute-bound fan-out past byte-based split planning).
+spread (compute-bound fan-out past byte-based split planning),
+zorder (Morton-curve multi-column clustering for data skipping).
 """
