@@ -26,9 +26,9 @@ Mechanics:
 
 Skew note: min-max ranking is distribution-agnostic; a heavily skewed
 column wastes rank resolution around its hot region. ``bits=16`` per
-column leaves headroom (2 columns → 32-bit key, 4 columns → 64), and
-the range shuffle equalizes ROWS per file regardless, so skew costs
-selectivity only, not balance.
+column fits 2-3 columns in the 63-bit key (four columns need
+``bits=15`` or fewer), and the range shuffle equalizes ROWS per file
+regardless, so skew costs selectivity only, not balance.
 
 Reference parity: the reference's Oracle tables rely on B-tree indexes
 (main.py DDL); Spark's parquet lakehouse answer to "fast selective
@@ -50,30 +50,58 @@ from ..functions.hashing import hash64
 DEFAULT_BITS = 16
 
 
+def _numeric_expr(col: Column, dtype: T.DataType) -> Column:
+    """The orderable double of one supported z-column; raises a clear
+    error for types with no meaningful linear rank (binary, arrays —
+    review finding: TimestampNTZ used to fall into the numeric branch
+    and crash on ``float(datetime)`` deep in the stats fold)."""
+    if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
+        # NTZ → timestamp is identity under the fixed session tz the
+        # repo runs with (sources/tables.py normalizes scans the same way)
+        return F.unix_micros(col.cast("timestamp")).cast("double")
+    if isinstance(dtype, T.DateType):
+        return F.datediff(col, F.lit("1970-01-01").cast("date")).cast(
+            "double"
+        )
+    if isinstance(dtype, T.NumericType):
+        return col.cast("double")
+    raise ValueError(
+        f"zorder_key: unsupported column type {dtype.simpleString()} — "
+        "numeric, date, timestamp(_ntz), or string columns only"
+    )
+
+
+def _finite(x: Column) -> Column:
+    return (
+        ~F.isnan(x)
+        & (x > F.lit(float("-inf")))
+        & (x < F.lit(float("inf")))
+    )
+
+
 def _rank_expr(
     col: Column, dtype: T.DataType, lo, hi, bits: int
 ) -> Column:
     """Bounded integer rank of one column — a pure projection against
-    driver-side (lo, hi) literals. NULLs rank 0 (they cluster together
-    at the low corner, which is what IS NULL probes want)."""
+    driver-side (lo, hi) literals. NULLs and non-finite values rank 0
+    (they cluster together at the low corner, which is what IS NULL
+    probes want; a NaN/inf must not poison the arithmetic — see
+    zorder_key's finite-only stats, review finding)."""
     top = (1 << bits) - 1
     if isinstance(dtype, T.StringType):
         # order-free uniform rank: equality probes prune, range
         # predicates on strings do not (documented)
         r = F.pmod(hash64(col), F.lit(top + 1))
     else:
-        if isinstance(dtype, T.TimestampType):
-            x, a, b = F.unix_micros(col), lo, hi
-        elif isinstance(dtype, T.DateType):
-            x, a, b = F.datediff(col, F.lit("1970-01-01").cast("date")), lo, hi
-        else:
-            x, a, b = col.cast("double"), float(lo), float(hi)
-        span = (b - a) or 1
-        r = F.floor(
-            (x.cast("double") - F.lit(float(a)))
-            / F.lit(float(span))
-            * F.lit(float(top))
-            + F.lit(0.5)
+        x = _numeric_expr(col, dtype)
+        a, b = float(lo), float(hi)
+        span = (b - a) or 1.0
+        r = F.when(
+            _finite(x),
+            F.floor(
+                (x - F.lit(a)) / F.lit(span) * F.lit(float(top))
+                + F.lit(0.5)
+            ),
         )
     return F.coalesce(r.cast("long"), F.lit(0))
 
@@ -90,6 +118,11 @@ def zorder_key(
     """
     if not cols:
         raise ValueError("zorder_key needs at least one column")
+    if bits < 1:
+        raise ValueError(
+            f"bits must be >= 1, got {bits} — bits=0 would make every "
+            "key 0 and the layout silently unclustered"
+        )
     if len(cols) * bits > 63:
         raise ValueError(
             f"{len(cols)} cols x {bits} bits = {len(cols) * bits} key "
@@ -103,11 +136,11 @@ def zorder_key(
     if numeric:
         aggs = []
         for c in numeric:
-            x = F.col(c)
-            if isinstance(dtypes[c], T.TimestampType):
-                x = F.unix_micros(x)
-            elif isinstance(dtypes[c], T.DateType):
-                x = F.datediff(x, F.lit("1970-01-01").cast("date"))
+            # finite values only: one NaN/inf row would otherwise make
+            # the span NaN and silently zero the whole dimension's
+            # ranks (review finding)
+            x = _numeric_expr(F.col(c), dtypes[c])
+            x = F.when(_finite(x), x)
             aggs += [F.min(x).alias(f"_lo_{c}"), F.max(x).alias(f"_hi_{c}")]
         row = df.agg(*aggs).collect()[0]
         for c in numeric:
@@ -151,6 +184,12 @@ def append_zordered(
     prunes; file-skipping selectivity scales with the file count
     (each file covers ~1/n of the curve → ~n^(-1/len(cols)) of each
     dimension's domain)."""
+    if "_zkey" in df.columns:
+        raise ValueError(
+            "df already has a column named _zkey — the operator's "
+            "internal sort key would silently overwrite and then drop "
+            "it; rename the data column first"
+        )
     keyed = df.withColumn("_zkey", zorder_key(df, cols, bits))
     parts = [n_files] if n_files else []
     keyed = keyed.repartitionByRange(*parts, "_zkey").sortWithinPartitions(

@@ -157,11 +157,9 @@ def test_clustered_append_tightens_zone_maps(spark, tmp_path):
     near-disjoint ranges (the reader prunes by them); a plain append of
     the same rows leaves every file spanning the whole domain. Asserted
     on the actual parquet footers via pyarrow."""
-    import glob
-
-    import pyarrow.parquet as pq
-
     from pyspark.sql import functions as F
+
+    from .conftest import parquet_col_ranges
 
     n = 200_000
     df = (
@@ -175,18 +173,10 @@ def test_clustered_append_tightens_zone_maps(spark, tmp_path):
     wh.append(df, "t_plain")
 
     def spans(table):
-        out = []
-        for f in glob.glob(str(tmp_path / "wh" / table / "*.parquet")):
-            md = pq.ParquetFile(f).metadata
-            for rg in range(md.num_row_groups):
-                col = next(
-                    md.row_group(rg).column(i)
-                    for i in range(md.row_group(rg).num_columns)
-                    if md.row_group(rg).column(i).path_in_schema == "card"
-                )
-                st = col.statistics
-                out.append((st.min, st.max))
-        return out
+        return parquet_col_ranges(
+            str(tmp_path / "wh" / table / "*.parquet"), "card",
+            per="rowgroup",
+        )
 
     def avg_span(sp):
         return sum(mx - mn for mn, mx in sp) / len(sp)

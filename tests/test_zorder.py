@@ -4,13 +4,13 @@ lexicographic layout."""
 
 from __future__ import annotations
 
-import glob
-
 import pytest
 from pyspark.sql import functions as F
 
 from etl_sber_spark.operators.zorder import append_zordered, zorder_key
 from etl_sber_spark.sinks.warehouse import Warehouse
+
+from .conftest import parquet_col_ranges
 
 
 def test_morton_interleave_fixture(spark):
@@ -49,8 +49,6 @@ def test_zorder_prunes_both_columns(spark, tmp_path):
     probe on y alone matches ~every file's footer range; on the
     z-ordered layout both x-probes and y-probes touch a small
     fraction. Asserted on real parquet footers."""
-    import pyarrow.parquet as pq
-
     n = 200_000
     # two independent uniform dimensions
     df = (
@@ -67,19 +65,9 @@ def test_zorder_prunes_both_columns(spark, tmp_path):
     append_zordered(wh, df, "t_z", ["x", "y"], n_files=64)
 
     def file_ranges(table, col):
-        out = []
-        for f in glob.glob(str(tmp_path / "wh" / table / "*.parquet")):
-            md = pq.ParquetFile(f).metadata
-            lo, hi = None, None
-            for rg in range(md.num_row_groups):
-                for i in range(md.row_group(rg).num_columns):
-                    c = md.row_group(rg).column(i)
-                    if c.path_in_schema == col:
-                        st = c.statistics
-                        lo = st.min if lo is None else min(lo, st.min)
-                        hi = st.max if hi is None else max(hi, st.max)
-            out.append((lo, hi))
-        return out
+        return parquet_col_ranges(
+            str(tmp_path / "wh" / table / "*.parquet"), col
+        )
 
     def hit_fraction(table, col, probe):
         rng = file_ranges(table, col)
@@ -100,3 +88,47 @@ def test_zorder_prunes_both_columns(spark, tmp_path):
     a = wh.read("t_z").agg(F.sum("x"), F.sum("y")).collect()[0]
     b = df.agg(F.sum("x"), F.sum("y")).collect()[0]
     assert (a[0], a[1]) == (b[0], b[1])
+
+
+def test_ntz_timestamps_and_bad_bits(spark):
+    """Review regressions: TimestampNTZ must rank like a timestamp
+    (not crash in the numeric fallback); bits=0 would silently write
+    an unclustered layout; unsupported types name themselves."""
+    import datetime as dt
+
+    ntz = spark.createDataFrame(
+        [(dt.datetime(2021, 3, 1), 1), (dt.datetime(2021, 3, 5), 2)],
+        "t timestamp_ntz, y int",
+    )
+    keys = [r.z for r in ntz.withColumn("z", zorder_key(ntz, ["t", "y"])).collect()]
+    assert len(set(keys)) == 2
+    with pytest.raises(ValueError, match="bits must be >= 1"):
+        zorder_key(ntz, ["t"], bits=0)
+    binry = spark.createDataFrame([(bytearray(b"x"),)], "b binary")
+    with pytest.raises(ValueError, match="unsupported column type"):
+        zorder_key(binry, ["b"])
+
+
+def test_nan_inf_do_not_poison_the_dimension(spark):
+    """Review regression: one NaN/inf row used to make the span NaN and
+    zero EVERY rank of that column — the dimension silently lost all
+    clustering. Non-finite rows now rank 0 (with the NULLs) and the
+    finite rows keep their spread."""
+    df = spark.createDataFrame(
+        [(1.0, 1), (float("nan"), 2), (float("inf"), 3), (5.0, 4), (9.0, 5)],
+        "x double, y int",
+    )
+    # isolate the x dimension: 1 column, so the key IS the x rank
+    got = {r.y: r.z for r in df.withColumn(
+        "z", zorder_key(df, ["x"], bits=4)
+    ).collect()}
+    assert got[2] == 0 and got[3] == 0  # NaN, inf at the low corner
+    assert got[1] == 0  # x == min -> rank 0
+    assert got[4] == 8 and got[5] == 15  # (5-1)/8*15=7.5 -> 8; max -> top
+
+
+def test_zkey_name_collision_rejected(spark, tmp_path):
+    df = spark.createDataFrame([(1, 2, 3)], "x int, y int, _zkey int")
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    with pytest.raises(ValueError, match="_zkey"):
+        append_zordered(wh, df, "t", ["x", "y"])
