@@ -61,6 +61,14 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
         help="processing time HH:MM:SS (default 23:50:00, the cron slot)",
     )
     p.add_argument(
+        "--until",
+        help="BACKFILL mode: replay every day from --date through this "
+        "date (inclusive) out of ONE mixed inbox — files are assigned "
+        "to days by their embedded DDMMYYYY, each day runs as a full "
+        "nightly unit (loads then mart) in ascending order, always "
+        "idempotently. The repair tool for an outage window.",
+    )
+    p.add_argument(
         "--no-archive",
         action="store_true",
         help="leave consumed files in the inbox (default archives them)",
@@ -86,7 +94,7 @@ def main(argv: list[str] | None = None) -> int:
     t = dt.time.fromisoformat(args.time)
     processing_ts = dt.datetime.combine(date, t)
 
-    from .pipeline import run_day
+    from .pipeline import run_backfill, run_day
     from .session import get_spark
 
     spark = get_spark("etl-sber-nightly")
@@ -94,6 +102,34 @@ def main(argv: list[str] | None = None) -> int:
         name: spark.read.parquet(f"{args.bank_dir}/{name}.parquet")
         for name in ("clients", "accounts", "cards")
     }
+    if args.until:
+        days = run_backfill(
+            spark,
+            args.inbox,
+            args.warehouse,
+            bank,
+            date,
+            dt.date.fromisoformat(args.until),
+            time=t,
+            archive=not args.no_archive,
+            faithful_full_history=args.faithful_full_history,
+        )
+        for day, report in days:
+            print(
+                json.dumps(
+                    {
+                        "date": day.isoformat(),
+                        "processing_ts": dt.datetime.combine(
+                            day, t
+                        ).isoformat(sep=" "),
+                        "mart_rows": report.count(),
+                        "warehouse": args.warehouse,
+                        "backfill": True,
+                    }
+                )
+            )
+        spark.stop()
+        return 0
     report = run_day(
         spark,
         args.inbox,

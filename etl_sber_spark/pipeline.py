@@ -190,9 +190,42 @@ def run_day(
     (fact + mart) instead of the reference's faithful duplication.
     """
     wh = Warehouse(spark, warehouse_root)
-    for kind, path in src.scan_inbox(inbox):
+    _load_inbox_files(
+        wh,
+        spark,
+        src.scan_inbox(inbox),
+        processing_ts,
+        idempotent=idempotent,
+        archive=archive,
+    )
+    return build_mart(
+        wh,
+        bank_tables,
+        processing_ts,
+        faithful_full_history=faithful_full_history,
+        idempotent=idempotent,
+    )
+
+
+def _load_inbox_files(
+    wh: Warehouse,
+    spark: SparkSession,
+    files: list[tuple[str, str]],
+    processing_ts: dt.datetime,
+    *,
+    idempotent: bool,
+    archive: bool,
+) -> None:
+    """The per-file dispatch loop shared by run_day and run_backfill —
+    one implementation so the daily path and the range path cannot
+    drift. ``files`` must already be in the deterministic
+    terminals → blacklist → transactions order (scan_inbox's contract).
+    """
+    for kind, path in files:
         if kind == "terminals":
-            load_terminals(wh, src.read_terminals_xlsx(spark, path), processing_ts)
+            load_terminals(
+                wh, src.read_terminals_xlsx(spark, path), processing_ts
+            )
         elif kind == "blacklist":
             load_blacklist(wh, src.read_blacklist_xlsx(spark, path))
         elif kind == "transactions":
@@ -204,10 +237,63 @@ def run_day(
             )
         if archive:
             src.archive_file(path)
-    return build_mart(
-        wh,
-        bank_tables,
-        processing_ts,
-        faithful_full_history=faithful_full_history,
-        idempotent=idempotent,
-    )
+
+
+def run_backfill(
+    spark: SparkSession,
+    inbox: str,
+    warehouse_root: str,
+    bank_tables: dict[str, DataFrame],
+    start: dt.date,
+    end: dt.date,
+    *,
+    time: dt.time = dt.time(23, 50),
+    archive: bool = True,
+    faithful_full_history: bool = False,
+) -> list[tuple[dt.date, DataFrame]]:
+    """Replay a DATE RANGE from one mixed inbox, one day at a time.
+
+    The cron world's repair tool: after an outage the inbox holds
+    several days' files at once, and loading them under a single
+    ``processing_ts`` would be wrong twice over — SCD2 effective ranges
+    collapse onto one instant, and each day's mart must be built from
+    that day's dimension state (the point-in-time law run_day
+    enforces). So the inbox is scanned ONCE, each file is assigned to
+    its day by the DDMMYYYY embedded in the reference's file names,
+    and days inside ``[start, end]`` run ascending — each as a normal
+    run_day unit: its files in the deterministic kind order, then its
+    mart. Files outside the range (or with no parseable date) are left
+    in place for the regular nightly to pick up.
+
+    Always idempotent: a backfill is by definition a correction —
+    fact/mart days overwrite their partitions, SCD2 re-application is
+    a replay-no-op (the scd2_apply invariant), blacklist SCD1 appends
+    only genuinely-new rows.
+
+    Returns ``[(date, mart_report_df), ...]`` in processed order.
+    """
+    if end < start:
+        raise ValueError(f"backfill range is empty: {start} > {end}")
+    wh = Warehouse(spark, warehouse_root)
+    by_day: dict[dt.date, list[tuple[str, str]]] = {}
+    for kind, path in src.scan_inbox(inbox):
+        day = src.file_date(path)
+        if day is not None and start <= day <= end:
+            by_day.setdefault(day, []).append((kind, path))
+    out = []
+    for day in sorted(by_day):
+        ts = dt.datetime.combine(day, time)
+        # per-day kind order is preserved: scan_inbox emitted kinds in
+        # order and the per-day grouping is a stable filter of it
+        _load_inbox_files(
+            wh, spark, by_day[day], ts, idempotent=True, archive=archive
+        )
+        report = build_mart(
+            wh,
+            bank_tables,
+            ts,
+            faithful_full_history=faithful_full_history,
+            idempotent=True,
+        )
+        out.append((day, report))
+    return out

@@ -203,6 +203,23 @@ def scan_inbox(inbox: str) -> list[tuple[str, str]]:
     return out
 
 
+def file_date(path: str):
+    """The DDMMYYYY date embedded in a reference-convention file name
+    (``transactions_01032021.txt``), or None when absent/invalid —
+    the per-day grouping key for pipeline.run_backfill."""
+    import re
+
+    m = re.search(r"_(\d{2})(\d{2})(\d{4})\.", os.path.basename(path))
+    if not m:
+        return None
+    try:
+        import datetime as _dt
+
+        return _dt.date(int(m.group(3)), int(m.group(2)), int(m.group(1)))
+    except ValueError:
+        return None
+
+
 def archive_file(path: str) -> str:
     """Move a processed file to <dir>/Archive/<name>.backup
     (main.py:535-540). Returns the new path.

@@ -1,0 +1,133 @@
+"""Backfill mode (pipeline.run_backfill + the CLI --until flag): the
+outage-repair path — one mixed inbox, per-day file assignment by the
+embedded DDMMYYYY, ascending idempotent day units — must reach the
+same golden end states as the sequential daily replay."""
+
+from __future__ import annotations
+
+import datetime as dt
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_sber_spark.pipeline import (
+    T_BLACKLIST,
+    T_FACT,
+    T_HIST,
+    T_MART,
+    run_backfill,
+)
+from etl_sber_spark.sinks.warehouse import Warehouse
+from etl_sber_spark.sources.io import file_date
+
+from .fixtures_bank import build_bank_tables
+
+REF = "/root/reference"
+DAYS = ("01", "02", "03")
+
+
+def test_file_date_parsing():
+    assert file_date("/x/transactions_01032021.txt") == dt.date(2021, 3, 1)
+    assert file_date("terminals_31122021.xlsx") == dt.date(2021, 12, 31)
+    assert file_date("passport_blacklist_02032021.xlsx") == dt.date(2021, 3, 2)
+    assert file_date("readme.txt") is None
+    assert file_date("transactions_99992021.txt") is None  # invalid date
+
+
+@pytest.fixture(scope="module")
+def backfilled(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("backfill")
+    inbox = root / "inbox"
+    inbox.mkdir()
+    # ALL three days' files land in one inbox at once (the outage
+    # shape), plus a file outside the range that must remain untouched
+    for day in DAYS:
+        for pat in (
+            f"transactions_{day}032021.txt",
+            f"terminals_{day}032021.xlsx",
+            f"passport_blacklist_{day}032021.xlsx",
+        ):
+            shutil.copy(f"{REF}/{pat}", inbox / pat)
+    shutil.copy(
+        f"{REF}/transactions_01032021.txt",
+        inbox / "transactions_05032021.txt",
+    )
+    wh_root = str(root / "wh")
+    out = run_backfill(
+        spark,
+        str(inbox),
+        wh_root,
+        build_bank_tables(spark),
+        dt.date(2021, 3, 1),
+        dt.date(2021, 3, 3),
+    )
+    return Warehouse(spark, wh_root), out, inbox
+
+
+def test_backfill_processes_days_ascending(backfilled):
+    _, out, _ = backfilled
+    assert [d for d, _ in out] == [dt.date(2021, 3, i) for i in (1, 2, 3)]
+    assert all(r.count() > 0 for _, r in out)
+
+
+def test_backfill_reaches_golden_states(backfilled):
+    wh, _, _ = backfilled
+    # the same pins as the sequential golden replay / CLI test
+    fact = wh.read(T_FACT)
+    assert fact.count() == 15650 + 15686 + 15780
+    assert wh.read(T_BLACKLIST).count() == 24
+    hist = wh.read(T_HIST)
+    a = hist.filter(F.col("terminal_id") == "A8966").collect()
+    assert len(a) == 3
+    assert sum(str(r.effective_to).startswith("2999") for r in a) == 1
+    p = hist.filter(F.col("terminal_id") == "P9111").collect()
+    assert len(p) == 2
+    assert sum(r.deleted_flg == 1 for r in p) == 1
+    mart_days = {
+        r.report_dt
+        for r in wh.read(T_MART).select("report_dt").distinct().collect()
+    }
+    assert mart_days == {dt.date(2021, 3, i) for i in (1, 2, 3)}
+
+
+def test_backfill_leaves_out_of_range_files(backfilled):
+    import os
+
+    _, _, inbox = backfilled
+    left = [
+        e for e in os.listdir(inbox) if not e.startswith(("Archive", "."))
+    ]
+    # only the out-of-range day-5 file remains for the regular nightly
+    assert left == ["transactions_05032021.txt"]
+
+
+def test_backfill_rerun_is_a_correction_not_a_duplication(
+    spark, backfilled, tmp_path
+):
+    """Re-running the same range out of a re-delivered inbox must leave
+    counts unchanged — fact/mart partitions overwrite, SCD2 replays as
+    a no-op, blacklist appends nothing new."""
+    wh, _, _ = backfilled
+    inbox2 = tmp_path / "redelivery"
+    inbox2.mkdir()
+    for day in DAYS:
+        for pat in (
+            f"transactions_{day}032021.txt",
+            f"terminals_{day}032021.xlsx",
+            f"passport_blacklist_{day}032021.xlsx",
+        ):
+            shutil.copy(f"{REF}/{pat}", inbox2 / pat)
+    run_backfill(
+        spark,
+        str(inbox2),
+        wh.root,
+        build_bank_tables(spark),
+        dt.date(2021, 3, 1),
+        dt.date(2021, 3, 3),
+    )
+    assert wh.read(T_FACT).count() == 15650 + 15686 + 15780
+    assert wh.read(T_BLACKLIST).count() == 24
+    assert wh.read(T_HIST).filter(
+        F.col("terminal_id") == "A8966"
+    ).count() == 3
