@@ -85,13 +85,37 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
         help="reproduce the reference's full-history join trap "
         "(SURVEY.md §3.3) instead of the canonical as-of view",
     )
-    return p.parse_args(argv)
+    args = p.parse_args(argv)
+    # validate up front as PARSER errors (usage + exit 2), not Python
+    # tracebacks mid-run — and so an empty --until cannot silently fall
+    # back to single-day mode, which would load every outage-day file
+    # under ONE processing_ts (review finding)
+
+    def _parse(value: str, flag: str, parse):
+        try:
+            return parse(value)
+        except ValueError:
+            p.error(f"{flag} must be ISO format, got {value!r}")
+
+    args.date_parsed = _parse(args.date, "--date", dt.date.fromisoformat)
+    args.time_parsed = _parse(args.time, "--time", dt.time.fromisoformat)
+    args.until_parsed = None
+    if args.until is not None:
+        args.until_parsed = _parse(
+            args.until, "--until", dt.date.fromisoformat
+        )
+        if args.until_parsed < args.date_parsed:
+            p.error(
+                f"--until {args.until} is before --date {args.date} — "
+                "the backfill range is empty"
+            )
+    return args
 
 
 def main(argv: list[str] | None = None) -> int:
     args = parse_args(argv)
-    date = dt.date.fromisoformat(args.date)
-    t = dt.time.fromisoformat(args.time)
+    date = args.date_parsed
+    t = args.time_parsed
     processing_ts = dt.datetime.combine(date, t)
 
     from .pipeline import run_backfill, run_day
@@ -102,14 +126,14 @@ def main(argv: list[str] | None = None) -> int:
         name: spark.read.parquet(f"{args.bank_dir}/{name}.parquet")
         for name in ("clients", "accounts", "cards")
     }
-    if args.until:
+    if args.until_parsed is not None:
         days = run_backfill(
             spark,
             args.inbox,
             args.warehouse,
             bank,
             date,
-            dt.date.fromisoformat(args.until),
+            args.until_parsed,
             time=t,
             archive=not args.no_archive,
             faithful_full_history=args.faithful_full_history,
@@ -122,7 +146,11 @@ def main(argv: list[str] | None = None) -> int:
                         "processing_ts": dt.datetime.combine(
                             day, t
                         ).isoformat(sep=" "),
-                        "mart_rows": report.count(),
+                        # null mart_rows = the day had NO files and was
+                        # deliberately not touched (a rows-to-zero
+                        # correction needs an explicit empty file)
+                        "mart_rows": None if report is None else report.count(),
+                        "no_files": report is None,
                         "warehouse": args.warehouse,
                         "backfill": True,
                     }

@@ -270,7 +270,30 @@ def run_backfill(
     a replay-no-op (the scd2_apply invariant), blacklist SCD1 appends
     only genuinely-new rows.
 
-    Returns ``[(date, mart_report_df), ...]`` in processed order.
+    SCD2 snapshots are FORWARD-ONLY (review finding): ``scd2_apply``
+    closes whichever version is currently OPEN, so applying a
+    terminals snapshot DATED BEHIND existing history (day-4 nightly
+    ran; the day-2 snapshot arrives late) would close the day-4
+    version with an inverted interval and resurrect stale attributes
+    as current. A terminals file whose day is not strictly ahead of
+    the history's newest ``effective_from`` is therefore SKIPPED (and
+    reported via a printed warning + the file staying in the inbox) —
+    the exact high-water-mark rule the continuous SCD2 stream applies
+    (streaming/scd.py). Pure re-deliveries lose nothing (re-applying
+    at the tail is the replay no-op anyway); a genuinely different
+    mid-history dimension snapshot cannot be retrofitted — that is a
+    rebuild-from-snapshots operation, deliberately not a backfill
+    flag. Fact/mart days have no such constraint (partition
+    overwrites are order-free) and still process.
+
+    A day in the range with NO matching files yields ``(day, None)``
+    — surfaced, not skipped, so a typo'd range or a missing correction
+    file is visible (review finding). Note a rows-to-ZERO correction
+    therefore needs an explicit EMPTY file for the day: file-less days
+    deliberately touch nothing.
+
+    Returns ``[(date, mart_report_df | None), ...]`` ascending over
+    the full requested range.
     """
     if end < start:
         raise ValueError(f"backfill range is empty: {start} > {end}")
@@ -280,13 +303,36 @@ def run_backfill(
         day = src.file_date(path)
         if day is not None and start <= day <= end:
             by_day.setdefault(day, []).append((kind, path))
-    out = []
-    for day in sorted(by_day):
+
+    out: list[tuple[dt.date, DataFrame | None]] = []
+    day = start
+    while day <= end:
+        if day not in by_day:
+            out.append((day, None))
+            day += dt.timedelta(days=1)
+            continue
         ts = dt.datetime.combine(day, time)
+        files = by_day[day]
+        term_files = [f for f in files if f[0] == "terminals"]
+        if term_files and wh.has_data(T_HIST):
+            latest = (
+                wh.read(T_HIST)
+                .agg(F.max("effective_from").alias("m"))
+                .collect()[0]["m"]
+            )
+            if latest is not None and latest >= ts:
+                for _, path in term_files:
+                    print(
+                        f"[backfill] SKIP stale terminals snapshot {path}: "
+                        f"dated {ts} but SCD2 history already reaches "
+                        f"{latest} (forward-only; rebuild the dimension "
+                        "from snapshots to repair mid-history)"
+                    )
+                files = [f for f in files if f[0] != "terminals"]
         # per-day kind order is preserved: scan_inbox emitted kinds in
         # order and the per-day grouping is a stable filter of it
         _load_inbox_files(
-            wh, spark, by_day[day], ts, idempotent=True, archive=archive
+            wh, spark, files, ts, idempotent=True, archive=archive
         )
         report = build_mart(
             wh,
@@ -296,4 +342,5 @@ def run_backfill(
             idempotent=True,
         )
         out.append((day, report))
+        day += dt.timedelta(days=1)
     return out

@@ -15,8 +15,10 @@ of rows — see sources/xlsx.py) and parallelized via createDataFrame.
 
 from __future__ import annotations
 
+import datetime as dt
 import fnmatch
 import os
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -203,19 +205,15 @@ def scan_inbox(inbox: str) -> list[tuple[str, str]]:
     return out
 
 
-def file_date(path: str):
+def file_date(path: str) -> dt.date | None:
     """The DDMMYYYY date embedded in a reference-convention file name
     (``transactions_01032021.txt``), or None when absent/invalid —
     the per-day grouping key for pipeline.run_backfill."""
-    import re
-
     m = re.search(r"_(\d{2})(\d{2})(\d{4})\.", os.path.basename(path))
     if not m:
         return None
     try:
-        import datetime as _dt
-
-        return _dt.date(int(m.group(3)), int(m.group(2)), int(m.group(1)))
+        return dt.date(int(m.group(3)), int(m.group(2)), int(m.group(1)))
     except ValueError:
         return None
 

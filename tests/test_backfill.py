@@ -131,3 +131,90 @@ def test_backfill_rerun_is_a_correction_not_a_duplication(
     assert wh.read(T_HIST).filter(
         F.col("terminal_id") == "A8966"
     ).count() == 3
+
+
+def test_range_day_without_files_is_surfaced_not_skipped(
+    spark, tmp_path
+):
+    """Review regression: a day inside the range with no files must
+    appear in the output as (day, None) — a typo'd range or missing
+    correction file is visible, not silently absent."""
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    shutil.copy(
+        f"{REF}/transactions_01032021.txt",
+        inbox / "transactions_01032021.txt",
+    )
+    out = run_backfill(
+        spark,
+        str(inbox),
+        str(tmp_path / "wh"),
+        build_bank_tables(spark),
+        dt.date(2021, 3, 1),
+        dt.date(2021, 3, 3),
+    )
+    assert [(d, r is None) for d, r in out] == [
+        (dt.date(2021, 3, 1), False),
+        (dt.date(2021, 3, 2), True),
+        (dt.date(2021, 3, 3), True),
+    ]
+
+
+def test_stale_terminals_snapshot_skipped_not_applied(
+    spark, backfilled, tmp_path
+):
+    """Review regression: scd2_apply is forward-only — a terminals
+    snapshot dated behind existing history would close the OPEN (later)
+    version with an inverted interval. The backfill skips it (the
+    streaming high-water rule), leaves the file in the inbox, and still
+    processes the day's facts."""
+    import os
+
+    wh, _, _ = backfilled
+    before = sorted(
+        (r.terminal_id, str(r.effective_from), str(r.effective_to))
+        for r in wh.read(T_HIST).collect()
+    )
+    late = tmp_path / "late_inbox"
+    late.mkdir()
+    # a DIFFERENT day-2 terminals snapshot arriving after day 3 applied
+    shutil.copy(
+        f"{REF}/terminals_01032021.xlsx", late / "terminals_02032021.xlsx"
+    )
+    shutil.copy(
+        f"{REF}/transactions_02032021.txt",
+        late / "transactions_02032021.txt",
+    )
+    out = run_backfill(
+        spark,
+        str(late),
+        wh.root,
+        build_bank_tables(spark),
+        dt.date(2021, 3, 2),
+        dt.date(2021, 3, 2),
+    )
+    # history untouched — no inverted intervals, no resurrected attrs
+    after = sorted(
+        (r.terminal_id, str(r.effective_from), str(r.effective_to))
+        for r in wh.read(T_HIST).collect()
+    )
+    assert after == before
+    # the stale snapshot stays in the inbox for the operator to see;
+    # the transactions file processed and archived
+    left = [e for e in os.listdir(late) if not e.startswith(("Archive", "."))]
+    assert left == ["terminals_02032021.xlsx"]
+    assert out[0][1] is not None
+
+
+def test_cli_backfill_validation():
+    from etl_sber_spark.__main__ import parse_args
+
+    base = ["--inbox", "i", "--warehouse", "w", "--bank-dir", "b"]
+    with pytest.raises(SystemExit):
+        parse_args(base + ["--date", "2021-3-5"])  # bad format
+    with pytest.raises(SystemExit):
+        parse_args(base + ["--date", "2021-03-05", "--until", ""])
+    with pytest.raises(SystemExit):
+        parse_args(base + ["--date", "2021-03-05", "--until", "2021-03-01"])
+    ok = parse_args(base + ["--date", "2021-03-01", "--until", "2021-03-05"])
+    assert ok.until_parsed == dt.date(2021, 3, 5)
