@@ -87,13 +87,36 @@ class Warehouse:
         shutil.rmtree(self._dir(name), ignore_errors=True)
 
     # -- read ---------------------------------------------------------------
-    def read(self, name: str, version: int | None = None) -> DataFrame:
+    def read(
+        self,
+        name: str,
+        version: int | None = None,
+        *,
+        merge_schema: bool = False,
+    ) -> DataFrame:
         """Read a table; for versioned tables ``version=n`` reads the
         retained historical version ``v_n`` instead of CURRENT — the
         AS-OF debugging primitive on the SCD2 swap layout ("what did the
         history table hold before last night's load?"). Raises
         ValueError for a version that was never written or has been
-        garbage-collected past the retention window."""
+        garbage-collected past the retention window.
+
+        ``merge_schema=True`` is the SCHEMA-EVOLUTION read: after a
+        widened append (a new column added to a table that already
+        holds older files), Spark's default read takes the schema of
+        ONE footer — whether the new column appears at all depends on
+        which file gets sampled, so a widened column can silently
+        vanish from some reads and not others. With mergeSchema the
+        union schema is computed across all footers (one extra
+        footer-reading pass — cost scales with file count, which is
+        why it is opt-in, matching Spark's own default) and pre-widening
+        rows surface as NULLs — the convention every quality gate and
+        profiler column in this repo already treats as "absent".
+        Dropping or retyping a column is NOT schema evolution and
+        still fails the merge; that is a rewrite
+        (:meth:`overwrite_versioned`), not an append.
+        """
+        opts = {"mergeSchema": "true"} if merge_schema else {}
         d = self._dir(name)
         cur = os.path.join(d, "CURRENT")
         if version is not None:
@@ -103,12 +126,14 @@ class Warehouse:
                     f"{name} has no retained version {version}; "
                     f"available: {self.versions(name)}"
                 )
-            return self.spark.read.parquet(vdir)
+            return self.spark.read.options(**opts).parquet(vdir)
         if os.path.exists(cur):
             with open(cur) as f:
                 current = f.read().strip()
-            return self.spark.read.parquet(os.path.join(d, current))
-        return self.spark.read.parquet(d)
+            return self.spark.read.options(**opts).parquet(
+                os.path.join(d, current)
+            )
+        return self.spark.read.options(**opts).parquet(d)
 
     def versions(self, name: str) -> list[int]:
         """Retained version numbers of a versioned table, ascending

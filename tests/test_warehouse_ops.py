@@ -238,3 +238,23 @@ def test_drop_partition_removes_only_named_partition(spark, tmp_path):
     assert [r.part for r in wh.read("t").collect()] == ["b"]
     # dropping a partition that does not exist is a no-op
     assert wh.drop_partition("t", "part", "zzz") is False
+
+
+def test_schema_evolution_read(spark, tmp_path):
+    """A widened append (new column) + read(merge_schema=True) yields
+    the union schema with NULLs for pre-widening rows; the default
+    single-footer read documents the hazard this flag exists for."""
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    wh.append(spark.createDataFrame([(1, "a")], "id int, x string"), "t")
+    wh.append(
+        spark.createDataFrame(
+            [(2, "b", 9.5)], "id int, x string, score double"
+        ),
+        "t",
+    )
+    merged = wh.read("t", merge_schema=True)
+    assert set(merged.columns) == {"id", "x", "score"}
+    got = {r.id: r.score for r in merged.collect()}
+    assert got == {1: None, 2: 9.5}
+    # both generations' rows are present either way
+    assert wh.read("t").count() == 2
