@@ -68,6 +68,7 @@ def pagerank(
     *,
     damping: float = 0.85,
     n_iter: int = 10,
+    seeds: DataFrame | None = None,
 ) -> DataFrame:
     """(node, rank double, rank_u long) over the directed edge list;
     ranks sum to 1 within a few units of 10⁻¹² per node (each node
@@ -83,6 +84,17 @@ def pagerank(
     concern, not a rank sink. Nodes appearing only as destinations are
     dangling: their mass redistributes uniformly each iteration, the
     standard fix that conserves total rank.
+
+    ``seeds`` turns this into PERSONALIZED PageRank (the TrustRank
+    recipe, Gyongyi et al. 2004): teleport mass — the (1−d) restart
+    and the dangling redistribution — goes ONLY to the seed nodes
+    (one-column frame, matched against the graph's nodes) instead of
+    uniformly, so rank becomes trust PROPAGATED FROM the seed set:
+    hosts only reachable from bad neighborhoods decay toward zero
+    while seed-endorsed hosts hold mass. Composes with the domain
+    allowlist (functions/web.domain_gate) as the seed source — the
+    standard crawl-frontier trust signal. Seeds absent from the graph
+    carry no mass (documented; all seeds missing raises).
     """
     if n_iter < 1:
         raise ValueError(f"n_iter must be >= 1, got {n_iter}")
@@ -107,14 +119,31 @@ def pagerank(
         F.count(F.lit(1)).alias("_deg")
     )
     # degree rides the rank frame so the per-iteration join is ONE
-    # (edges ⋈ ranks); dangling nodes carry NULL degree
-    ranks = pin(
-        nodes.join(out_deg, "node", "left").withColumn(
-            "rank_u", F.lit(_half_up(Decimal(UNIT) / n)).cast("long")
-        )
+    # (edges ⋈ ranks); dangling nodes carry NULL degree. The seed flag
+    # rides it too (personalized teleport targets).
+    ranks = nodes.join(out_deg, "node", "left").withColumn(
+        "rank_u", F.lit(_half_up(Decimal(UNIT) / n)).cast("long")
     )
+    if seeds is None:
+        n_tele = n
+        ranks = pin(ranks.withColumn("_seed", F.lit(True)))
+    else:
+        seed_col = seeds.columns[0]
+        s = seeds.select(F.col(seed_col).alias("node")).distinct()
+        ranks = pin(
+            ranks.join(
+                s.withColumn("_seed", F.lit(True)), "node", "left"
+            ).withColumn("_seed", F.coalesce(F.col("_seed"), F.lit(False)))
+        )
+        n_tele = ranks.filter(F.col("_seed")).count()
+        if n_tele == 0:
+            raise ValueError(
+                "none of the seed nodes appear in the edge list — "
+                "personalized teleport would have no target and every "
+                "rank would decay to 0"
+            )
     d = Decimal(str(damping))
-    base_u = _half_up((Decimal(1) - d) * UNIT / n)
+    base_u = _half_up((Decimal(1) - d) * UNIT / n_tele)
     for _ in range(n_iter):
         # ONE integer scalar driver-side per iteration (metadata scale);
         # exact: a long sum, total ≈ UNIT ≪ 2⁶³
@@ -123,7 +152,7 @@ def pagerank(
             .agg(F.coalesce(F.sum("rank_u"), F.lit(0)).cast("long"))
             .collect()[0][0]
         )
-        share_u = _half_up(d * dangling_u / n)
+        share_u = _half_up(d * dangling_u / n_tele)
         # per-edge contribution: one IEEE division + exact floor —
         # rank_u ≤ UNIT = 10¹² < 2⁵³, so every step has one result
         contribs = (
@@ -141,11 +170,13 @@ def pagerank(
             .agg(F.sum("_c").alias("_contrib"))
         )
         ranks = pin(
-            ranks.select("node", "_deg")
+            ranks.select("node", "_deg", "_seed")
             .join(contribs, "node", "left")
             .withColumn(
                 "rank_u",
-                F.lit(base_u + share_u)
+                F.when(F.col("_seed"), F.lit(base_u + share_u)).otherwise(
+                    F.lit(0)
+                ).cast("long")
                 + F.floor(
                     F.lit(float(damping))
                     * F.coalesce(F.col("_contrib"), F.lit(0)).cast("double")

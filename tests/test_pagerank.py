@@ -218,3 +218,63 @@ def test_protocol_relative_links_carry_endorsement(spark):
     )
     got = {(r.src, r.dst) for r in host_link_edges(pages).collect()}
     assert got == {("blog.example", "cdn.example")}
+
+
+def py_pagerank_seeded(edges, seeds, damping=0.85, n_iter=10):
+    """Seeded (personalized) replay: teleport + dangling mass go only
+    to seed nodes — the operator's exact arithmetic."""
+    nodes = sorted({s for s, _ in edges} | {t for _, t in edges})
+    deg = Counter(s for s, _ in edges)
+    seed_set = set(seeds) & set(nodes)
+    d = Decimal(str(damping))
+    n, n_tele = len(nodes), len(seed_set)
+    ru = {v: _half_up(Decimal(UNIT) / n) for v in nodes}
+    base = _half_up((Decimal(1) - d) * UNIT / n_tele)
+    for _ in range(n_iter):
+        dangling = sum(ru[v] for v in nodes if v not in deg)
+        share = _half_up(d * dangling / n_tele)
+        per_src = {s: math.floor(ru[s] / deg[s] + 0.5) for s in deg}
+        contrib = defaultdict(int)
+        for s, t in edges:
+            contrib[t] += per_src[s]
+        ru = {
+            v: (base + share if v in seed_set else 0)
+            + math.floor(float(damping) * contrib.get(v, 0) + 0.5)
+            for v in nodes
+        }
+    return ru
+
+
+def test_seeded_pagerank_differential_and_trust_decay(spark):
+    seeds = spark.createDataFrame([("a",)], "host string")
+    want = py_pagerank_seeded(GRAPH, {"a"})
+    got = {r.node: r.rank_u for r in pagerank(
+        _edges(spark, GRAPH), seeds=seeds
+    ).collect()}
+    assert got == want
+    # trust propagates FROM a only: a -> {b, c} -> a is the reachable
+    # core; d/f (unreached, unseeded) decay to zero teleport + zero
+    # contributions
+    assert got["d"] == 0 and got["f"] == 0
+    assert got["a"] > got["c"] > 0 and got["b"] > 0
+    # e is only fed by unreached d -> decays to 0 as well
+    assert got["e"] == 0
+
+
+def test_all_nodes_as_seeds_equals_unseeded(spark):
+    e = _edges(spark, GRAPH)
+    all_nodes = spark.createDataFrame(
+        [(v,) for v in sorted({s for s, _ in GRAPH} | {t for _, t in GRAPH})],
+        "host string",
+    )
+    a = {r.node: r.rank_u for r in pagerank(e).collect()}
+    b = {r.node: r.rank_u for r in pagerank(e, seeds=all_nodes).collect()}
+    assert a == b
+
+
+def test_seeds_disjoint_from_graph_raise(spark):
+    with pytest.raises(ValueError, match="none of the seed nodes"):
+        pagerank(
+            _edges(spark, GRAPH),
+            seeds=spark.createDataFrame([("zzz",)], "host string"),
+        )
