@@ -96,13 +96,14 @@ def profile(
             # (round-4 review finding).
             aggs.append(F.avg(col).alias(f"{c}__mean"))
         elif isinstance(dt, T.DecimalType):
-            # decimals: Spark widens the sum's precision itself
-            aggs.append(
-                (
-                    F.sum(col).cast("double")
-                    / F.count(col).cast("double")
-                ).alias(f"{c}__mean")
-            )
+            # decimals: sum as DOUBLE, not in the widened decimal type —
+            # for a high-precision column (DECIMAL(38,x)) the widened
+            # sum SATURATES at precision 38, so enough large rows
+            # overflow it: crash under ANSI, silent NULL under ANSI-off.
+            # Same unknown-data hazard class as the float finding above;
+            # a profiler's mean is a summary statistic, double suffices
+            # (ADVICE round 4).
+            aggs.append(F.avg(col.cast("double")).alias(f"{c}__mean"))
         elif isinstance(dt, _NUMERIC):
             # integers: DECIMAL(38,0) accumulation is exact and cannot
             # overflow (9e18 max-longs x 1e19 rows fits 38 digits)

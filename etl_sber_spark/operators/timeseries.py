@@ -43,13 +43,22 @@ DEFAULT_MAX_STEPS = 1000
 
 
 def bucket_ts(ts_col: str, step_seconds: int):
-    """Floor a timestamp to its bucket start (epoch-aligned)."""
+    """Floor a timestamp to its bucket start (epoch-aligned).
+
+    Integer arithmetic only: long / long is DOUBLE division in Spark,
+    and a 1.7e15-microsecond epoch divided as a double can land a hair
+    under an exact bucket boundary and truncate into the previous
+    bucket. And ``x - pmod(x, step)`` rather than ``div``: `div`
+    truncates toward ZERO, so a pre-1970 (negative-epoch) timestamp
+    would bucket to a start AFTER the event, violating the floor
+    contract (ADVICE round 4); pmod's remainder is non-negative for any
+    sign of x, making this the exact floor to a multiple of step.
+    """
     step_us = step_seconds * 1_000_000
-    # `div`, not `/`: long / long is DOUBLE division in Spark, and a
-    # 1.7e15-microsecond epoch divided as a double can land a hair under
-    # an exact bucket boundary and truncate into the previous bucket.
     return F.timestamp_micros(
-        F.expr(f"unix_micros({ts_col}) div {step_us}") * F.lit(step_us)
+        F.expr(
+            f"unix_micros({ts_col}) - pmod(unix_micros({ts_col}), {step_us})"
+        )
     )
 
 

@@ -220,9 +220,37 @@ def _load_inbox_files(
     one implementation so the daily path and the range path cannot
     drift. ``files`` must already be in the deterministic
     terminals → blacklist → transactions order (scan_inbox's contract).
+
+    Terminals files carry their OWN forward-only guard here, keyed on
+    the DDMMYYYY embedded in the file name vs the SCD2 high-water mark:
+    run_backfill's ts-based guard cannot protect the regular nightly
+    (its processing_ts is "now", always ahead of history), so a stale
+    snapshot lingering in the inbox would be applied at a newer
+    processing_ts and silently resurrect old attributes as current
+    (ADVICE round 4). A file dated STRICTLY behind the newest
+    ``effective_from`` is quarantined; an equal-day re-delivery still
+    loads (scd2_apply's replay no-op / same-day correction).
     """
+    stale_cut: dt.date | None = None
+    if any(k == "terminals" for k, _ in files) and wh.has_data(T_HIST):
+        latest = (
+            wh.read(T_HIST)
+            .agg(F.max("effective_from").alias("m"))
+            .collect()[0]["m"]
+        )
+        if latest is not None:
+            stale_cut = latest.date()
     for kind, path in files:
         if kind == "terminals":
+            fdate = src.file_date(path)
+            if stale_cut is not None and fdate is not None and fdate < stale_cut:
+                moved = src.quarantine_file(path)
+                print(
+                    f"[load] SKIP stale terminals snapshot {path}: file "
+                    f"dated {fdate} but SCD2 history already reaches "
+                    f"{stale_cut} (forward-only) — quarantined to {moved}"
+                )
+                continue
             load_terminals(
                 wh, src.read_terminals_xlsx(spark, path), processing_ts
             )
@@ -276,10 +304,12 @@ def run_backfill(
     ran; the day-2 snapshot arrives late) would close the day-4
     version with an inverted interval and resurrect stale attributes
     as current. A terminals file whose day is not strictly ahead of
-    the history's newest ``effective_from`` is therefore SKIPPED (and
-    reported via a printed warning + the file staying in the inbox) —
-    the exact high-water-mark rule the continuous SCD2 stream applies
-    (streaming/scd.py). Pure re-deliveries lose nothing (re-applying
+    the history's newest ``effective_from`` is therefore SKIPPED (a
+    printed warning + the file QUARANTINED to ``<inbox>/Rejected/`` —
+    leaving it in the scanned inbox would only defer the corruption to
+    the next cron tick, which would apply it at a newer processing_ts;
+    ADVICE round 4) — the exact high-water-mark rule the continuous
+    SCD2 stream applies (streaming/scd.py). Pure re-deliveries lose nothing (re-applying
     at the tail is the replay no-op anyway); a genuinely different
     mid-history dimension snapshot cannot be retrofitted — that is a
     rebuild-from-snapshots operation, deliberately not a backfill
@@ -322,11 +352,13 @@ def run_backfill(
             )
             if latest is not None and latest >= ts:
                 for _, path in term_files:
+                    moved = src.quarantine_file(path)
                     print(
                         f"[backfill] SKIP stale terminals snapshot {path}: "
                         f"dated {ts} but SCD2 history already reaches "
                         f"{latest} (forward-only; rebuild the dimension "
-                        "from snapshots to repair mid-history)"
+                        f"from snapshots to repair mid-history) — "
+                        f"quarantined to {moved}"
                     )
                 files = [f for f in files if f[0] != "terminals"]
         # per-day kind order is preserved: scan_inbox emitted kinds in

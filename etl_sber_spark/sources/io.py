@@ -218,6 +218,28 @@ def file_date(path: str) -> dt.date | None:
         return None
 
 
+def quarantine_file(path: str) -> str:
+    """Move a REJECTED input to <dir>/Rejected/<name> and return the new
+    path. The batch twin of the streaming SCD2 rejects table
+    (streaming/scd.py): a stale terminals snapshot left in the scanned
+    inbox would be re-applied by the next cron tick at a newer
+    processing_ts — closing current SCD2 versions and resurrecting old
+    attributes — so skipped files must leave the inbox, into a directory
+    the operator inspects rather than one the scanner re-reads
+    (review finding, ADVICE round 4). Collision-numbered like the
+    archive so repeated rejections of a re-delivered name all survive."""
+    d, name = os.path.split(path)
+    rejected = os.path.join(d, "Rejected")
+    os.makedirs(rejected, exist_ok=True)
+    dest = os.path.join(rejected, name)
+    n = 1
+    while os.path.exists(dest):
+        n += 1
+        dest = os.path.join(rejected, f"{name}.{n}")
+    os.rename(path, dest)
+    return dest
+
+
 def archive_file(path: str) -> str:
     """Move a processed file to <dir>/Archive/<name>.backup
     (main.py:535-540). Returns the new path.

@@ -126,6 +126,14 @@ def stream_enriched_transactions(
                 pending = pending.join(
                     done.select("trans_id"), "trans_id", "left_anti"
                 )
+            # a trans_id BOTH parked in pending and re-delivered in this
+            # batch's own files would enrich twice through the union —
+            # anti-join pending against the batch so the batch's copy
+            # (the fresher delivery, possibly a correction) wins
+            # (ADVICE round 4)
+            pending = pending.join(
+                batch_df.select("trans_id"), "trans_id", "left_anti"
+            )
             batch_df = batch_df.unionByName(
                 pending.dropDuplicates(["trans_id"])
             )

@@ -166,8 +166,10 @@ def test_stale_terminals_snapshot_skipped_not_applied(
     """Review regression: scd2_apply is forward-only — a terminals
     snapshot dated behind existing history would close the OPEN (later)
     version with an inverted interval. The backfill skips it (the
-    streaming high-water rule), leaves the file in the inbox, and still
-    processes the day's facts."""
+    streaming high-water rule), QUARANTINES the file to Rejected/
+    (leaving it in the inbox would let the next nightly apply it at a
+    newer processing_ts — ADVICE round 4), and still processes the
+    day's facts."""
     import os
 
     wh, _, _ = backfilled
@@ -199,11 +201,56 @@ def test_stale_terminals_snapshot_skipped_not_applied(
         for r in wh.read(T_HIST).collect()
     )
     assert after == before
-    # the stale snapshot stays in the inbox for the operator to see;
-    # the transactions file processed and archived
-    left = [e for e in os.listdir(late) if not e.startswith(("Archive", "."))]
-    assert left == ["terminals_02032021.xlsx"]
+    # the stale snapshot left the SCANNED inbox into Rejected/ (not
+    # Archive/ — it was never applied); the transactions file processed
+    left = [
+        e
+        for e in os.listdir(late)
+        if not e.startswith(("Archive", "Rejected", "."))
+    ]
+    assert left == []
+    assert os.listdir(late / "Rejected") == ["terminals_02032021.xlsx"]
     assert out[0][1] is not None
+
+
+def test_nightly_run_day_quarantines_stale_terminals(
+    spark, backfilled, tmp_path
+):
+    """ADVICE round 4 (medium): the regular nightly needs its own
+    forward-only guard — a stale snapshot reaching run_day would be
+    applied at a NEWER processing_ts, closing current SCD2 versions and
+    resurrecting old attributes as current. The guard keys on the
+    file-name-embedded date vs the history high-water mark and
+    quarantines the file."""
+    import os
+
+    from etl_sber_spark.pipeline import run_day
+
+    wh, _, _ = backfilled
+    before = sorted(
+        (r.terminal_id, str(r.effective_from), str(r.effective_to))
+        for r in wh.read(T_HIST).collect()
+    )
+    late = tmp_path / "nightly_inbox"
+    late.mkdir()
+    # a day-2 snapshot (different content) surfacing after day 3 applied
+    shutil.copy(
+        f"{REF}/terminals_01032021.xlsx", late / "terminals_02032021.xlsx"
+    )
+    run_day(
+        spark,
+        str(late),
+        wh.root,
+        build_bank_tables(spark),
+        dt.datetime(2021, 3, 6, 23, 50),
+        idempotent=True,
+    )
+    after = sorted(
+        (r.terminal_id, str(r.effective_from), str(r.effective_to))
+        for r in wh.read(T_HIST).collect()
+    )
+    assert after == before
+    assert os.listdir(late / "Rejected") == ["terminals_02032021.xlsx"]
 
 
 def test_cli_backfill_validation():

@@ -25,6 +25,10 @@ DRIVER = "org.apache.derby.iapi.jdbc.AutoloadedDriver"
 def derby(spark, tmp_path_factory):
     """An embedded Derby database seeded with a customer-shaped table."""
     db = tmp_path_factory.mktemp("derby") / "db"
+    # Derby writes derby.log to derby.system.home (default: the CWD,
+    # i.e. the repo root). Point it at tmp BEFORE the engine boots so
+    # test runs leave no droppings (VERDICT r4 hygiene item).
+    spark._jvm.System.setProperty("derby.system.home", str(db.parent))
     url = f"jdbc:derby:{db};create=true"
     src = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
     (

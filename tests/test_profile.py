@@ -116,3 +116,28 @@ def test_profile_survives_huge_doubles(spark):
     p = {r["column"]: r for r in profile(df, exact_distinct=True).collect()}
     assert p["v"]["mean"] == pytest.approx(1.5e30)
     assert p["v"]["n_null"] == 1
+
+
+def test_profile_survives_saturated_decimal_sum(spark):
+    """ADVICE round 4: a DECIMAL(38,10) column leaves NO headroom for
+    the widened sum (precision already 38) — two near-max values
+    overflow it: crash under ANSI, silent NULL mean under ANSI-off. The
+    profiler must sum in double instead; a profiler never gets to
+    assume its input is tame."""
+    from decimal import Decimal
+
+    from pyspark.sql import types as T
+
+    big = Decimal("9.9e27")  # 28 integer digits is DECIMAL(38,10)'s max
+    df = spark.createDataFrame(
+        [(1, big), (2, big), (3, None)],
+        T.StructType(
+            [
+                T.StructField("id", T.LongType()),
+                T.StructField("v", T.DecimalType(38, 10)),
+            ]
+        ),
+    )
+    p = {r["column"]: r for r in profile(df, exact_distinct=True).collect()}
+    assert p["v"]["mean"] == pytest.approx(9.9e27)
+    assert p["v"]["n_null"] == 1

@@ -311,3 +311,70 @@ def test_dimless_rows_park_in_pending_and_retry(spark, tmp_path):
     live = wh.read(T_LIVE)
     assert live.count() == n_day1 + n_day2 + n_day3
     assert live.groupBy("trans_id").count().filter("count > 1").count() == 0
+
+
+def test_pending_row_redelivered_in_same_batch_enriches_once(
+    spark, tmp_path
+):
+    """ADVICE round 4: a trans_id BOTH parked in rep_live_pending and
+    re-delivered in the current batch's own files was enriched twice
+    (pending was deduped only within itself before the union). The
+    batch's copy must win and the row lands in rep_live_enriched exactly
+    once."""
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    bank = build_bank_tables(spark)
+    ckpt = str(tmp_path / "ckpt")
+
+    # batch 0: dim lacks one busy terminal -> its rows park in pending
+    missing = _busy_terminal(spark)
+    stg = read_terminals_xlsx(
+        spark, f"{REF}/terminals_01032021.xlsx"
+    ).filter(F.col("terminal_id") != missing)
+    wh.overwrite_versioned(
+        scd2_apply(
+            spark.createDataFrame([], schemas.TERMINALS_HIST),
+            stg, "terminal_id", TERMINAL_ATTRS, _ts("01"),
+        ),
+        T_HIST,
+    )
+    shutil.copy(
+        f"{REF}/transactions_01032021.txt", inbox / "transactions_01.txt"
+    )
+    q = stream_enriched_transactions(
+        spark, str(inbox), wh, ckpt, bank, as_of=_ts("01")
+    )
+    q.awaitTermination()
+    day1 = read_transactions_csv(spark, f"{REF}/transactions_01032021.txt")
+    n_day1 = day1.count()
+    n_missing = day1.filter(F.col("terminal") == missing).count()
+    assert n_missing > 0
+    assert wh.read(T_LIVE).count() == n_day1 - n_missing
+
+    # dim catches up, and batch 1's OWN file re-delivers exactly the
+    # parked rows (the raw lines of the missing terminal)
+    raw = open(f"{REF}/transactions_01032021.txt", encoding="utf-8").read()
+    lines = raw.splitlines()
+    redelivered = [lines[0]] + [
+        ln for ln in lines[1:] if ln.split(";")[-1].strip() == missing
+    ]
+    assert len(redelivered) - 1 == n_missing
+    (inbox / "transactions_01_redelivery.txt").write_text(
+        "\n".join(redelivered) + "\n", encoding="utf-8"
+    )
+    full = read_terminals_xlsx(spark, f"{REF}/terminals_02032021.xlsx")
+    wh.overwrite_versioned(
+        scd2_apply(
+            wh.read(T_HIST), full, "terminal_id", TERMINAL_ATTRS, _ts("02")
+        ),
+        T_HIST,
+    )
+    q = stream_enriched_transactions(
+        spark, str(inbox), wh, ckpt, bank, as_of=_ts("02")
+    )
+    q.awaitTermination()
+
+    live = wh.read(T_LIVE)
+    assert live.groupBy("trans_id").count().filter("count > 1").count() == 0
+    assert live.count() == n_day1
