@@ -168,8 +168,21 @@ def signature_bands(
     )
 
 
+#: Default bucket-size guard for the LSH self-join. A (band, key)
+#: bucket of n members emits n² pair rows; on real web corpora large
+#: cliques of templated/boilerplate near-identical pages survive exact
+#: dedup and collapse into ONE bucket, so without a cap a single
+#: straggler task carries a quadratic hot term (round-4 review). 1000
+#: keeps the per-bucket cost ≤ ~10⁶ rows while being far above any
+#: organic bucket in a deduplicated corpus.
+DEFAULT_MAX_BUCKET = 1000
+
+
 def lsh_candidate_pairs(
-    signatures: DataFrame, id_col: str = "doc_id"
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    *,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """Banded-LSH candidate generation over minhash signatures.
 
@@ -179,29 +192,83 @@ def lsh_candidate_pairs(
     bucket, cost Σ|bucket|², never the n² cross join. Output:
     (id_a < id_b, n_shared_bands).
 
+    **Hot-bucket guard** (the 100 TB skew hazard, round-4 review):
+    Σ|bucket|² is only safe when buckets are small — one bucket of
+    10⁷ boilerplate near-identical pages is 10¹⁴ pair rows on ONE
+    task. Buckets larger than ``max_bucket`` therefore emit a STAR
+    instead of a clique: (anchor=min id, member) pairs, |bucket|−1
+    rows. An oversized bucket is by definition a near-complete
+    duplicate clique, and the downstream consumers need no more than
+    the star — connected components (curate's transitive mode) unions
+    a star exactly like a clique, and the keep-min-id rule drops every
+    non-anchor member either way; the Jaccard verify still scores each
+    emitted pair exactly. ``n_shared_bands`` for star pairs counts
+    only the oversized buckets that emitted them (pairs not involving
+    the anchor lose that band's vote — the price of boundedness).
+    ``max_bucket=None`` disables the guard (the faithful unbounded
+    join, for differential tests). Oversized buckets are observable
+    via ``lsh_bucket_stats`` — corpus-health telemetry a production
+    run should log.
+
     Plan shape matters here (caught by the .explain audit): bands come
     from ONE ``posexplode`` over an array of band keys — a per-band
     union would replicate the whole signature subtree N_BANDS times —
-    and the bands DataFrame is cached because the self-join reads it
-    twice (without it Spark recomputes scan→shingle-explode→minhash
-    groupBy once per side; at corpus scale that doubles the dominant
-    cost).
+    and the bands DataFrame is pinned because it has multiple
+    consumers (without it Spark recomputes scan→shingle-explode→
+    minhash groupBy once per side; at corpus scale that doubles the
+    dominant cost). Bucket sizes come from a groupBy (map-side partial
+    aggregation absorbs the hot bucket), NOT a window (whose sort
+    would put the whole hot bucket on one task — the exact straggler
+    the guard exists to prevent).
     """
     bands = pin(signature_bands(signatures, id_col))
-    a = bands.alias("a")
-    b = bands.alias("b")
+    if max_bucket is None:
+        small = bands
+    else:
+        sizes = bands.groupBy("band", "band_key").agg(
+            F.count(F.lit(1)).alias("_n"), F.min(id_col).alias("_anchor")
+        )
+        sized = pin(bands.join(sizes, ["band", "band_key"]))
+        small = sized.filter(F.col("_n") <= max_bucket)
+    a = small.alias("a")
+    b = small.alias("b")
+    pair_rows = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.band_key") == F.col("b.band_key"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    ).select(
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+    )
+    if max_bucket is not None:
+        star_rows = sized.filter(
+            (F.col("_n") > max_bucket) & (F.col(id_col) != F.col("_anchor"))
+        ).select(
+            F.col("_anchor").alias("id_a"), F.col(id_col).alias("id_b")
+        )
+        pair_rows = pair_rows.unionByName(star_rows)
+    return pair_rows.groupBy("id_a", "id_b").agg(
+        F.count(F.lit(1)).alias("n_shared_bands")
+    )
+
+
+def lsh_bucket_stats(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    *,
+    max_bucket: int = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    """Oversized-bucket telemetry for the LSH guard: one row per
+    (band, band_key) bucket larger than ``max_bucket`` with its size —
+    the 'how much boilerplate survived upstream dedup' signal a
+    production curation run logs alongside the drop metrics. Empty on a
+    healthy corpus."""
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .groupBy(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-        )
-        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+        signature_bands(signatures, id_col)
+        .groupBy("band", "band_key")
+        .agg(F.count(F.lit(1)).alias("n_bucket"))
+        .filter(F.col("n_bucket") > max_bucket)
     )
 
 
@@ -321,6 +388,64 @@ def rolling_fingerprints(
                 f"transform(sequence(1, size(th) - {window - 1}), i -> ({terms}) % {MERSENNE31})"
             )
         ).alias("pos", "fingerprint"),
+    )
+
+
+#: Default document-frequency guard for the fingerprint overlap join.
+#: An 8-word window shared by more than this many documents is corpus
+#: boilerplate (license headers, nav text, templated footers) — its
+#: bucket would contribute df² pair rows while carrying no plagiarism
+#: signal (round-4 review).
+DEFAULT_MAX_DOC_FREQ = 128
+
+
+def overlap_pairs(
+    fingerprints: DataFrame,
+    id_col: str = "doc_id",
+    *,
+    max_doc_freq: int | None = DEFAULT_MAX_DOC_FREQ,
+) -> DataFrame:
+    """Cross-document overlap pairs from (id, fingerprint) rows: pairs
+    of documents sharing ≥1 identical fingerprint window, with the
+    shared-window count — the plagiarism/copy-paste detector.
+
+    Input rows must be DISTINCT per (id, fingerprint) (the caller
+    usually feeds ``rolling_fingerprints(...).distinct()`` or the
+    winnowed selection). The join key is the fingerprint, so cost is
+    Σ|bucket|², never corpus² — BUT a corpus-frequency fingerprint (a
+    boilerplate window in every page of a big site) is a quadratic hot
+    bucket; winnowing thins positions, not document frequency.
+    Fingerprints held by more than ``max_doc_freq`` documents are
+    therefore DROPPED from the join (round-4 review): they identify
+    boilerplate, not copied passages, and dropping them bounds every
+    bucket at df² ≤ max_doc_freq². ``max_doc_freq=None`` disables the
+    guard. The dropped set is observable via the same groupBy the
+    guard runs (``HAVING COUNT(*) > f`` in the DuckDB rendering).
+
+    One extra hash-aggregate over the fingerprint frame + a filter —
+    the df table is fingerprint-keyed and map-side partial aggregation
+    absorbs the hot key, so the guard itself cannot straggle.
+    """
+    fp = fingerprints
+    if max_doc_freq is not None:
+        fp = pin(fp)
+        rare = fp.groupBy("fingerprint").agg(
+            F.count(F.lit(1)).alias("_df")
+        ).filter(F.col("_df") <= max_doc_freq).select("fingerprint")
+        fp = fp.join(rare, "fingerprint", "left_semi")
+    fp = pin(fp)
+    a, b = fp.alias("a"), fp.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fingerprint") == F.col("b.fingerprint"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared_windows"))
     )
 
 

@@ -326,36 +326,32 @@ def q_winnow(spark, sf_dir):
                unnest(list_transform(range(1, len(th) - {_ROLL_W - 1} + 1),
                       i -> ({_ROLL_TERMS}) % {dd.MERSENNE31})) AS fingerprint
         FROM h
+    ),
+    rare AS (
+        SELECT fingerprint FROM fp
+        GROUP BY fingerprint HAVING COUNT(*) <= {dd.DEFAULT_MAX_DOC_FREQ}
     )
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            COUNT(*) AS n_shared_windows
-    FROM fp a JOIN fp b ON a.fingerprint = b.fingerprint
-                       AND a.doc_id < b.doc_id
+    FROM fp a
+    JOIN rare r ON a.fingerprint = r.fingerprint
+    JOIN fp b ON a.fingerprint = b.fingerprint
+             AND a.doc_id < b.doc_id
     GROUP BY a.doc_id, b.doc_id
     """,
 )
 def q_doc_overlap(spark, sf_dir):
-    """Sub-document overlap detection: join DISTINCT rolling
-    fingerprints across documents — pairs sharing ≥1 identical 8-word
-    window, with the shared-window count. The join key is the
-    fingerprint (hash-uniform buckets), so cost is Σ|bucket|², never
-    corpus² — the plagiarism/copy-paste detector at 100 TB."""
+    """Sub-document overlap detection (operators/dedup.py
+    ``overlap_pairs``): join DISTINCT rolling fingerprints across
+    documents — pairs sharing ≥1 identical 8-word window, with the
+    shared-window count. The join key is the fingerprint
+    (hash-uniform buckets), so cost is Σ|bucket|², never corpus²; the
+    document-frequency guard drops boilerplate fingerprints (df >
+    {max_doc_freq}) so no bucket can go quadratic at 100 TB — the cap
+    semantics themselves are hash-graded (same HAVING in the oracle)."""
     d = load_table(spark, sf_dir, "documents")
-    fp = (
-        pin(dd.rolling_fingerprints(d).select("doc_id", "fingerprint").distinct())
-    )
-    a, b = fp.alias("a"), fp.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.fingerprint") == F.col("b.fingerprint"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
-        )
-        .agg(F.count(F.lit(1)).alias("n_shared_windows"))
-    )
+    fp = dd.rolling_fingerprints(d).select("doc_id", "fingerprint").distinct()
+    return dd.overlap_pairs(fp)
 
 
 _SIMHASH_SUMS = ",\n           ".join(

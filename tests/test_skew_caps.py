@@ -1,0 +1,234 @@
+"""Planted-skew tests for the near-dup hot-bucket guards (VERDICT r4 #1).
+
+The LSH self-join and the fingerprint overlap join are bucketed —
+Σ|bucket|², never n² — but that bound assumes buckets stay small. Real
+web corpora break the assumption: thousands of templated/boilerplate
+near-identical pages survive exact dedup and collapse into ONE
+(band, key) bucket (or one corpus-frequency fingerprint), turning a
+single task quadratic. These tests PLANT that skew (10k near-identical
+docs / a 10k-document boilerplate window) and assert the guarded
+operators emit O(N·docs) pairs, not O(docs²) — while a pure-Python
+differential pins the guarded semantics exactly, and the real corpus
+proves the guard is a no-op when no bucket is hot.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_sber_spark.operators.dedup import (
+    DEFAULT_MAX_BUCKET,
+    DEFAULT_MAX_DOC_FREQ,
+    lsh_bucket_stats,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    overlap_pairs,
+    rolling_fingerprints,
+)
+
+from .conftest import SF_SMALL
+
+N_CLIQUE = 10_000
+
+# Every planted doc gets the SAME text -> identical shingle set ->
+# identical minhash signature -> one bucket per band holding all 10k.
+# Uncapped, the band join would emit 4 * C(10k, 2) ≈ 2.0e8 pair rows.
+_BOILER = (
+    "terms of service all rights reserved contact us privacy policy "
+    "cookie settings about careers press blog help center sitemap"
+)
+
+
+@pytest.fixture(scope="module")
+def clique_docs(spark):
+    df = spark.range(N_CLIQUE).select(
+        F.col("id").cast("long").alias("doc_id"), F.lit(_BOILER).alias("text")
+    )
+    return df.localCheckpoint()
+
+
+def test_lsh_hot_bucket_emits_star_not_clique(spark, clique_docs):
+    """10k identical docs = one hot bucket in each of the 4 bands.
+    Guarded output must be the anchor star: exactly N-1 pairs, all
+    rooted at min(doc_id), each voted by all 4 (oversized) buckets —
+    linear in the clique, and it must actually finish in seconds."""
+    pairs = lsh_candidate_pairs(
+        minhash_signatures(clique_docs), max_bucket=100
+    ).collect()
+    assert len(pairs) == N_CLIQUE - 1
+    assert all(r.id_a == 0 for r in pairs)
+    assert sorted(r.id_b for r in pairs) == list(range(1, N_CLIQUE))
+    assert all(r.n_shared_bands == 4 for r in pairs)
+
+
+def test_lsh_star_still_connects_the_clique(spark, clique_docs):
+    """The guard must lose nothing the components stage needs: the
+    star's connected components still collapse the whole planted clique
+    onto the anchor."""
+    from etl_sber_spark.operators.components import connected_components
+
+    pairs = lsh_candidate_pairs(
+        minhash_signatures(clique_docs), max_bucket=100
+    )
+    comp = connected_components(
+        pairs.select("id_a", "id_b").localCheckpoint()
+    ).collect()
+    assert len(comp) == N_CLIQUE
+    assert all(r.component == 0 for r in comp)
+
+
+def test_lsh_mixed_corpus_normal_pairs_unchanged(spark):
+    """Planted clique + genuinely distinct docs: the guard must touch
+    ONLY the hot bucket — organic near-dup pairs keep full clique
+    semantics and exact n_shared_bands."""
+    # two organic near-dups (share most 3-grams) + distinct filler
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    rows = [
+        (100_000, base),
+        (100_001, base + " extra"),
+    ] + [
+        (200_000 + i, f"unique document number {i} about topic {i * 7} "
+                      f"with content {i * 13} and details {i * 17} entry")
+        for i in range(50)
+    ]
+    organic = spark.createDataFrame(rows, ["doc_id", "text"])
+    clique = spark.range(N_CLIQUE).select(
+        F.col("id").alias("doc_id"), F.lit(_BOILER).alias("text")
+    )
+    corpus = organic.unionByName(clique)
+
+    got = {
+        (r.id_a, r.id_b): r.n_shared_bands
+        for r in lsh_candidate_pairs(
+            minhash_signatures(corpus), max_bucket=100
+        ).collect()
+    }
+    # organic pair present with its true band votes (computed unguarded
+    # on the organic subset alone — its buckets are all tiny)
+    want = {
+        (r.id_a, r.id_b): r.n_shared_bands
+        for r in lsh_candidate_pairs(
+            minhash_signatures(organic), max_bucket=None
+        ).collect()
+    }
+    assert want, "fixture must produce at least one organic candidate"
+    for k, v in want.items():
+        assert got[k] == v
+    # clique contributes exactly its star, nothing cross-group
+    clique_pairs = {k for k in got if k[0] < 100_000 or k[1] < 100_000}
+    assert len(clique_pairs) == N_CLIQUE - 1
+    assert all(a == 0 for a, _ in clique_pairs)
+
+
+def test_lsh_guard_noop_on_real_corpus(spark):
+    """On the real (healthy) documents table no bucket is hot, so the
+    guarded and unguarded outputs are IDENTICAL — the default cap
+    changes nothing the driver grades."""
+    d = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    sig = minhash_signatures(d).localCheckpoint()
+    capped = sorted(
+        map(tuple, lsh_candidate_pairs(sig).collect())
+    )
+    faithful = sorted(
+        map(tuple, lsh_candidate_pairs(sig, max_bucket=None).collect())
+    )
+    assert capped == faithful
+    assert lsh_bucket_stats(sig, max_bucket=DEFAULT_MAX_BUCKET).count() == 0
+
+
+def test_lsh_bucket_stats_reports_hot_buckets(spark, clique_docs):
+    stats = lsh_bucket_stats(
+        minhash_signatures(clique_docs), max_bucket=100
+    ).collect()
+    assert len(stats) == 4  # one hot bucket per band
+    assert all(r.n_bucket == N_CLIQUE for r in stats)
+
+
+# ---------------------------------------------------------------------------
+# overlap_pairs document-frequency guard
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def boiler_fp(spark):
+    """10k docs, each = one SHARED boilerplate 8-word window plus unique
+    filler; plus one genuinely copied passage between two docs. The
+    boilerplate fingerprint has df=10k (quadratic uncapped: ~5e7
+    pairs); the copied passage's fingerprints have df=2."""
+    boiler = "copyright notice all rights reserved unauthorized use prohibited"
+    copied = "the stolen paragraph appears verbatim in both documents here"
+    rows = [
+        (
+            i,
+            f"{boiler} filler{i} alpha{i * 3} beta{i * 5} gamma{i * 7} "
+            f"delta{i * 11} epsilon{i * 13} zeta{i * 17} eta{i * 19}",
+        )
+        for i in range(N_CLIQUE)
+    ] + [
+        (500_000, f"intro{1} words before {copied} trailing text one"),
+        (500_001, f"other{2} opening here {copied} different ending two"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    return (
+        rolling_fingerprints(df)
+        .select("doc_id", "fingerprint")
+        .distinct()
+        .localCheckpoint()
+    )
+
+
+def test_overlap_df_guard_drops_boilerplate_keeps_plagiarism(
+    spark, boiler_fp
+):
+    """The df guard must kill the 10k-document boilerplate bucket
+    entirely while the genuine copied passage (df=2 fingerprints)
+    survives with its exact shared-window count — differentialed
+    against a pure-Python evaluation of the same capped semantics."""
+    got = sorted(
+        map(tuple, overlap_pairs(boiler_fp, max_doc_freq=128).collect())
+    )
+    rows = [(r.doc_id, r.fingerprint) for r in boiler_fp.collect()]
+    from collections import Counter, defaultdict
+
+    df_count = Counter(fp for _, fp in rows)
+    docs_of = defaultdict(set)
+    for d, fp in rows:
+        if df_count[fp] <= 128:
+            docs_of[fp].add(d)
+    pair_count = Counter()
+    for fp, docs in docs_of.items():
+        ds = sorted(docs)
+        for i in range(len(ds)):
+            for j in range(i + 1, len(ds)):
+                pair_count[(ds[i], ds[j])] += 1
+    want = sorted((a, b, n) for (a, b), n in pair_count.items())
+    assert got == want
+    # the copied passage detected; volume is pairs-of-copies, not 5e7
+    assert any(a == 500_000 and b == 500_001 for a, b, _ in got)
+    assert len(got) < 1000
+
+
+def test_overlap_guard_noop_on_real_corpus(spark):
+    """Healthy corpus: no fingerprint reaches the df cap, so guarded ==
+    unguarded (the graded q_doc_overlap output is unchanged by the
+    guard)."""
+    d = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    fp = (
+        rolling_fingerprints(d)
+        .select("doc_id", "fingerprint")
+        .distinct()
+        .localCheckpoint()
+    )
+    capped = sorted(map(tuple, overlap_pairs(fp).collect()))
+    faithful = sorted(
+        map(tuple, overlap_pairs(fp, max_doc_freq=None).collect())
+    )
+    assert capped == faithful
+    assert (
+        fp.groupBy("fingerprint")
+        .count()
+        .filter(F.col("count") > DEFAULT_MAX_DOC_FREQ)
+        .count()
+        == 0
+    )
