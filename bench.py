@@ -82,6 +82,24 @@ HEADLINE = [
     "q_sessionize",
     "q_gapfill",
     "q_dsir_weights",
+    # round 5: the remaining graded registry (VERDICT r4 #2) — BENCH
+    # keys now cover ALL 50 driver-graded queries, so round-over-round
+    # deltas grade the whole surface.
+    "q_scan_filter",
+    "q_left_anti",
+    "q_changed_rows",
+    "q_self_rejoin",
+    "q_salted_agg",
+    "q_conditional_agg",
+    "q_grouping_sets",
+    "q_window_funcs",
+    "q_set_ops",
+    "q_scalar_funcs",
+    "q_correlated_exists",
+    "q_array_funcs",
+    "q_ngram_jaccard",
+    "q_embedding_neardup",
+    "q_ivf_topk",
 ]
 
 

@@ -41,7 +41,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.hashing import hash64
-from ..functions.text import bpe_ish_tokens
+from ..functions.text import bpe_ish_token_count, bpe_ish_tokens
 
 
 def chunk_tokens(
@@ -130,7 +130,7 @@ def pack_documents(
     n_toks = (
         tokens_col
         if tokens_col is not None
-        else F.size(bpe_ish_tokens(F.col(text_col)))
+        else bpe_ish_token_count(F.col(text_col))
     )
     base = df.select(
         F.col(id_col),

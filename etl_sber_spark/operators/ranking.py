@@ -39,7 +39,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import bpe_ish_tokens
+from ..functions.text import bpe_ish_token_count, bpe_ish_tokens
 from .materialize import pin
 
 K1 = 1.2
@@ -89,7 +89,7 @@ def doc_lengths(
 ) -> DataFrame:
     """(doc, dl) token counts — the BM25 length normalizer."""
     return df.select(
-        F.col(id_col), F.size(bpe_ish_tokens(F.col(text_col))).alias("dl")
+        F.col(id_col), bpe_ish_token_count(F.col(text_col)).alias("dl")
     )
 
 

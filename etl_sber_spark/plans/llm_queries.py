@@ -128,7 +128,7 @@ def q_text_stats(spark, sf_dir):
     semantically garbage. Both sides now count the positive class;
     the language distribution sanity check lives in tests/test_text.py.)
     """
-    from ..functions.text import bpe_ish_tokens
+    from ..functions.text import bpe_ish_token_count
 
     d = load_table(spark, sf_dir, "documents")
     t = F.trim(F.col("text"))
@@ -140,7 +140,7 @@ def q_text_stats(spark, sf_dir):
             "n_alpha"
         ),
         lang_id(t).alias("lang_guess"),
-        F.size(bpe_ish_tokens(t)).alias("n_bpe_tokens"),
+        bpe_ish_token_count(t).alias("n_bpe_tokens"),
     )
 
 

@@ -60,6 +60,17 @@ def test_bench_headline_is_superset_of_previous_round():
     assert prev_keys <= set(bench.HEADLINE)
 
 
+def test_bench_headline_covers_the_whole_graded_registry():
+    """VERDICT r4 #2: BENCH keys must cover ALL graded queries so
+    round-over-round deltas grade the whole surface, not a subset."""
+    import bench
+
+    queries, _ = _registry()
+    graded = set(list(queries)[:DRIVER_GRADING_CAP])
+    unbenched = sorted(graded - set(bench.HEADLINE))
+    assert not unbenched, f"graded queries missing from bench: {unbenched}"
+
+
 def test_every_oracle_key_is_a_registered_query():
     queries, oracle = _registry()
     stray = [k for k in oracle if k not in queries]
