@@ -169,6 +169,14 @@ def semdedup(
     ``train_mod`` passes through to the k-means trainer — at 100 TB the
     quantizer trains on the deterministic hash sample while grouping
     still covers every row.
+
+    **Size ``n_clusters`` with the corpus**: the within-cluster cosine
+    join is Σ|cluster|², so a fixed cluster count turns linear corpus
+    growth into quadratic pair work (measured in the r5 scale smoke:
+    2× vectors at fixed k = 3.4× wall time; k ∝ n restored ~linear —
+    SCALE.md "Semantic dedup"). Target a bounded cluster size (the
+    paper uses ~100k-1M vectors/cluster at web scale; ≈ n / 1000 is a
+    sane default shape).
     """
     if keep not in ("farthest", "min_id"):
         raise ValueError(f"keep must be 'farthest' or 'min_id', got {keep!r}")
