@@ -170,3 +170,69 @@ def test_hash_encoder_standalone_contract():
     a = enc(["alpha", "beta"])
     assert len(a) == 2 and all(len(v) == 5 for v in a)
     assert a == enc(["alpha", "beta"])  # pure
+
+
+def test_encoder_injection_contract_for_any_conformer(spark):
+    """VERDICT r4 #5: a fake 'real' model — a bag-of-chars encoder with
+    entirely different vector laws than the stub — driven through the
+    public ``encoder=`` parameter. The operator's laws must hold for any
+    conformer: exact vectors out, NULL text never shown to the model,
+    batch bound enforced from the model's side, dims = whatever the
+    model returns, determinism across partitionings, and the output
+    chains into the similarity consumers unchanged."""
+    DIMS, CAP = 8, 16
+
+    def fake_model(texts):
+        # self-contained conformer; raises exactly like a bound-checked
+        # GPU worker would, so green == the operator honored its laws
+        if len(texts) > CAP:
+            raise AssertionError(f"batch of {len(texts)} exceeds {CAP}")
+        out = []
+        for t in texts:
+            if t is None:
+                raise AssertionError("model shown a NULL text")
+            v = [0.0] * DIMS
+            for ch in t:
+                v[ord(ch) % DIMS] += 1.0
+            n = sum(x * x for x in v) ** 0.5
+            out.append([x / n for x in v] if n else v)
+        return out
+
+    rows = [(i, f"text number {i} {'x' * (i % 7)}") for i in range(50)]
+    rows += [(100, None), (101, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    out = {
+        r.doc_id: r.embedding
+        for r in embed_texts(
+            df, encoder=fake_model, max_batch_rows=CAP
+        ).collect()
+    }
+    assert len(out) == 52
+    assert out[100] is None  # NULL law
+    # exact vector law: operator output == the model's own answer
+    for i in (0, 7, 49):
+        want = fake_model([f"text number {i} {'x' * (i % 7)}"])[0]
+        assert out[i] == pytest.approx(want)
+        assert len(out[i]) == DIMS  # dims are the model's, not config's
+    assert out[101] == [0.0] * DIMS  # empty text is data, not NULL
+    # determinism across partitionings
+    again = {
+        r.doc_id: r.embedding
+        for r in embed_texts(
+            df.repartition(13), encoder=fake_model, max_batch_rows=CAP
+        ).collect()
+    }
+    assert all(
+        (out[k] is None) == (again[k] is None)
+        and (out[k] is None or out[k] == pytest.approx(again[k]))
+        for k in out
+    )
+    # chains into the cosine consumer (same shape the stub feeds)
+    from etl_sber_spark.operators.similarity import cosine_topk_bruteforce
+
+    emb = embed_texts(
+        df.filter("text is not null"), encoder=fake_model, max_batch_rows=CAP
+    ).withColumnRenamed("doc_id", "vec_id")
+    top = cosine_topk_bruteforce(emb, emb.filter("vec_id = 0"), k=3).collect()
+    assert len(top) == 3
