@@ -42,7 +42,9 @@ from operator import add
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.hashing import hash64
 from .dedup import (
+    DEFAULT_MAX_BUCKET,
     MINHASH_PERMS,
     _mh_col,
     lsh_candidate_pairs,
@@ -92,18 +94,56 @@ def near_dup_vs_index(
     index_sigs: DataFrame,
     threshold: float = 0.5,
     id_col: str = "doc_id",
+    *,
+    max_index_bucket: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """(new_id, old_id, est_jaccard) for every new document whose
     estimated similarity against an indexed document reaches
     ``threshold``. Candidates are banded-LSH collisions of the new
     bands against the index bands — the increment side is typically
-    small enough to broadcast; AQE decides."""
+    small enough to broadcast; AQE decides.
+
+    **Hot-bucket guard** (the incremental twin of
+    ``lsh_candidate_pairs``'s cap, r5): a standing index accumulates
+    every boilerplate family the corpus ever kept, so one (band, key)
+    bucket can grow unboundedly and fan each colliding new doc out to
+    the whole bucket. Index buckets larger than ``max_index_bucket``
+    are deterministically hash-THINNED to ≈ that many representative
+    rows before the join — sound because this operator only needs
+    per-new-doc EXISTENCE of a near-dup: an oversized minhash-band
+    bucket is a near-dup clique (its members share a 4-component band
+    key), so any surviving representative gives the same verdict.
+    Per-new-doc estimator fanout is then ≤ N_BANDS × max_index_bucket
+    regardless of index size. ``None`` disables the guard."""
     nb = signature_bands(new_sigs, id_col).select(
         F.col(id_col).alias("new_id"), "band", "band_key"
     )
     ob = signature_bands(index_sigs, id_col).select(
         F.col(id_col).alias("old_id"), "band", "band_key"
     )
+    if max_index_bucket is not None:
+        sizes = ob.groupBy("band", "band_key").agg(
+            F.count(F.lit(1)).alias("_n")
+        )
+        # keep rows whose id-hash falls on the 1-in-ceil(n/cap) lattice:
+        # ≈ cap survivors per oversized bucket, no per-bucket sort (a
+        # window row_number would put the whole hot bucket on one task)
+        ob = (
+            ob.join(sizes, ["band", "band_key"])
+            .filter(
+                (F.col("_n") <= max_index_bucket)
+                | (
+                    F.pmod(
+                        hash64(F.col("old_id").cast("string")),
+                        F.ceil(
+                            F.col("_n") / F.lit(max_index_bucket)
+                        ).cast("bigint"),
+                    )
+                    == 0
+                )
+            )
+            .drop("_n")
+        )
     pairs = (
         nb.join(ob, ["band", "band_key"])
         .select("new_id", "old_id")

@@ -232,3 +232,64 @@ def test_overlap_guard_noop_on_real_corpus(spark):
         .count()
         == 0
     )
+
+
+# ---------------------------------------------------------------------------
+# near_dup_vs_index hot-bucket guard (the standing index accumulates
+# boilerplate families forever, so its buckets grow without bound)
+# ---------------------------------------------------------------------------
+
+
+def test_index_hot_bucket_thinned_but_verdicts_unchanged(spark, clique_docs):
+    """A 10k-member boilerplate bucket in the index is hash-thinned to
+    ~cap representatives, but every colliding new doc is STILL flagged
+    (any representative of a near-dup clique yields the same existence
+    verdict), and a non-colliding new doc stays clean."""
+    from etl_sber_spark.operators.incremental import near_dup_vs_index
+
+    index_sigs = minhash_signatures(clique_docs).localCheckpoint()
+    new = spark.createDataFrame(
+        [
+            (900_000, _BOILER),  # collides with the hot bucket
+            (900_001, "completely unrelated content about gardening and "
+                      "weather patterns in coastal regions every spring"),
+        ],
+        ["doc_id", "text"],
+    )
+    new_sigs = minhash_signatures(new).localCheckpoint()
+    hits = near_dup_vs_index(
+        new_sigs, index_sigs, threshold=0.5, max_index_bucket=50
+    )
+    rows = hits.collect()
+    flagged = {r.new_id for r in rows}
+    assert flagged == {900_000}
+    # fanout is capped: <= N_BANDS * ceil-thinned bucket, nowhere near 10k
+    assert len(rows) < 500
+    assert all(r.est_jaccard == 1.0 for r in rows)
+    # unguarded agrees on the verdict (and would emit ~10k rows)
+    unguarded = near_dup_vs_index(
+        new_sigs, index_sigs, threshold=0.5, max_index_bucket=None
+    )
+    assert {
+        r.new_id for r in unguarded.select("new_id").distinct().collect()
+    } == {900_000}
+
+
+def test_index_guard_noop_on_real_corpus(spark):
+    """Healthy index: no bucket exceeds the default cap, so guarded ==
+    unguarded exactly (pairs and estimates)."""
+    from etl_sber_spark.operators.incremental import near_dup_vs_index
+
+    d = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    half_a = d.filter("doc_id % 2 = 0")
+    half_b = d.filter("doc_id % 2 = 1")
+    idx = minhash_signatures(half_a).localCheckpoint()
+    new = minhash_signatures(half_b).localCheckpoint()
+    got = sorted(map(tuple, near_dup_vs_index(new, idx, 0.25).collect()))
+    want = sorted(
+        map(
+            tuple,
+            near_dup_vs_index(new, idx, 0.25, max_index_bucket=None).collect(),
+        )
+    )
+    assert got == want
