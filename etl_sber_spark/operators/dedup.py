@@ -212,44 +212,45 @@ def lsh_candidate_pairs(
 
     Plan shape matters here (caught by the .explain audit): bands come
     from ONE ``posexplode`` over an array of band keys — a per-band
-    union would replicate the whole signature subtree N_BANDS times —
-    and the bands DataFrame is pinned because it has multiple
-    consumers (without it Spark recomputes scan→shingle-explode→
-    minhash groupBy once per side; at corpus scale that doubles the
-    dominant cost). Bucket sizes come from a groupBy (map-side partial
-    aggregation absorbs the hot bucket), NOT a window (whose sort
-    would put the whole hot bucket on one task — the exact straggler
-    the guard exists to prevent).
+    union would replicate the whole signature subtree N_BANDS times.
+    Pair generation is a GROUP-then-expand, not a self-join (r5
+    rewrite, measured faster than even the unguarded join at sf0.1 —
+    1.22 vs 1.29 s — because the bands subtree is consumed ONCE, so no
+    pin and one less shuffle): collect each bucket's sorted id array,
+    then emit the within-array combinations (or the star) in codegen.
+    Per-bucket memory is O(|bucket|) ids in the aggregation buffer —
+    LINEAR where the join's output was quadratic; a pathological 10M-id
+    bucket is an ~80 MB spill-backed buffer on one task, against 10¹⁴
+    join rows. The join formulation survives only as the
+    ``max_bucket=None`` semantics reference (and is pair-identical —
+    pinned by the differential tests).
     """
-    bands = pin(signature_bands(signatures, id_col))
-    if max_bucket is None:
-        small = bands
-    else:
-        sizes = bands.groupBy("band", "band_key").agg(
-            F.count(F.lit(1)).alias("_n"), F.min(id_col).alias("_anchor")
-        )
-        sized = pin(bands.join(sizes, ["band", "band_key"]))
-        small = sized.filter(F.col("_n") <= max_bucket)
-    a = small.alias("a")
-    b = small.alias("b")
-    pair_rows = a.join(
-        b,
-        (F.col("a.band") == F.col("b.band"))
-        & (F.col("a.band_key") == F.col("b.band_key"))
-        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-    ).select(
-        F.col(f"a.{id_col}").alias("id_a"),
-        F.col(f"b.{id_col}").alias("id_b"),
+    bands = signature_bands(signatures, id_col)
+    grouped = bands.groupBy("band", "band_key").agg(
+        F.sort_array(F.collect_list(id_col)).alias("ids")
     )
-    if max_bucket is not None:
-        star_rows = sized.filter(
-            (F.col("_n") > max_bucket) & (F.col(id_col) != F.col("_anchor"))
-        ).select(
-            F.col("_anchor").alias("id_a"), F.col(id_col).alias("id_b")
-        )
-        pair_rows = pair_rows.unionByName(star_rows)
-    return pair_rows.groupBy("id_a", "id_b").agg(
-        F.count(F.lit(1)).alias("n_shared_bands")
+    # ids is ascending+distinct (one row per doc per band), so pairs
+    # (ids[i], ids[j>i]) satisfy id_a < id_b by construction
+    clique = F.expr(
+        "flatten(transform(ids, (a, i) -> "
+        "transform(slice(ids, i + 2, size(ids) - i - 1), "
+        "b -> struct(a AS id_a, b AS id_b))))"
+    )
+    star = F.expr(
+        "transform(slice(ids, 2, size(ids) - 1), "
+        "b -> struct(element_at(ids, 1) AS id_a, b AS id_b))"
+    )
+    emit = (
+        clique
+        if max_bucket is None
+        else F.when(F.size("ids") <= max_bucket, clique).otherwise(star)
+    )
+    return (
+        grouped.filter(F.size("ids") >= 2)
+        .select(F.explode(emit).alias("p"))
+        .select("p.id_a", "p.id_b")
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
     )
 
 
@@ -422,29 +423,29 @@ def overlap_pairs(
     guard. The dropped set is observable via the same groupBy the
     guard runs (``HAVING COUNT(*) > f`` in the DuckDB rendering).
 
-    One extra hash-aggregate over the fingerprint frame + a filter —
-    the df table is fingerprint-keyed and map-side partial aggregation
-    absorbs the hot key, so the guard itself cannot straggle.
+    Shape (r5): GROUP-then-expand, not a self-join — collect each
+    fingerprint's sorted doc-id array (one aggregate; the guard filter
+    is then just ``size(ids) <= f``, no separate df table / semi-join /
+    pin) and emit the within-array combinations in codegen. With the
+    guard on, arrays are ≤ ``max_doc_freq`` ids; with it off, buffer
+    memory is O(df) per fingerprint — linear, spill-backed — where the
+    join's output was O(df²) rows.
     """
-    fp = fingerprints
+    grouped = fingerprints.groupBy("fingerprint").agg(
+        F.sort_array(F.collect_list(id_col)).alias("ids")
+    )
     if max_doc_freq is not None:
-        fp = pin(fp)
-        rare = fp.groupBy("fingerprint").agg(
-            F.count(F.lit(1)).alias("_df")
-        ).filter(F.col("_df") <= max_doc_freq).select("fingerprint")
-        fp = fp.join(rare, "fingerprint", "left_semi")
-    fp = pin(fp)
-    a, b = fp.alias("a"), fp.alias("b")
+        grouped = grouped.filter(F.size("ids") <= max_doc_freq)
+    pairs = F.expr(
+        "flatten(transform(ids, (a, i) -> "
+        "transform(slice(ids, i + 2, size(ids) - i - 1), "
+        "b -> struct(a AS id_a, b AS id_b))))"
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.fingerprint") == F.col("b.fingerprint"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .groupBy(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-        )
+        grouped.filter(F.size("ids") >= 2)
+        .select(F.explode(pairs).alias("p"))
+        .select("p.id_a", "p.id_b")
+        .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_shared_windows"))
     )
 
