@@ -50,7 +50,7 @@ from .similarity import (
     _centroid_rows,
     kmeans_centroids,
     nearest_centroids_expr,
-    quantize_vec,
+    quantize_vec_sql,
 )
 from .spread import spread
 
@@ -88,7 +88,7 @@ def semantic_assignments(
     return spread(embeddings).select(
         F.col(id_col),
         F.col(vec_col),
-        nearest_centroids_expr(quantize_vec(vec_col), cent_rows, 1)[0].alias(
+        nearest_centroids_expr(quantize_vec_sql(vec_col), cent_rows, 1)[0].alias(
             "centroid_id"
         ),
     ).withColumn(

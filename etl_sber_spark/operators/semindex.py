@@ -58,7 +58,7 @@ from pyspark.sql import functions as F
 
 from .materialize import pin
 from .quantize import cosine_q_expr, quantize_cols
-from .similarity import _centroid_rows, nearest_centroids_expr, quantize_vec
+from .similarity import _centroid_rows, nearest_centroids_expr, quantize_vec_sql
 from .spread import spread
 
 #: drop_reason vocabulary, in gate order (index first — the settled
@@ -112,7 +112,7 @@ def build_semantic_index(
     )
     return spread(embeddings).filter(has_signal).select(
         F.col(id_col),
-        nearest_centroids_expr(quantize_vec(vec_col), cent_rows, 1)[0].alias(
+        nearest_centroids_expr(quantize_vec_sql(vec_col), cent_rows, 1)[0].alias(
             "cluster_id"
         ),
         scale.alias("q_scale"),

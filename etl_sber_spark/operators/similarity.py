@@ -61,6 +61,17 @@ def quantize_vec(col: Column | str) -> Column:
     )
 
 
+def quantize_vec_sql(col_name: str) -> str:
+    """SQL-text rendering of :func:`quantize_vec` (same arithmetic:
+    CAST→×QUANT→round(HALF_UP, scale 0)→BIGINT) — for call sites that
+    compose it into a single-parse SQL expression
+    (:func:`nearest_centroids_expr`)."""
+    return (
+        f"transform(CAST({col_name} AS array<double>), "
+        f"x -> CAST(round(x * {float(QUANT)!r}D) AS BIGINT))"
+    )
+
+
 def plane_sign(p: int | Column, d: int | Column) -> Column:
     """Deterministic ±1 entry of hyperplane p at dimension d:
     ``((d*(p+7)) % 13) % 2 * 2 - 1`` — cheap integer arithmetic with an
@@ -304,6 +315,17 @@ def kmeans_centroids(
         (i, [float(x) for x in r._qv]) for i, r in enumerate(seeds)
     ]
     n_dims = len(cent_rows[0][1])
+    # one array-of-sums expression, parsed JVM-side in ONE call: the
+    # per-dimension F.sum(F.element_at(...)) column list issued ~3
+    # py4j round-trips per dimension per iteration — at 64 dims that
+    # Python-side plan construction dominated the (tiny) local jobs
+    # (r5 fix, measured with nearest_centroids_expr's string form:
+    # trainer 2.4 → 0.9 s at sf0.1, bit-identical trajectory)
+    sums_sql = (
+        "array("
+        + ", ".join(f"sum(element_at(_qv, {d + 1}))" for d in range(n_dims))
+        + ")"
+    )
     for _ in range(n_iter):
         # element-wise mean: exact bigint sums per dimension + count,
         # then one float division of identical integer operands —
@@ -315,15 +337,12 @@ def kmeans_centroids(
             )
             .groupBy("centroid_id")
             .agg(
-                F.count(F.lit(1)).alias("n"),
-                *[
-                    F.sum(F.element_at("_qv", d + 1)).alias(f"s{d}")
-                    for d in range(n_dims)
-                ],
+                F.expr("count(1)").alias("n"),
+                F.expr(sums_sql).alias("sums"),
             )
         )
         cent_rows = sorted(
-            (r["centroid_id"], [r[f"s{d}"] / r["n"] for d in range(n_dims)])
+            (r["centroid_id"], [s / r["n"] for s in r["sums"]])
             for r in summed.collect()
         )
     spark = embeddings.sparkSession
@@ -350,33 +369,42 @@ def nearest_centroids_expr(
     centroid_id (struct array_sort is lexicographic). A pure projection:
     this is how assignment stays shuffle-free, and the exact algebra the
     q_ivf_topk DuckDB oracle replays."""
-    c = F.col(qv_col) if isinstance(qv_col, str) else qv_col
+    qv_sql = qv_col if isinstance(qv_col, str) else None
+    if qv_sql is None:
+        raise TypeError(
+            "nearest_centroids_expr takes the quantized-vector COLUMN "
+            "NAME (the expression is built as one SQL string)"
+        )
     # ALL centroids travel as ONE nested array literal (plus one id
     # array), so the expression tree is k-INDEPENDENT: the per-centroid
     # distance is a zip_with lambda over the literal matrix instead of
-    # k unrolled subtrees. Two wins, both measured at sf0.1/k=16:
-    # per-iteration Catalyst analysis+codegen cost stops growing with k
-    # (the unrolled 16-struct tree made each Lloyd iteration
-    # seconds-slow in PLANNING), and literals stay codegen reference
-    # objects, so the generated source is IDENTICAL across Lloyd
-    # iterations and the janino cache hits (the round-3 fix this
-    # supersedes). Semantics are bit-identical to the unrolled form:
-    # same fold order inside _sq_dist, same rounding, same
-    # (d, centroid_id) sort — the q_ivf_topk DuckDB oracle still
-    # hash-matches.
-    ids = F.lit([int(cid) for cid, _ in cent_rows])
-    vecs = F.lit([[float(x) for x in vec] for _, vec in cent_rows])
-    structs = F.zip_with(
-        vecs,
-        ids,
-        lambda v, cid: F.struct(
-            F.round(_sq_dist(c, v), SIM_SCALE).alias("d"),
-            cid.cast("int").alias("centroid_id"),
-        ),
+    # k unrolled subtrees (r3 fix: the unrolled 16-struct tree made
+    # each Lloyd iteration seconds-slow in PLANNING). The whole
+    # expression is built as ONE SQL string parsed in ONE JVM call (r5
+    # fix): the Column-object formulation issued hundreds of py4j
+    # round-trips per Lloyd iteration — measured 2.4 → 0.9 s for the
+    # 3-iteration trainer at sf0.1, with a bit-identical trajectory.
+    # Value semantics are unchanged: `repr(float)`+`D` round-trips to
+    # the same IEEE double, same (x-y)*(x-y) zip, same 0.0D-seeded
+    # left fold, same round(…, SIM_SCALE), same (d, centroid_id) sort —
+    # the q_ivf_topk DuckDB oracle still hash-matches.
+    vecs = (
+        "array("
+        + ", ".join(
+            "array(" + ", ".join(f"{float(x)!r}D" for x in vec) + ")"
+            for _, vec in cent_rows
+        )
+        + ")"
     )
-    return F.transform(
-        F.slice(F.array_sort(structs), 1, min(n_probe, len(cent_rows))),
-        lambda s: s["centroid_id"],
+    ids = "array(" + ", ".join(str(int(cid)) for cid, _ in cent_rows) + ")"
+    n = min(n_probe, len(cent_rows))
+    return F.expr(
+        f"transform(slice(array_sort(zip_with({vecs}, {ids}, (v, cid) -> "
+        f"struct(round(aggregate(zip_with(CAST({qv_sql} AS array<double>), "
+        "CAST(v AS array<double>), (x, y) -> (x - y) * (x - y)), 0.0D, "
+        f"(acc, x) -> acc + x), {SIM_SCALE}) AS d, "
+        f"CAST(cid AS INT) AS centroid_id))), 1, {n}), "
+        "s -> s.centroid_id)"
     )
 
 
@@ -400,7 +428,7 @@ def assign_to_centroid(
         F.col(id_col),
         F.explode(
             nearest_centroids_expr(
-                quantize_vec(vec_col), cent_rows, n_probe
+                quantize_vec_sql(vec_col), cent_rows, n_probe
             )
         ).alias("centroid_id"),
     )
@@ -442,13 +470,13 @@ def cosine_topk_ivf(
     cent_rows = _centroid_rows(cents)
     cand = spread(embeddings).withColumn(
         "centroid_id",
-        nearest_centroids_expr(quantize_vec(vec_col), cent_rows, 1)[0],
+        nearest_centroids_expr(quantize_vec_sql(vec_col), cent_rows, 1)[0],
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
         F.explode(
-            nearest_centroids_expr(quantize_vec(vec_col), cent_rows, n_probe)
+            nearest_centroids_expr(quantize_vec_sql(vec_col), cent_rows, n_probe)
         ).alias("centroid_id"),
     )
     if quantized:
