@@ -480,7 +480,7 @@ def q_grouping_sets(spark, sf_dir):
     pass, not separate scans."""
     from ..sources.tables import register_views
 
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, names=("lineitem",))
     return spark.sql(
         """
         SELECT l_returnflag AS return_flag, l_linestatus AS line_status,
@@ -1315,7 +1315,7 @@ def q_correlated_exists(spark, sf_dir):
     left-semi physical join."""
     from ..sources.tables import register_views
 
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, names=("customer", "orders"))
     return spark.sql(
         """
         SELECT c_custkey, c_name FROM customer c
