@@ -167,39 +167,45 @@ def remove_duplicate_spans(
     )
     # case-PRESERVING tokens for reconstruction: same split on the same
     # trimmed text as tokens_expr (identical length/positions — lower()
-    # never changes whitespace), minus the lower() the hash side needs
+    # never changes whitespace), minus the lower() the hash side needs.
+    # The coverage scan runs over INT INDICES, not (token, idx) structs
+    # (r5: the struct zip_with allocated an InternalRow per token and
+    # re-evaluated a coalesce(cast(array()…)) per element inside the
+    # interpreted HOF — measured 31 → 2.7 s on the 50k-doc dup-heavy
+    # smoke corpus), and clean documents (NULL _iv — the common case on
+    # a real corpus) skip the scan entirely.
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
-    # keep token j iff no merged interval covers it; intervals are few
-    # after merging (contiguous duplicate runs collapse), so the
-    # exists() scan per token is cheap
-    kept = F.filter(
-        F.zip_with(
-            toks,
-            F.sequence(F.lit(1), F.size(toks)),
-            lambda t, j: F.struct(t.alias("t"), j.alias("j")),
-        ),
-        lambda s: ~F.exists(
-            F.coalesce(
-                F.col("_iv"),
-                F.expr("CAST(array() AS array<struct<s: int, e: int>>)"),
-            ),
-            lambda iv: (iv["s"] <= s["j"]) & (s["j"] < iv["e"]),
+    staged = out.select(*df.columns, toks.alias("_toks"), "_iv")
+    kept_idx = F.filter(
+        F.sequence(F.lit(1), F.size("_toks")),
+        lambda j: ~F.exists(
+            F.col("_iv"), lambda iv: (iv["s"] <= j) & (j < iv["e"])
         ),
     )
-    # Two-step projection ON PURPOSE: `_kept` (the per-row token
-    # coverage scan — the operator's dominant per-row work) feeds both
-    # output columns, and CollapseProject declines to inline a
-    # non-trivial expression referenced twice — so the scan is
-    # guaranteed to evaluate once per row instead of once per output.
-    staged = out.select(
-        *df.columns, kept.alias("_kept"), F.size(toks).alias("_n")
-    )
-    return staged.select(
+    # Staged projections ON PURPOSE: `_ki` feeds both output columns,
+    # and CollapseProject declines to inline a non-trivial expression
+    # referenced twice — so the scan evaluates once per row.
+    staged2 = staged.select(
         *df.columns,
-        F.array_join(
-            F.transform(F.col("_kept"), lambda s: s["t"]), " "
-        ).alias(f"{text_col}_dedup"),
-        (F.col("_n") - F.size(F.col("_kept"))).alias("n_tokens_removed"),
+        "_toks",
+        "_iv",
+        F.when(F.col("_iv").isNotNull(), kept_idx).alias("_ki"),
+    )
+    return staged2.select(
+        *df.columns,
+        F.when(F.col("_iv").isNull(), F.array_join("_toks", " "))
+        .otherwise(
+            F.array_join(
+                F.transform(
+                    F.col("_ki"), lambda j: F.element_at(F.col("_toks"), j)
+                ),
+                " ",
+            )
+        )
+        .alias(f"{text_col}_dedup"),
+        F.when(F.col("_iv").isNull(), F.lit(0))
+        .otherwise(F.size("_toks") - F.size("_ki"))
+        .alias("n_tokens_removed"),
     )
 
 
@@ -259,25 +265,34 @@ def remove_duplicate_lines(
     per_doc = dup.groupBy(id_col).agg(
         F.sort_array(F.collect_list("pos")).alias("_rm")
     )
-    out = df.join(per_doc, id_col, "left").withColumn(
-        "_rm", F.coalesce(F.col("_rm"), F.expr("CAST(array() AS array<int>)"))
-    )
+    out = df.join(per_doc, id_col, "left")
+    # kept line indices = array_except over ints (order-preserving),
+    # no (line, idx) struct zip (same r5 interpreted-HOF finding as
+    # remove_duplicate_spans); clean docs (NULL _rm) pass through
     lines = F.split(F.col(text_col), "\n")
-    kept = F.filter(
-        F.zip_with(
-            lines,
-            F.sequence(F.lit(1), F.size(lines)),
-            lambda t, j: F.struct(t.alias("t"), j.alias("j")),
-        ),
-        lambda s: ~F.array_contains(F.col("_rm"), s["j"]),
+    staged = out.select(*df.columns, lines.alias("_lines"), "_rm")
+    kept_idx = F.array_except(
+        F.sequence(F.lit(1), F.size("_lines")), F.col("_rm")
     )
-    staged = out.select(
-        *df.columns, kept.alias("_kept"), F.size(lines).alias("_n")
-    )
-    return staged.select(
+    staged2 = staged.select(
         *df.columns,
-        F.array_join(
-            F.transform(F.col("_kept"), lambda s: s["t"]), "\n"
-        ).alias(f"{text_col}_dedup"),
-        (F.col("_n") - F.size(F.col("_kept"))).alias("n_lines_removed"),
+        "_lines",
+        "_rm",
+        F.when(F.col("_rm").isNotNull(), kept_idx).alias("_ki"),
+    )
+    return staged2.select(
+        *df.columns,
+        F.when(F.col("_rm").isNull(), F.col(text_col))
+        .otherwise(
+            F.array_join(
+                F.transform(
+                    F.col("_ki"), lambda j: F.element_at(F.col("_lines"), j)
+                ),
+                "\n",
+            )
+        )
+        .alias(f"{text_col}_dedup"),
+        F.when(F.col("_rm").isNull(), F.lit(0))
+        .otherwise(F.size("_lines") - F.size("_ki"))
+        .alias("n_lines_removed"),
     )
