@@ -82,20 +82,28 @@ def plane_sign(p: int | Column, d: int | Column) -> Column:
 
 
 def _plane_dots(vec_col: str, n_dims: int) -> Column:
-    """array<double> of the N_PLANES projections <v, plane_p>, one
-    nested loop in codegen (transform over planes × fold over dims)
-    instead of N_PLANES unrolled 64-wide fold chains — the unrolled
-    form compiled to a janino method large enough to dominate the
-    query's wall-clock at small SF."""
+    """array<double> of the N_PLANES projections <v, plane_p>: one
+    transform over a LITERAL ±1 sign matrix × a zip_with fold per row.
+
+    Two generations of fixes here: the N_PLANES unrolled 64-wide fold
+    chains compiled to a janino method large enough to dominate
+    wall-clock at small SF (r2 → nested transform loop); then the
+    nested loop recomputed plane_sign's modular arithmetic per (row,
+    plane, dim) inside INTERPRETED higher-order functions — 8×64 extra
+    interpreted ops per row for values that never change (r5: the sign
+    matrix is now a driver-built literal; bucket ids bit-identical,
+    1.79 → 1.12 s for the sf0.1 bucket projection). The DuckDB oracles
+    keep the arithmetic formula — same values either way."""
+    signs = [
+        [float(((d * (p + 7)) % 13 % 2) * 2 - 1) for d in range(1, n_dims + 1)]
+        for p in range(N_PLANES)
+    ]
     return F.transform(
-        F.sequence(F.lit(0), F.lit(N_PLANES - 1)),
-        lambda p: F.aggregate(
+        F.lit(signs),
+        lambda row: F.aggregate(
             F.zip_with(
                 F.col(vec_col).cast("array<double>"),
-                F.transform(
-                    F.sequence(F.lit(1), F.lit(n_dims)),
-                    lambda d: plane_sign(p, d).cast("double"),
-                ),
+                row,
                 lambda x, s: x * s,
             ),
             F.lit(0.0),
