@@ -202,14 +202,17 @@ def q_lsh_candidates(spark, sf_dir):
         JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
                     AND a.doc_id < b.doc_id
     ),
+    hs AS (
+        SELECT doc_id, {_HASH64.format(expr='s')} AS sh64 FROM sh
+    ),
     inter AS (
         SELECT p.id_a, p.id_b, COUNT(*) AS n_inter
         FROM pairs p
-        JOIN sh sa ON sa.doc_id = p.id_a
-        JOIN sh sb ON sb.doc_id = p.id_b AND sb.s = sa.s
+        JOIN hs sa ON sa.doc_id = p.id_a
+        JOIN hs sb ON sb.doc_id = p.id_b AND sb.sh64 = sa.sh64
         GROUP BY p.id_a, p.id_b
     ),
-    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id)
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM hs GROUP BY doc_id)
     SELECT p.id_a, p.id_b,
            COALESCE(i.n_inter, 0) AS n_inter,
            za.n AS n_a, zb.n AS n_b
@@ -1039,14 +1042,17 @@ _CURATE_SQL = f"""
         JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
                     AND a.doc_id < b.doc_id
     ),
+    hs AS (
+        SELECT doc_id, {_HASH64.format(expr='s')} AS sh64 FROM sh
+    ),
     inter AS (
         SELECT p.id_a, p.id_b, COUNT(*) AS n_inter
         FROM pairs p
-        JOIN sh sa ON sa.doc_id = p.id_a
-        JOIN sh sb ON sb.doc_id = p.id_b AND sb.s = sa.s
+        JOIN hs sa ON sa.doc_id = p.id_a
+        JOIN hs sb ON sb.doc_id = p.id_b AND sb.sh64 = sa.sh64
         GROUP BY p.id_a, p.id_b
     ),
-    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM hs GROUP BY doc_id),
     near_drops AS (
         SELECT DISTINCT p.id_b AS doc_id
         FROM pairs p
