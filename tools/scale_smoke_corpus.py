@@ -45,7 +45,50 @@ def shuffle_totals(spark) -> tuple[int, int]:
     )
 
 
+def skew_smoke(n_docs: int = 50_000) -> None:
+    """`--skew [n]`: the hot-bucket guard measurement behind SCALE.md's
+    planted-clique row — n identical docs form one bucket per band
+    (4·C(n,2) pair rows uncapped; ~5e9 at n=50k), and the guarded
+    operator must emit exactly the n−1 anchor-star pairs in seconds."""
+    from pyspark.sql import functions as F
+
+    from etl_sber_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+    from etl_sber_spark.session import get_spark
+
+    spark = get_spark("skew-smoke")
+    boiler = (
+        "terms of service all rights reserved contact us privacy policy "
+        "cookie settings about careers press blog help center sitemap"
+    )
+    docs = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"), F.lit(boiler).alias("text")
+    )
+    sig = minhash_signatures(docs).localCheckpoint()
+    sig.count()  # isolate signature build from the guarded join
+    t0 = time.perf_counter()
+    n_pairs = lsh_candidate_pairs(sig).count()
+    dt = time.perf_counter() - t0
+    assert n_pairs == n_docs - 1, (n_pairs, n_docs)
+    print(
+        json.dumps(
+            {
+                "skew_docs": n_docs,
+                "uncapped_pair_rows": 4 * n_docs * (n_docs - 1) // 2,
+                "guarded_pairs": n_pairs,
+                "guarded_sec": round(dt, 2),
+            }
+        )
+    )
+    spark.stop()
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--skew":
+        skew_smoke(int(sys.argv[2]) if len(sys.argv) > 2 else 50_000)
+        return
     factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
 
