@@ -22,9 +22,6 @@ the driver can differential-test it; the portable primitive is
 
 from __future__ import annotations
 
-import functools
-import operator as op
-
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -139,8 +136,12 @@ def minhash_signatures(
         sh = shingles(df, id_col, text_col)
     h31 = (hash64(F.col("shingle")) % MERSENNE31).alias("h31")
     hashed = sh.select(id_col, h31)
+    # expr strings (one parse per component) — the per-k Column chains
+    # cost ~0.15 s of py4j plan construction per call (r5)
     aggs = [
-        F.min((F.lit(a) * F.col("h31") + F.lit(b)) % MERSENNE31).alias(_mh_col(k))
+        F.expr(
+            f"min(({a} * h31 + {b}) % {MERSENNE31}) AS {_mh_col(k)}"
+        )
         for k, (a, b) in enumerate(MINHASH_PERMS)
     ]
     return hashed.groupBy(id_col).agg(*aggs)
@@ -479,17 +480,19 @@ def simhash32(
         F.col(id_col), F.explode(F.array_distinct(tokens_expr(text_col))).alias("tok")
     )
     hashed = toks.select(id_col, hash64(F.col("tok")).alias("h"))
+    # expr strings, not per-bit Column chains: 32 sums × ~6 py4j calls
+    # each put ~0.5 s of pure Python plan construction in front of a
+    # ~1 s query (r5 finding — same class as the k-means trainer fix);
+    # the parsed expressions are identical
     sums = hashed.groupBy(id_col).agg(
         *[
-            F.sum(F.shiftright(F.col("h"), j).bitwiseAND(1) * 2 - 1).alias(f"s{j}")
+            F.expr(f"sum((shiftright(h, {j}) & 1) * 2 - 1) AS s{j}")
             for j in range(32)
         ]
     )
-    sim = functools.reduce(
-        op.add,
-        [
-            F.when(F.col(f"s{j}") >= 0, F.lit(2**j)).otherwise(F.lit(0))
-            for j in range(32)
-        ],
+    sim = " + ".join(
+        f"(CASE WHEN s{j} >= 0 THEN {2**j} ELSE 0 END)" for j in range(32)
     )
-    return sums.select(F.col(id_col), sim.cast("long").alias("simhash"))
+    return sums.select(
+        F.col(id_col), F.expr(f"CAST({sim} AS BIGINT)").alias("simhash")
+    )
