@@ -72,72 +72,61 @@ def quantize_vec_sql(col_name: str) -> str:
     )
 
 
-def plane_sign(p: int | Column, d: int | Column) -> Column:
-    """Deterministic ±1 entry of hyperplane p at dimension d:
-    ``((d*(p+7)) % 13) % 2 * 2 - 1`` — cheap integer arithmetic with an
-    exact SQL rendering (no RNG, no stored plane matrix)."""
-    p = F.lit(p) if isinstance(p, int) else p
-    d = F.lit(d) if isinstance(d, int) else d
-    return ((d * (p + 7)) % 13 % 2) * 2 - 1
-
-
-def _plane_dots(vec_col: str, n_dims: int) -> Column:
-    """array<double> of the N_PLANES projections <v, plane_p>: one
-    transform over a LITERAL ±1 sign matrix × a zip_with fold per row.
-
-    Two generations of fixes here: the N_PLANES unrolled 64-wide fold
-    chains compiled to a janino method large enough to dominate
-    wall-clock at small SF (r2 → nested transform loop); then the
-    nested loop recomputed plane_sign's modular arithmetic per (row,
-    plane, dim) inside INTERPRETED higher-order functions — 8×64 extra
-    interpreted ops per row for values that never change (r5: the sign
-    matrix is now a driver-built literal; bucket ids bit-identical,
-    1.79 → 1.12 s for the sf0.1 bucket projection). The DuckDB oracles
-    keep the arithmetic formula — same values either way."""
-    signs = [
-        [float(((d * (p + 7)) % 13 % 2) * 2 - 1) for d in range(1, n_dims + 1)]
-        for p in range(N_PLANES)
-    ]
-    return F.transform(
-        F.lit(signs),
-        lambda row: F.aggregate(
-            F.zip_with(
-                F.col(vec_col).cast("array<double>"),
-                row,
-                lambda x, s: x * s,
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ),
+def _signs_sql(n_dims: int) -> str:
+    """Literal ±1 sign matrix of the N_PLANES hyperplanes: entry of
+    plane p at dimension d is ``((d*(p+7)) % 13) % 2 * 2 - 1`` — cheap
+    deterministic integer arithmetic, no RNG. The formula is evaluated
+    driver-side once rather than per (row, plane, dim) inside
+    interpreted HOFs (r5; bucket projection 1.79 → 1.12 s at sf0.1,
+    bit-identical buckets); the DuckDB oracles keep the formula inline
+    (plans/llm_queries.py) — same values either way."""
+    return (
+        "array("
+        + ", ".join(
+            "array("
+            + ", ".join(
+                f"{float(((d * (p + 7)) % 13 % 2) * 2 - 1)!r}D"
+                for d in range(1, n_dims + 1)
+            )
+            + ")"
+            for p in range(N_PLANES)
+        )
+        + ")"
     )
 
 
-def _bits() -> Column:
-    """Literal [1, 2, 4, ...] — bit value of plane p at index p+1.
-    Built lazily: F.lit needs an active SparkContext in classic mode,
-    so a module-level constant would break import-before-session."""
-    return F.array(*[F.lit(2**p) for p in range(N_PLANES)])
+#: Literal [1, 2, 4, …] — bit value of plane p at index p+1.
+_BITS_SQL = "array(" + ", ".join(str(2**p) for p in range(N_PLANES)) + ")"
 
 
-def _let(value: Column, body) -> Column:
-    """Let-binding for column expressions: evaluate ``value`` ONCE and
-    reference it as a lambda variable in ``body``. ``transform`` over a
-    singleton array binds its element as a variable, so the (large)
-    ``value`` subtree appears once in the plan instead of once per use
-    — Catalyst's CollapseProject would otherwise inline a
-    ``withColumn`` copy into every consumer."""
-    return F.element_at(F.transform(F.array(value), body), 1)
-
-
-def _bucket_from_dots(dots: Column) -> Column:
-    return F.aggregate(
-        F.sequence(F.lit(1), F.lit(N_PLANES)),
-        F.lit(0),
-        lambda acc, i: acc
-        + F.when(
-            F.round(F.element_at(dots, i), SIM_SCALE) >= 0, F.element_at(_bits(), i)
-        ).otherwise(F.lit(0)),
+def _dots_sql(vec_col: str, n_dims: int) -> str:
+    """SQL text of the N_PLANES projections <v, plane_p>: one transform
+    over the literal sign matrix × a zip_with fold per row. (History:
+    N_PLANES unrolled 64-wide fold chains compiled to a janino method
+    large enough to dominate wall-clock at small SF — r2 fix; the whole
+    family is SQL text since r5 because the lambda-built Column trees
+    cost ~0.3 s of py4j plan construction per query build.)"""
+    return (
+        f"transform({_signs_sql(n_dims)}, sgnrow -> "
+        f"aggregate(zip_with(CAST({vec_col} AS array<double>), sgnrow, "
+        "(x, s) -> x * s), 0.0D, (acc, x) -> acc + x))"
     )
+
+
+def _bucket_from_dots_sql(dots: str) -> str:
+    return (
+        f"aggregate(sequence(1, {N_PLANES}), 0, (acc, i) -> acc + "
+        f"(CASE WHEN round(element_at({dots}, i), {SIM_SCALE}) >= 0 "
+        f"THEN element_at({_BITS_SQL}, i) ELSE 0 END))"
+    )
+
+
+def _let_sql(value: str, var: str, body: str) -> str:
+    """Let-binding in SQL text: evaluate ``value`` ONCE and reference
+    it as ``var`` in ``body`` — transform over a singleton array binds
+    its element as a lambda variable, so the (large) value subtree
+    appears once in the plan instead of once per use."""
+    return f"element_at(transform(array({value}), {var} -> {body}), 1)"
 
 
 def bucket_expr(vec_col: str, n_dims: int) -> Column:
@@ -147,7 +136,11 @@ def bucket_expr(vec_col: str, n_dims: int) -> Column:
     arithmetic order is fixed by the fold, and the sign test uses a
     rounded value so both engines agree even at ulp distance from 0.
     """
-    return _let(_plane_dots(vec_col, n_dims), _bucket_from_dots)
+    return F.expr(
+        _let_sql(
+            _dots_sql(vec_col, n_dims), "dts", _bucket_from_dots_sql("dts")
+        )
+    )
 
 
 def probe_buckets_expr(vec_col: str, n_dims: int, n_probe: int) -> Column:
@@ -160,31 +153,25 @@ def probe_buckets_expr(vec_col: str, n_dims: int, n_probe: int) -> Column:
     with the smallest margin.
 
     Deterministic: plane distances are rounded like the sign test, ties
-    broken by plane bit — exact SQL rendering exists for the oracle.
-    Returns array<int> of ``min(n_probe, N_PLANES + 1)`` distinct ids.
+    broken by plane bit (struct array_sort is lexicographic — nearest
+    plane first) — exact SQL rendering exists for the oracle. Returns
+    array<int> of ``min(n_probe, N_PLANES + 1)`` distinct ids.
     """
-
-    def probes(dots: Column) -> Column:
-        planes = F.transform(
-            F.sequence(F.lit(1), F.lit(N_PLANES)),
-            lambda i: F.struct(
-                F.abs(F.round(F.element_at(dots, i), SIM_SCALE)).alias("adot"),
-                F.element_at(_bits(), i).alias("bit"),
-            ),
-        )
-
-        def flips_from(base: Column) -> Column:
-            # array_sort on structs is lexicographic: nearest plane
-            # first, bit as the deterministic tie-break.
-            flips = F.transform(
-                F.slice(F.array_sort(planes), 1, max(n_probe - 1, 0)),
-                lambda s: base.bitwiseXOR(s["bit"]),
-            )
-            return F.concat(F.array(base), flips)
-
-        return _let(_bucket_from_dots(dots), flips_from)
-
-    return _let(_plane_dots(vec_col, n_dims), probes)
+    planes = (
+        f"transform(sequence(1, {N_PLANES}), i -> struct("
+        f"abs(round(element_at(dts, i), {SIM_SCALE})) AS adot, "
+        f"element_at({_BITS_SQL}, i) AS bit))"
+    )
+    flips = (
+        f"transform(slice(array_sort({planes}), 1, {max(n_probe - 1, 0)}), "
+        "s -> bse ^ s.bit)"
+    )
+    inner = _let_sql(
+        _bucket_from_dots_sql("dts"),
+        "bse",
+        f"concat(array(bse), {flips})",
+    )
+    return F.expr(_let_sql(_dots_sql(vec_col, n_dims), "dts", inner))
 
 
 def cosine_topk_bruteforce(
