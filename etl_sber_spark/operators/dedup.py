@@ -206,8 +206,11 @@ def lsh_candidate_pairs(
     emitted pair exactly. ``n_shared_bands`` for star pairs counts
     only the oversized buckets that emitted them (pairs not involving
     the anchor lose that band's vote — the price of boundedness).
-    ``max_bucket=None`` disables the guard (the faithful unbounded
-    join, for differential tests). Oversized buckets are observable
+    ``max_bucket=None`` disables the guard — a TEST-ONLY semantics
+    reference: in the grouped formulation below an uncapped bucket
+    expands to a C(|bucket|, 2)-struct array in one row, so unlike the
+    old streaming self-join it is memory-quadratic per hot bucket.
+    Production callers keep the cap. Oversized buckets are observable
     via ``lsh_bucket_stats`` — corpus-health telemetry a production
     run should log.
 

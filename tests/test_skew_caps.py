@@ -293,3 +293,107 @@ def test_index_guard_noop_on_real_corpus(spark):
         )
     )
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Randomized differential: guard semantics vs a pure-Python oracle on
+# arbitrary small corpora (beyond the planted fixtures)
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_WORDS = ["alpha", "beta", "gamma", "delta", "red", "blue", "sun", "moon"]
+
+_doc_strategy = st.lists(
+    st.lists(st.sampled_from(_WORDS), min_size=3, max_size=8).map(" ".join),
+    min_size=2,
+    max_size=14,
+)
+
+
+def _py_lsh_pairs(sig_rows, max_bucket):
+    """Pure-Python evaluation of the guarded LSH semantics from the
+    actual signatures: band → bucket → clique-or-star → band votes."""
+    from collections import Counter, defaultdict
+
+    buckets = defaultdict(list)
+    for r in sig_rows:
+        for b in range(4):
+            key = ",".join(str(r[f"mh{b * 4 + j:02d}"]) for j in range(4))
+            buckets[(b, key)].append(r["doc_id"])
+    votes = Counter()
+    for members in buckets.values():
+        ms = sorted(members)
+        if len(ms) < 2:
+            continue
+        if max_bucket is None or len(ms) <= max_bucket:
+            for i in range(len(ms)):
+                for j in range(i + 1, len(ms)):
+                    votes[(ms[i], ms[j])] += 1
+        else:
+            for m in ms[1:]:
+                votes[(ms[0], m)] += 1
+    return sorted((a, b, n) for (a, b), n in votes.items())
+
+
+@given(texts=_doc_strategy, max_bucket=st.sampled_from([None, 2, 3, 1000]))
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_lsh_guard_matches_python_oracle_on_random_corpora(
+    spark, texts, max_bucket
+):
+    """For arbitrary tiny corpora (heavy hash collisions by
+    construction: an 8-word vocabulary) and caps including smaller than
+    any planted fixture uses, the guarded operator equals the
+    pure-Python evaluation of the same semantics applied to the REAL
+    signatures."""
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), ["doc_id", "text"]
+    )
+    sig = minhash_signatures(docs).localCheckpoint()
+    got = sorted(
+        map(tuple, lsh_candidate_pairs(sig, max_bucket=max_bucket).collect())
+    )
+    want = _py_lsh_pairs([r.asDict() for r in sig.collect()], max_bucket)
+    assert got == want
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 5)),
+        min_size=1,
+        max_size=30,
+        unique=True,
+    ),
+    cap=st.sampled_from([None, 1, 2, 4, 128]),
+)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_overlap_df_cap_matches_python_oracle(spark, rows, cap):
+    """overlap_pairs over arbitrary (doc, fingerprint) sets: pairs and
+    shared-window counts equal the pure-Python capped evaluation for
+    caps from 1 (drop everything shared) to None (uncapped)."""
+    from collections import Counter, defaultdict
+
+    fp = spark.createDataFrame(rows, ["doc_id", "fingerprint"])
+    got = sorted(map(tuple, overlap_pairs(fp, max_doc_freq=cap).collect()))
+    docs_of = defaultdict(set)
+    for d, f in rows:
+        docs_of[f].add(d)
+    pair_count = Counter()
+    for f, ds in docs_of.items():
+        if cap is not None and len(ds) > cap:
+            continue
+        ds = sorted(ds)
+        for i in range(len(ds)):
+            for j in range(i + 1, len(ds)):
+                pair_count[(ds[i], ds[j])] += 1
+    want = sorted((a, b, n) for (a, b), n in pair_count.items())
+    assert got == want
