@@ -61,6 +61,7 @@ def curate_corpus(
     semantic_threshold: float = 0.95,
     semantic_clusters: int = 16,
     semantic_keep: str = "farthest",
+    materialize_annotations: bool = True,
 ) -> DataFrame:
     """Annotate every document with curation columns and a verdict.
 
@@ -139,9 +140,18 @@ def curate_corpus(
     # (CacheManager holds it until an explicit unpersist nobody can
     # issue on an internal frame). A local checkpoint is freed by the
     # ContextCleaner once the returned DataFrame is dropped.
-    annotated = annotated.withColumn(
-        "_cheap_reason", cheap_reason
-    ).localCheckpoint(eager=True)
+    #
+    # ``materialize_annotations=False`` is the 100 TB storage knob: the
+    # checkpoint stores the FULL annotated corpus (text included) in
+    # executor memory/disk blocks — a transient corpus-sized copy.
+    # Skipping it trades that storage for recomputing the (pure,
+    # deterministic) annotation regexes once per consumer pass —
+    # output-identical either way (pinned by test_curate), and often
+    # the right trade when the corpus dwarfs cluster storage while CPU
+    # is cheap at scan time.
+    annotated = annotated.withColumn("_cheap_reason", cheap_reason)
+    if materialize_annotations:
+        annotated = annotated.localCheckpoint(eager=True)
 
     clean = annotated.filter(F.col("_cheap_reason").isNull())
 

@@ -314,3 +314,16 @@ def test_semantic_stage_empty_and_min_id(spark):
         ).collect()
     }
     assert out2[2] is None and out2[3] == "semantic_dup"
+
+
+def test_unmaterialized_annotations_identical(spark):
+    """materialize_annotations=False (the 100 TB storage knob: skip the
+    corpus-sized eager checkpoint, recompute the deterministic
+    annotation regexes per consumer) must be output-identical to the
+    default."""
+    d = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    a = sorted(map(tuple, curate_corpus(d).collect()))
+    b = sorted(
+        map(tuple, curate_corpus(d, materialize_annotations=False).collect())
+    )
+    assert a == b
