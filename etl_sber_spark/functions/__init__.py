@@ -1,6 +1,7 @@
 from .hashing import hash64, hash64_expr_sql
 from .normalize import comma_decimal, full_name, max_ts_lit, trim_all_strings
 from .text import (
+    bpe_ish_token_count,
     bpe_ish_tokens,
     doc_fingerprint,
     lang_id,
@@ -19,6 +20,7 @@ __all__ = [
     "trim_all_strings",
     "ws_tokens",
     "token_count",
+    "bpe_ish_token_count",
     "bpe_ish_tokens",
     "lang_id",
     "quality_score",
