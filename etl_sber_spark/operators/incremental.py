@@ -36,9 +36,6 @@ its primitives (minhash/LSH) are the driver-graded q_minhash_signatures
 
 from __future__ import annotations
 
-from functools import reduce
-from operator import add
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -71,12 +68,11 @@ def estimated_jaccard(new_sigs: DataFrame, old_sigs: DataFrame,
         F.col(id_col).alias("old_id"),
         *[F.col(_mh_col(k)).alias(f"o{k}") for k in range(K)],
     )
-    eq = reduce(
-        add,
-        [
-            F.when(F.col(f"n{k}") == F.col(f"o{k}"), 1).otherwise(0)
-            for k in range(K)
-        ],
+    # one parsed expr, not a K-arm when/otherwise Column chain: this
+    # runs once per streaming micro-batch (streaming/corpus.py), where
+    # per-call py4j plan construction is recurring overhead (r5)
+    eq = " + ".join(
+        f"(CASE WHEN n{k} = o{k} THEN 1 ELSE 0 END)" for k in range(K)
     )
     return (
         pairs.join(n, "new_id")
@@ -84,7 +80,9 @@ def estimated_jaccard(new_sigs: DataFrame, old_sigs: DataFrame,
         .select(
             "new_id",
             "old_id",
-            (eq.cast("double") / F.lit(float(K))).alias("est_jaccard"),
+            F.expr(
+                f"CAST({eq} AS DOUBLE) / {float(K)!r}D"
+            ).alias("est_jaccard"),
         )
     )
 
