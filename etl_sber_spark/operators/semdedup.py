@@ -138,9 +138,15 @@ def semantic_pairs(
     )
 
 
+#: Auto-sizing target for ``n_clusters=None``: vectors per cluster. The
+#: within-cluster join is Σ|cluster|², so per-cluster pair work stays
+#: ≤ ~TARGET² while the cluster count grows with the corpus.
+VECS_PER_CLUSTER = 1000
+
+
 def semdedup(
     embeddings: DataFrame,
-    n_clusters: int = 16,
+    n_clusters: int | None = 16,
     n_iter: int = 3,
     threshold: float = 0.95,
     keep: str = "farthest",
@@ -173,13 +179,19 @@ def semdedup(
     **Size ``n_clusters`` with the corpus**: the within-cluster cosine
     join is Σ|cluster|², so a fixed cluster count turns linear corpus
     growth into quadratic pair work (measured in the r5 scale smoke:
-    2× vectors at fixed k = 3.4× wall time; k ∝ n restored ~linear —
-    SCALE.md "Semantic dedup"). Target a bounded cluster size (the
-    paper uses ~100k-1M vectors/cluster at web scale; ≈ n / 1000 is a
-    sane default shape).
+    fixed k=16 went 27→82→461 s at 10/20/50×, while k ∝ n stayed
+    ~linear at 28/43/110 s — SCALE.md "Semantic dedup").
+    ``n_clusters=None`` auto-sizes to max(16, ceil(n /
+    VECS_PER_CLUSTER)) — one count job, and the anti-pattern cannot be
+    configured by forgetting the knob. An explicit int is honored
+    as-is (the paper's web-scale deployments size clusters per corpus
+    snapshot).
     """
     if keep not in ("farthest", "min_id"):
         raise ValueError(f"keep must be 'farthest' or 'min_id', got {keep!r}")
+    if n_clusters is None:
+        n = embeddings.count()
+        n_clusters = max(16, -(-n // VECS_PER_CLUSTER))
     cents = kmeans_centroids(
         embeddings, n_clusters, n_iter, id_col, vec_col, train_mod=train_mod
     )

@@ -203,3 +203,16 @@ def test_zero_vector_is_a_kept_singleton(spark):
     # the real duplicates {0,2} still collapse
     assert out[0].sem_cluster == out[2].sem_cluster
     assert out[0].is_kept != out[2].is_kept
+
+
+def test_auto_cluster_sizing(spark):
+    """n_clusters=None sizes the quantizer with the corpus (the r5
+    scale smoke's fixed-k quadratic anti-pattern can no longer be
+    configured by omission): small corpora floor at 16, and the result
+    equals the explicitly-sized run."""
+    from etl_sber_spark.operators.semdedup import semdedup
+
+    e = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    auto = sorted(map(tuple, semdedup(e, n_clusters=None).collect()))
+    explicit = sorted(map(tuple, semdedup(e, n_clusters=16).collect()))
+    assert auto == explicit  # 200-vector fixture floors at 16
