@@ -159,3 +159,25 @@ def test_session_state_plateaus_over_100_batches(spark, tmp_path):
         ),
     )
     _assert_plateau(series)
+
+
+def test_windowed_rollup_state_plateaus_over_100_batches(spark, tmp_path):
+    """Watermarked tumbling-window aggregate: closed windows evict at
+    the watermark, so state is O(open windows in the horizon), not
+    O(hours ever seen) — ~16 hours of event time flow through while the
+    2-hour watermark keeps only a handful of window states."""
+    from etl_sber_spark.streaming.rollup import hourly_rollup
+
+    series = _soak(
+        spark,
+        tmp_path,
+        lambda s: hourly_rollup(
+            s.select(
+                F.col("ts").alias("trans_date"),
+                F.col("terminal").alias("oper_type"),
+                (F.col("trans_id") % 100).cast("double").alias("amt"),
+            ),
+            watermark="2 hours",
+        ),
+    )
+    _assert_plateau(series)
