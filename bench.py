@@ -1,8 +1,11 @@
 #!/usr/bin/env python3
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec, ...}, "sf": ...}.
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints the
+parseable JSON line LAST: {"metric": ..., "value": total_sec,
+"unit": "sec", "queries": {name: sec, ...}, "sf": ...}. (A detailed
+first-run line precedes it; the driver's tail capture reads the final,
+compact line — the round-5 single-line format outgrew the tail window
+and parsed as null.)
 
 Timing = full plan execution materialized via a `noop`-format write, so
 every output column is actually computed (a count() would let Catalyst
@@ -151,15 +154,34 @@ def main() -> None:
         timings[name] = min(runs)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    total = round(sum(timings.values()), 3)
+    # Detailed line FIRST (methodology series: the one-shot timings),
+    # compact parseable line LAST. Round-5 postmortem: with 50 queries ×
+    # two timing dicts the single line outgrew the driver's tail-capture
+    # window, truncating the FRONT — where "value" sat — so BENCH_r05
+    # recorded `parsed: null`. The driver reads the tail, so the final
+    # line carries everything it grades (metric/value/queries/sf) and
+    # nothing else (~1.3 KB for 50 queries, well inside the window).
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_first_run",
+                "value": round(sum(first.values()), 3),
+                "unit": "sec",
+                "queries_first": first,
+                "sf": sf_val,
+            }
+        )
+    )
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total",
-                "value": round(sum(timings.values()), 3),
+                "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "queries_first": first,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "sf": sf_val,
             }
         )
     )
