@@ -7,7 +7,8 @@ range joins (asof, rangejoin), skew handling (skew), data-quality gates
 LLM training-data pipeline: text dedup (dedup, substr_dedup),
 batched model inference (inference), embedding similarity + semantic
 dedup (similarity, quantize, semdedup) and its persisted-index
-increment (semindex), dedup clustering + soft weights (components),
+increment (semindex), versioned ANN index artifacts — build-at-ingest
+vs search-only (annindex), dedup clustering + soft weights (components),
 curation and its incremental/crawl front-ends (curate, incremental,
 crawl), crawl-authority ranking (pagerank),
 decontamination + leakage-guarded splits (decontam), sampling/splits

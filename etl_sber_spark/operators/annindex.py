@@ -1,0 +1,235 @@
+"""Persisted ANN index artifacts: build at ingest, search per query.
+
+At 100 TB the similarity index is NOT rebuilt per query — it is built
+once per corpus snapshot and served read-only, exactly like the BPE
+merge table (operators/bpe.py save_merges/load_merges). This module
+makes that the paved path for both ANN families in
+operators/similarity.py:
+
+- **IVF**: the trained k-means centroid table (metadata-scale:
+  n_lists × n_dims doubles) persists as a VERSIONED warehouse artifact
+  (sinks/warehouse.py swap layout — atomic flip, time travel), and the
+  corpus-side list assignment materializes at ingest as a plain
+  ``centroid_id`` column (:func:`materialize_ivf_assignments`) on the
+  stored embedding table. A query then loads the tiny centroid table,
+  assigns only ITSELF (a literal-matrix projection), and scans
+  ~n·n_probe/n_lists pre-assigned rows — zero training jobs, zero
+  corpus-wide projections on the query path
+  (``cosine_topk_ivf(..., centroids=..., centroid_col=...)``).
+- **LSH**: the hyperplanes are a deterministic sign matrix derived from
+  (n_dims, n_planes) — there is nothing to *train*, but the matrix still
+  persists (:func:`save_lsh_model`) so a stored ``bucket`` column
+  (:func:`materialize_lsh_buckets`) is verifiably tied to the plane set
+  that produced it: :func:`load_lsh_model` recomputes the formula for
+  the stored shape and REFUSES to load an artifact whose planes differ
+  (formula drift would silently zero recall against old bucket columns
+  — same frozen-quantizer contract as operators/semindex.py and
+  functions/hashing.py's xxhash64 note).
+
+The centroid artifact is exactly what operators/semindex.py's
+``build_semantic_index``/``semantic_increment`` consume as their frozen
+coarse quantizer, so one saved index serves IVF top-k search, SemDeDup,
+and incremental semantic dedup.
+
+Reference parity: the reference has no vector surface at all
+(`/root/reference/main.py` is an Oracle-SQL nightly ETL) — this is
+LLM-pipeline extension surface per SURVEY §7.5, composing public
+algorithms only (IVF coarse quantization as in the FAISS IVF layout;
+random-hyperplane LSH, Charikar STOC'02).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .similarity import (
+    N_PLANES,
+    _centroid_rows,
+    bucket_expr,
+    kmeans_centroids,
+    nearest_centroids_expr,
+    quantize_vec_sql,
+)
+from .spread import spread
+
+#: Default artifact names in the warehouse.
+IVF_TABLE = "ann_ivf_centroids"
+LSH_TABLE = "ann_lsh_planes"
+
+
+# ---------------------------------------------------------------------------
+# IVF: versioned centroid artifact + ingest-time assignment column
+# ---------------------------------------------------------------------------
+
+
+def train_ivf_index(
+    embeddings: DataFrame,
+    n_lists: int = 16,
+    n_iter: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    *,
+    train_mod: int | None = None,
+) -> DataFrame:
+    """Train the IVF coarse quantizer (deterministic mini k-means,
+    operators/similarity.py) — the build-at-ingest half of the split.
+    ``train_mod=m`` trains on the deterministic ~1/m hash sample, the
+    100 TB default (centroid quality follows the sample distribution,
+    not its identity). Returns the (tiny) centroid frame to persist
+    via :func:`save_ivf_index`."""
+    return kmeans_centroids(
+        embeddings, n_lists, n_iter, id_col, vec_col, train_mod=train_mod
+    )
+
+
+def save_ivf_index(wh, centroids: DataFrame, name: str = IVF_TABLE) -> None:
+    """Persist trained IVF centroids as a versioned warehouse artifact
+    (atomic CURRENT flip + time travel, like the BPE merge table): a
+    retrain writes v_{n+1} and readers mid-flight keep their version,
+    and "which quantizer produced this corpus snapshot's cluster ids"
+    is answerable by version diff. The table is metadata-scale
+    (n_lists rows), so full-copy versioning is free."""
+    wh.overwrite_versioned(centroids, name)
+
+
+def load_ivf_index(
+    wh, name: str = IVF_TABLE, version: int | None = None
+) -> DataFrame:
+    """Reload a centroid artifact saved by :func:`save_ivf_index` —
+    the exact frame ``cosine_topk_ivf(centroids=...)``,
+    ``assign_to_centroid``, and semindex's ``build_semantic_index``
+    consume. ``version=n`` time-travels to a prior quantizer (needed to
+    interpret an index built before a retrain)."""
+    return wh.read(name, version=version)
+
+
+def materialize_ivf_assignments(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The ingest-time step: every input column plus ``centroid_id``
+    (nearest centroid in the quantized training space — the same
+    literal-matrix argmin projection the inline path uses, zero joins,
+    zero shuffles). Write the result as the stored embedding table; at
+    100 TB partition/cluster it BY ``centroid_id`` so an n_probe query
+    prunes to its probed lists at the file level."""
+    cent_rows = _centroid_rows(centroids)
+    return spread(embeddings).withColumn(
+        "centroid_id",
+        nearest_centroids_expr(quantize_vec_sql(vec_col), cent_rows, 1)[0],
+    )
+
+
+# ---------------------------------------------------------------------------
+# LSH: persisted plane matrix + ingest-time bucket column
+# ---------------------------------------------------------------------------
+
+
+def _plane_signs(n_dims: int, n_planes: int = N_PLANES) -> list[list[float]]:
+    """The deterministic ±1 hyperplane matrix (the Python rendering of
+    similarity._signs_sql — one source formula, asserted equal in
+    tests/test_annindex.py)."""
+    return [
+        [float(((d * (p + 7)) % 13 % 2) * 2 - 1) for d in range(1, n_dims + 1)]
+        for p in range(n_planes)
+    ]
+
+
+def save_lsh_model(
+    wh, n_dims: int, n_planes: int = N_PLANES, name: str = LSH_TABLE
+) -> None:
+    """Persist the LSH hyperplane matrix as a versioned artifact:
+    (plane_id, signs). The matrix is derivable from (n_dims, n_planes),
+    but a stored ``bucket`` column outlives code — persisting the
+    actual planes pins the stored column to the plane set that computed
+    it, so a future formula change is a detectable version bump, not a
+    silent recall collapse."""
+    spark = wh.spark
+    rows = [(p, signs) for p, signs in enumerate(_plane_signs(n_dims, n_planes))]
+    wh.overwrite_versioned(
+        spark.createDataFrame(rows, "plane_id int, signs array<double>"), name
+    )
+
+
+def load_lsh_model(
+    wh, name: str = LSH_TABLE, version: int | None = None
+) -> tuple[int, int]:
+    """Reload an LSH model: returns ``(n_dims, n_planes)`` for
+    :func:`materialize_lsh_buckets` / ``cosine_topk_lsh`` after
+    verifying the stored planes match the current formula for that
+    shape. A mismatch means the code's plane formula drifted since the
+    bucket column was materialized — every stored bucket would silently
+    stop colliding with query buckets, so refuse loudly instead."""
+    rows = sorted(
+        ((int(r.plane_id), [float(x) for x in r.signs]) for r in
+         wh.read(name, version=version).collect())
+    )
+    if not rows:
+        raise ValueError(f"LSH model table {name!r} is empty")
+    n_planes = len(rows)
+    n_dims = len(rows[0][1])
+    expected = _plane_signs(n_dims, n_planes)
+    stored = [signs for _, signs in rows]
+    if stored != expected:
+        raise ValueError(
+            f"stored LSH planes in {name!r} do not match the current "
+            "plane formula — bucket columns materialized with this model "
+            "are incompatible with the running code; rebuild the bucket "
+            "column (or pin the library version that wrote it)"
+        )
+    return n_dims, n_planes
+
+
+def materialize_lsh_buckets(
+    embeddings: DataFrame, n_dims: int, vec_col: str = "embedding"
+) -> DataFrame:
+    """Ingest-time LSH bucketing: every input column plus ``bucket``
+    (the N_PLANES-bit hyperplane signature — a pure projection). Store
+    hash-partitioned by ``bucket`` and a query touches only its probed
+    buckets' files."""
+    return spread(embeddings).withColumn(
+        "bucket", bucket_expr(vec_col, n_dims)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Convenience: one-call build for a corpus snapshot
+# ---------------------------------------------------------------------------
+
+
+def build_ann_index(
+    wh,
+    embeddings: DataFrame,
+    n_lists: int = 16,
+    n_iter: int = 3,
+    n_dims: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    *,
+    train_mod: int | None = None,
+    ivf_name: str = IVF_TABLE,
+    lsh_name: str = LSH_TABLE,
+) -> DataFrame:
+    """Build-at-ingest in one call: train + persist the IVF centroids,
+    persist the LSH plane matrix, and return the embedding frame with
+    BOTH serving columns (``centroid_id``, ``bucket``) attached — the
+    frame to write as the stored embedding table. ``n_dims`` defaults
+    to the measured first-row vector length."""
+    if n_dims is None:
+        first = embeddings.select(F.size(vec_col).alias("n")).first()
+        if first is None:
+            raise ValueError("embeddings frame is empty — nothing to index")
+        n_dims = int(first.n)
+    cents = train_ivf_index(
+        embeddings, n_lists, n_iter, id_col, vec_col, train_mod=train_mod
+    )
+    save_ivf_index(wh, cents, ivf_name)
+    save_lsh_model(wh, n_dims, name=lsh_name)
+    return materialize_lsh_buckets(
+        materialize_ivf_assignments(embeddings, cents, id_col, vec_col),
+        n_dims,
+        vec_col,
+    )

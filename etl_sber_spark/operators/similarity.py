@@ -439,6 +439,8 @@ def cosine_topk_ivf(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     quantized: bool = False,
+    centroids: DataFrame | None = None,
+    centroid_col: str | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: k-means coarse quantizer,
     candidates = vectors in the query's ``n_probe`` nearest lists.
@@ -450,6 +452,16 @@ def cosine_topk_ivf(
     corpus, rising with probes). Each candidate lives in exactly one
     list, so no pair duplication across probes.
 
+    ``centroids`` is the SEARCH-ONLY path (operators/annindex.py): pass
+    a persisted centroid artifact (``load_ivf_index``) and no training
+    job runs — ``n_lists``/``n_iter`` are ignored. ``centroid_col``
+    additionally names a pre-materialized assignment column on
+    ``embeddings`` (``materialize_ivf_assignments`` at ingest), skipping
+    the corpus-side assignment projection too; only the (tiny) query
+    side is assigned at query time. Same results either way — the
+    assignment is a deterministic projection of the same centroids
+    (parity pinned in tests/test_annindex.py).
+
     ``quantized=True`` scores candidates with int8-quantized vectors
     (operators/quantize.py) instead of floats — the FAISS ``IVF,SQ8``
     layout: at 100 TB the corpus is STORED quantized (¼ the scan bytes)
@@ -458,15 +470,30 @@ def cosine_topk_ivf(
     to the all-integer dot. Recall cost measured in
     tests/test_quantize.py (parity with the float IVF ladder).
     """
-    cents = kmeans_centroids(embeddings, n_lists, n_iter, id_col, vec_col)
+    if centroid_col is not None and centroids is None:
+        raise ValueError(
+            "centroid_col names a pre-materialized assignment, which is "
+            "only meaningful against the persisted centroids that "
+            "produced it — pass centroids= as well"
+        )
+    cents = (
+        centroids
+        if centroids is not None
+        else kmeans_centroids(embeddings, n_lists, n_iter, id_col, vec_col)
+    )
     # Assignment is a projection against literal centroids — the list
     # id attaches as a column on BOTH sides with no join, the
     # ingest-time cluster-column shape
     cent_rows = _centroid_rows(cents)
-    cand = spread(embeddings).withColumn(
-        "centroid_id",
-        nearest_centroids_expr(quantize_vec_sql(vec_col), cent_rows, 1)[0],
-    )
+    if centroid_col is not None:
+        cand = spread(embeddings)
+        if centroid_col != "centroid_id":
+            cand = cand.withColumnRenamed(centroid_col, "centroid_id")
+    else:
+        cand = spread(embeddings).withColumn(
+            "centroid_id",
+            nearest_centroids_expr(quantize_vec_sql(vec_col), cent_rows, 1)[0],
+        )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
@@ -545,21 +572,31 @@ def cosine_topk_lsh(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_probe: int = 1,
+    bucket_col: str | None = None,
 ) -> DataFrame:
     """Approximate top-k: score only candidates in the query's LSH
     bucket(s).
 
     At 100 TB the bucket column is computed once at ingest (it is a pure
     projection) and the candidate side is hash-partitioned by bucket, so
-    a query touches ~n·n_probe/2^b rows instead of n. ``n_probe`` is the
-    recall knob: >1 probes the Hamming-1 neighbor buckets across the
-    query's closest hyperplanes (probe_buckets_expr — multi-probe LSH),
-    recovering neighbors that fell one plane away. Candidate volume
-    scales linearly with probes ONLY on the query side — each candidate
-    still lives in exactly one bucket, so probing never duplicates a
-    scored pair. Measured recall ladder: tests/test_lsh_multiprobe.py.
+    a query touches ~n·n_probe/2^b rows instead of n. ``bucket_col``
+    names that pre-materialized column (materialize_lsh_buckets +
+    load_lsh_model, operators/annindex.py) and skips the corpus-side
+    projection at query time; default recomputes it inline. ``n_probe``
+    is the recall knob: >1 probes the Hamming-1 neighbor buckets across
+    the query's closest hyperplanes (probe_buckets_expr — multi-probe
+    LSH), recovering neighbors that fell one plane away. Candidate
+    volume scales linearly with probes ONLY on the query side — each
+    candidate still lives in exactly one bucket, so probing never
+    duplicates a scored pair. Measured recall ladder:
+    tests/test_lsh_multiprobe.py.
     """
-    cand = spread(embeddings).withColumn("bucket", bucket_expr(vec_col, n_dims))
+    if bucket_col is not None:
+        cand = spread(embeddings)
+        if bucket_col != "bucket":
+            cand = cand.withColumnRenamed(bucket_col, "bucket")
+    else:
+        cand = spread(embeddings).withColumn("bucket", bucket_expr(vec_col, n_dims))
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),

@@ -1,0 +1,160 @@
+"""Persisted ANN index artifacts (operators/annindex.py).
+
+The contract under test: build-at-ingest (train + persist + materialize
+serving columns) and search-only (load + query) produce BIT-IDENTICAL
+results to the inline train-per-query path — the persisted index is a
+pure refactoring of when work happens, never of what is computed. Plus
+the artifact laws: versioned round-trip, time travel, and the LSH
+plane-drift guard.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_sber_spark.operators import annindex as ai
+from etl_sber_spark.operators import similarity as sim
+from etl_sber_spark.sinks.warehouse import Warehouse
+
+N_DIMS = 64
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_ivf_index_round_trip_versioned(spark, emb, tmp_path):
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    c1 = ai.train_ivf_index(emb, n_lists=8, n_iter=2)
+    ai.save_ivf_index(wh, c1)
+    assert _rows(ai.load_ivf_index(wh)) == _rows(c1)
+
+    # retrain with a different list count -> new version; old quantizer
+    # stays time-travelable (the BPE merge-table law)
+    c2 = ai.train_ivf_index(emb, n_lists=4, n_iter=2)
+    ai.save_ivf_index(wh, c2)
+    assert _rows(ai.load_ivf_index(wh)) == _rows(c2)
+    assert _rows(ai.load_ivf_index(wh, version=1)) == _rows(c1)
+    assert wh.versions(ai.IVF_TABLE) == [1, 2]
+
+
+def test_ivf_search_only_matches_inline(spark, emb, tmp_path):
+    """load_ivf_index + materialized centroid_id == train-per-query."""
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    ai.save_ivf_index(wh, ai.train_ivf_index(emb, n_lists=8, n_iter=3))
+    cents = ai.load_ivf_index(wh)
+    stored = ai.materialize_ivf_assignments(emb, cents)
+
+    queries = emb.filter(F.col("vec_id") < 5)
+    inline = sim.cosine_topk_ivf(emb, queries, k=3, n_lists=8, n_iter=3)
+    search_only = sim.cosine_topk_ivf(
+        stored, queries, k=3, centroids=cents, centroid_col="centroid_id"
+    )
+    assert _rows(search_only) == _rows(inline)
+
+    # centroids without the materialized column also matches (assignment
+    # recomputed at query time from the loaded artifact)
+    loaded_only = sim.cosine_topk_ivf(emb, queries, k=3, centroids=cents)
+    assert _rows(loaded_only) == _rows(inline)
+
+
+def test_ivf_search_only_runs_no_training_jobs(spark, emb):
+    """The search-only plan must not retrain: kmeans_centroids runs a
+    seed collect plus one aggregate job PER Lloyd iteration, so with
+    centroids supplied, plan construction may run at most ONE job — the
+    metadata-scale collect that turns the n_lists-row centroid frame
+    into plan literals (by design: that is what keeps assignment a
+    projection)."""
+    cents = ai.train_ivf_index(emb, n_lists=8, n_iter=1)
+    stored = ai.materialize_ivf_assignments(emb, cents).localCheckpoint()
+    queries = emb.filter(F.col("vec_id") < 5)
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    sim.cosine_topk_ivf(
+        stored, queries, k=3, centroids=cents, centroid_col="centroid_id"
+    )  # plan construction only — no action
+    after = len(tracker.getJobIdsForGroup(None) or [])
+    assert after - before <= 1
+
+
+def test_centroid_col_requires_centroids(emb):
+    with pytest.raises(ValueError, match="centroids"):
+        sim.cosine_topk_ivf(emb, emb.limit(1), centroid_col="centroid_id")
+
+
+def test_lsh_model_round_trip_and_drift_guard(spark, tmp_path):
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    ai.save_lsh_model(wh, n_dims=N_DIMS)
+    assert ai.load_lsh_model(wh) == (N_DIMS, sim.N_PLANES)
+
+    # tamper with one stored sign -> the drift guard must refuse to load
+    planes = wh.read(ai.LSH_TABLE)
+    tampered = planes.withColumn(
+        "signs",
+        F.when(
+            F.col("plane_id") == 0,
+            F.transform("signs", lambda x: -x),
+        ).otherwise(F.col("signs")),
+    )
+    wh.overwrite_versioned(tampered, ai.LSH_TABLE)
+    with pytest.raises(ValueError, match="plane formula"):
+        ai.load_lsh_model(wh)
+    # the untampered version still loads (time travel)
+    assert ai.load_lsh_model(wh, version=1) == (N_DIMS, sim.N_PLANES)
+
+
+def test_lsh_prebucketed_search_matches_inline(spark, emb, tmp_path):
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    ai.save_lsh_model(wh, n_dims=N_DIMS)
+    n_dims, _ = ai.load_lsh_model(wh)
+    stored = ai.materialize_lsh_buckets(emb, n_dims)
+
+    queries = emb.filter(F.col("vec_id") < 5)
+    inline = sim.cosine_topk_lsh(emb, queries, N_DIMS, k=3, n_probe=2)
+    prebucketed = sim.cosine_topk_lsh(
+        stored, queries, n_dims, k=3, n_probe=2, bucket_col="bucket"
+    )
+    assert _rows(prebucketed) == _rows(inline)
+
+
+def test_build_ann_index_one_call(spark, emb, tmp_path):
+    """build_ann_index persists both artifacts and attaches serving
+    columns identical to the inline expressions."""
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    stored = ai.build_ann_index(wh, emb, n_lists=8, n_iter=2)
+    assert {"centroid_id", "bucket"} <= set(stored.columns)
+    assert wh.versions(ai.IVF_TABLE) == [1]
+    assert wh.versions(ai.LSH_TABLE) == [1]
+
+    cents = ai.load_ivf_index(wh)
+    expect = emb.select(
+        "vec_id",
+        sim.nearest_centroids_expr(
+            sim.quantize_vec_sql("embedding"), sim._centroid_rows(cents), 1
+        )[0].alias("centroid_id"),
+        sim.bucket_expr("embedding", N_DIMS).alias("bucket"),
+    )
+    assert _rows(stored.select("vec_id", "centroid_id", "bucket")) == _rows(
+        expect
+    )
+
+    # the persisted centroid artifact is the frozen quantizer semindex
+    # consumes — one saved index serves IVF search and semantic dedup
+    from etl_sber_spark.operators.semindex import build_semantic_index
+
+    idx = build_semantic_index(emb, cents)
+    assert idx.count() > 0
+
+
+def test_plane_signs_match_sql_formula(spark):
+    """One formula, two renderings: the Python matrix annindex persists
+    must equal the SQL literal matrix bucket_expr embeds."""
+    sql = sim._signs_sql(8)
+    row = spark.range(1).select(F.expr(sql).alias("m")).first()
+    assert [list(p) for p in row.m] == ai._plane_signs(8)
