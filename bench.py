@@ -153,6 +153,12 @@ def main() -> None:
         first[name] = runs[0]
         timings[name] = min(runs)
 
+    extras = {}
+    try:
+        extras = _ann_split_bench(spark, sf_dir)
+    except Exception as exc:  # the split is informational, never fatal
+        print(f"bench: ann split bench failed: {exc}", file=sys.stderr)
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     total = round(sum(timings.values()), 3)
@@ -174,18 +180,101 @@ def main() -> None:
             }
         )
     )
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_val,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+    }
+    if extras:
+        out["extras"] = extras
+    print(json.dumps(out))
     spark.stop()
+
+
+def _ann_split_bench(spark, sf_dir: str) -> dict[str, float]:
+    """Build-at-ingest vs search-only split for the ANN stack
+    (operators/annindex.py) — the production cost model q_ivf_topk's
+    graded entry cannot show, because its oracle replays training and so
+    the graded query must train inline. Phases, each timed separately
+    with the same noop-write materialization as the main loop:
+
+    - ivf_train: k-means training + versioned centroid persist (once
+      per corpus snapshot at 100 TB, amortized over every query);
+    - ivf_assign / lsh_bucket: the ingest-time serving-column
+      materialization, written to parquet like a real stored table;
+    - ivf_search / lsh_search: a top-k query against the LOADED index
+      and the stored serving columns — the per-query cost, min of 2.
+    """
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from etl_sber_spark.operators import annindex as ai
+    from etl_sber_spark.operators import similarity as sim
+    from etl_sber_spark.sinks.warehouse import Warehouse
+
+    res: dict[str, float] = {}
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n_dims = 64
+    with tempfile.TemporaryDirectory() as tmp:
+        wh = Warehouse(spark, f"{tmp}/wh")
+
+        t0 = time.perf_counter()
+        cents = ai.train_ivf_index(emb, n_lists=8, n_iter=3)
+        ai.save_ivf_index(wh, cents)
+        ai.save_lsh_model(wh, n_dims)
+        res["ivf_train"] = round(time.perf_counter() - t0, 3)
+
+        t0 = time.perf_counter()
+        ai.materialize_ivf_assignments(emb, cents).write.mode(
+            "overwrite"
+        ).parquet(f"{tmp}/emb_ivf")
+        res["ivf_assign"] = round(time.perf_counter() - t0, 3)
+
+        t0 = time.perf_counter()
+        ai.materialize_lsh_buckets(emb, n_dims).write.mode(
+            "overwrite"
+        ).parquet(f"{tmp}/emb_lsh")
+        res["lsh_bucket"] = round(time.perf_counter() - t0, 3)
+
+        loaded = ai.load_ivf_index(wh)
+        lsh_dims, _ = ai.load_lsh_model(wh)
+        stored_ivf = spark.read.parquet(f"{tmp}/emb_ivf")
+        stored_lsh = spark.read.parquet(f"{tmp}/emb_lsh")
+        queries = emb.filter(F.col("vec_id") < 5)
+        for key, build in (
+            (
+                "ivf_search",
+                lambda: sim.cosine_topk_ivf(
+                    stored_ivf,
+                    queries,
+                    k=3,
+                    centroids=loaded,
+                    centroid_col="centroid_id",
+                ),
+            ),
+            (
+                "lsh_search",
+                lambda: sim.cosine_topk_lsh(
+                    stored_lsh,
+                    queries,
+                    lsh_dims,
+                    k=3,
+                    n_probe=2,
+                    bucket_col="bucket",
+                ),
+            ),
+        ):
+            runs = []
+            for _ in range(2):
+                spark.catalog.clearCache()
+                t0 = time.perf_counter()
+                build().write.format("noop").mode("overwrite").save()
+                runs.append(round(time.perf_counter() - t0, 3))
+            res[key] = min(runs)
+    return res
 
 
 if __name__ == "__main__":
