@@ -420,9 +420,16 @@ def overlap_pairs(
     of documents sharing ≥1 identical fingerprint window, with the
     shared-window count — the plagiarism/copy-paste detector.
 
-    Input rows must be DISTINCT per (id, fingerprint) (the caller
-    usually feeds ``rolling_fingerprints(...).distinct()`` or the
-    winnowed selection). The join key is the fingerprint, so cost is
+    Input rows need NOT be distinct per (id, fingerprint): the
+    aggregate collects a SET of doc ids per fingerprint, so a document
+    repeating the same window internally still counts that window once
+    per document pair (r6 — previously the caller pre-``distinct()``ed
+    and the aggregate was a collect_list, i.e. two hash shuffles on
+    overlapping keys; folding the dedup into the set-aggregate buffer
+    removes one full exchange of the fingerprint stream: same-session
+    A/B min-of-3 at sf0.1 measured 1.60 → 0.95 s for q_doc_overlap,
+    bit-identical output).
+    The join key is the fingerprint, so cost is
     Σ|bucket|², never corpus² — BUT a corpus-frequency fingerprint (a
     boilerplate window in every page of a big site) is a quadratic hot
     bucket; winnowing thins positions, not document frequency.
@@ -442,7 +449,7 @@ def overlap_pairs(
     join's output was O(df²) rows.
     """
     grouped = fingerprints.groupBy("fingerprint").agg(
-        F.sort_array(F.collect_list(id_col)).alias("ids")
+        F.sort_array(F.collect_set(id_col)).alias("ids")
     )
     if max_doc_freq is not None:
         grouped = grouped.filter(F.size("ids") <= max_doc_freq)

@@ -345,15 +345,19 @@ def q_winnow(spark, sf_dir):
 )
 def q_doc_overlap(spark, sf_dir):
     """Sub-document overlap detection (operators/dedup.py
-    ``overlap_pairs``): join DISTINCT rolling fingerprints across
-    documents — pairs sharing ≥1 identical 8-word window, with the
-    shared-window count. The join key is the fingerprint
-    (hash-uniform buckets), so cost is Σ|bucket|², never corpus²; the
-    document-frequency guard drops boilerplate fingerprints (df >
-    {max_doc_freq}) so no bucket can go quadratic at 100 TB — the cap
-    semantics themselves are hash-graded (same HAVING in the oracle)."""
+    ``overlap_pairs``): rolling fingerprints grouped per window value —
+    pairs of documents sharing ≥1 identical 8-word window, with the
+    shared-window count. Per-document window dedup happens inside the
+    set-aggregate (r6: the former caller-side ``.distinct()`` was a
+    second shuffle of the same stream — folding it into collect_set
+    measured 1.60 → 0.95 s same-session at sf0.1, same hash). The group key is the
+    fingerprint (hash-uniform buckets), so cost is Σ|bucket|², never
+    corpus²; the document-frequency guard drops boilerplate
+    fingerprints (df > {max_doc_freq}) so no bucket can go quadratic at
+    100 TB — the cap semantics themselves are hash-graded (same HAVING
+    in the oracle)."""
     d = load_table(spark, sf_dir, "documents")
-    fp = dd.rolling_fingerprints(d).select("doc_id", "fingerprint").distinct()
+    fp = dd.rolling_fingerprints(d).select("doc_id", "fingerprint")
     return dd.overlap_pairs(fp)
 
 
