@@ -99,6 +99,37 @@ def hash_encoder(n_dims: int = DEFAULT_DIMS):
     return encode
 
 
+def auto_encoder(model_name: str = "all-MiniLM-L6-v2"):
+    """Best-available REAL text encoder for :func:`embed_texts`'s
+    ``encoder=`` plug point, or ``None`` when no embedding runtime is
+    importable (this container — callers then keep the md5 stub).
+
+    Detection is a DRIVER-side import probe of sentence-transformers;
+    the returned closure loads the model lazily ONCE PER EXECUTOR
+    PROCESS (cached in a closure dict each pickled copy owns) so the
+    multi-second model load amortizes across every Arrow batch a
+    worker sees — the batched-inference discipline embed_texts
+    documents. Output follows the embed_texts contract exactly: one
+    vector per input text, fixed width, raise (never drop) on failure.
+    Contract parity when the library exists: tests/test_autodetect.py.
+    """
+    try:
+        __import__("sentence_transformers")
+    except ImportError:
+        return None
+    _cache: dict = {}
+
+    def encode(texts: Sequence[str]) -> list[list[float]]:
+        if "model" not in _cache:
+            from sentence_transformers import SentenceTransformer
+
+            _cache["model"] = SentenceTransformer(model_name)
+        vecs = _cache["model"].encode(list(texts), show_progress_bar=False)
+        return [[float(x) for x in v] for v in vecs]
+
+    return encode
+
+
 def embed_texts(
     df: DataFrame,
     id_col: str = "doc_id",

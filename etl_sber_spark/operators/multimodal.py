@@ -66,11 +66,81 @@ def decode_real(payload: bytes, media_type: str):
 
     Would be: ``PIL.Image.open(io.BytesIO(payload))`` for images,
     ``soundfile.read`` for audio, ``av.open`` frame sampling for video.
+    (:func:`auto_decoder` builds exactly that callable when the
+    libraries exist — this stub remains the documented failure mode of
+    the codec-free container.)
     """
     raise NotImplementedError(
         "media codecs are not available in this container; "
         "use decode_stub_features for the pipeline contract"
     )
+
+
+def auto_decoder():
+    """Best-available REAL codec for :func:`decode_features`'s
+    ``decoder=`` plug point, or ``None`` when no media library is
+    importable (this container — callers then keep the stub).
+
+    Detection is a DRIVER-side import probe; the returned closure
+    re-imports lazily executor-side (self-contained — cloudpickle ships
+    it by value, and the load amortizes across a worker's Arrow
+    batches). Coverage: images via PIL (width/height; ``n_frames`` from
+    multi-frame formats like GIF), video via PyAV (stream dims + frame
+    count). A media_type with no available codec raises inside the
+    decoder — loud per-row failure, matching the conformer contract
+    (tests/test_multimodal.py) rather than silently faking dimensions.
+    Contract parity when libraries exist: tests/test_autodetect.py.
+    """
+    have_pil = have_av = False
+    try:
+        __import__("PIL.Image")
+        have_pil = True
+    except ImportError:
+        pass
+    try:
+        __import__("av")
+        have_av = True
+    except ImportError:
+        pass
+    if not (have_pil or have_av):
+        return None
+    _pil, _av = have_pil, have_av
+
+    def decode(payload: bytes, media_type: str):
+        import hashlib as _hashlib
+        import io as _io
+
+        h = _hashlib.md5(payload).hexdigest()
+        if media_type == "image" and _pil:
+            from PIL import Image as _Image
+
+            with _Image.open(_io.BytesIO(payload)) as img:
+                return (
+                    int(img.width),
+                    int(img.height),
+                    int(getattr(img, "n_frames", 1)),
+                    h,
+                )
+        if media_type == "video" and _av:
+            import av as _avmod
+
+            with _avmod.open(_io.BytesIO(payload)) as container:
+                stream = container.streams.video[0]
+                n = int(stream.frames or 0)
+                if n == 0:  # container without a frame count header
+                    n = sum(1 for _ in container.decode(stream))
+                return (
+                    int(stream.codec_context.width),
+                    int(stream.codec_context.height),
+                    max(n, 1),
+                    h,
+                )
+        raise ValueError(
+            f"no codec available for media_type={media_type!r} "
+            f"(PIL={_pil}, av={_av})"
+        )
+
+    return decode
 
 
 def _stub_dims(payload: bytes) -> tuple[int, int, int, str]:
