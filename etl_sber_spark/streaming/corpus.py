@@ -76,7 +76,8 @@ def stream_corpus_increments(
     ``quarantine_table``.
 
     Pass ``centroids`` (a FIXED k-means frame — train once, persist
-    like the BPE merge table; retraining invalidates the index, see
+    versioned via operators/annindex.py ``save_ivf_index`` and reload
+    with ``load_ivf_index``; retraining invalidates the index, see
     operators/semindex.py) to add the SEMANTIC stage: each batch's
     lexical keepers are embedded (``encoder`` — the deterministic stub
     by default, a real model in production; operators/inference.py) and

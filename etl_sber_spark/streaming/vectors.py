@@ -1,0 +1,107 @@
+"""Continuous ANN serving-table maintenance from an embedding landing
+zone.
+
+The missing tense of operators/annindex.py: `build_ann_index` covers
+the batch "index a corpus snapshot" case, but a live pipeline's
+embeddings arrive continuously (the inference stage drops them as the
+crawler's documents clear curation). Each micro-batch here attaches
+BOTH serving columns against the FROZEN persisted artifacts — the IVF
+`centroid_id` (literal-matrix argmin) and the LSH `bucket`
+(hyperplane signature), pure projections, zero shuffles, zero joins —
+and appends to the stored serving table. Queries
+(`cosine_topk_ivf(centroids=…, centroid_col=…)`,
+`cosine_topk_lsh(bucket_col=…)`) see fresh vectors immediately, and
+no retraining ever happens on the ingest path: the quantizer is
+loaded ONCE at stream start (`load_ivf_index` / `load_lsh_model` —
+the drift guard refuses planes that don't match the stored bucket
+convention), because per-batch retraining would silently re-cluster
+the serving table (the frozen-quantizer contract of
+operators/semindex.py).
+
+Execution discipline = streaming/idempotent.py, shared with the
+corpus/crawl streams: availableNow by default (the cron shape),
+exactly-once per file via the checkpoint, per-batch writes idempotent
+by batch_id-partition overwrite, marker as fast-skip only. At 100 TB
+the serving table is additionally partitioned/clustered by
+centroid_id or bucket at compaction time (operators/zorder.py /
+Warehouse.compact_partition) so probes prune at file level — the
+streaming appends land batch-partitioned first because that is what
+makes crash replay rewrite instead of duplicate.
+
+Reference parity: no streaming or vector surface in the reference
+(nightly Oracle ETL, main.py) — LLM-pipeline extension per SURVEY
+§7.5.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQuery
+
+from ..operators.annindex import (
+    IVF_TABLE,
+    LSH_TABLE,
+    load_ivf_index,
+    load_lsh_model,
+    materialize_ivf_assignments,
+    materialize_lsh_buckets,
+)
+from ..sinks.warehouse import Warehouse
+from .idempotent import run_idempotent_increments
+
+#: landing-zone line schema (JSONL, one vector per line)
+VECTOR_SCHEMA = "vec_id bigint, embedding array<float>"
+
+
+def stream_vector_ingest(
+    spark: SparkSession,
+    inbox: str,
+    wh: Warehouse,
+    checkpoint_dir: str,
+    *,
+    serving_table: str = "ann_serving",
+    ivf_name: str = IVF_TABLE,
+    lsh_name: str = LSH_TABLE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_files_per_trigger: int = 1,
+    processing_time: str | None = None,
+) -> StreamingQuery:
+    """Start the serving-table stream; returns the StreamingQuery.
+
+    Requires the index artifacts to exist (``build_ann_index`` or
+    save_ivf_index + save_lsh_model ran at corpus bootstrap) — loading
+    them is the first thing this does, so a missing/drifted artifact
+    fails at START, not per batch. Each micro-batch of JSONL vector
+    lines appends (id, vector, centroid_id, bucket) rows to
+    ``serving_table`` (batch_id-partitioned; replay-safe).
+    """
+    centroids = load_ivf_index(wh, ivf_name)
+    n_dims, _ = load_lsh_model(wh, lsh_name)
+
+    raw = (
+        spark.readStream.schema(VECTOR_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(inbox)
+    )
+
+    def transform(batch_df: DataFrame, batch_id: int) -> dict[str, DataFrame]:
+        return {
+            serving_table: materialize_lsh_buckets(
+                materialize_ivf_assignments(
+                    batch_df, centroids, id_col, vec_col
+                ),
+                n_dims,
+                vec_col,
+            )
+        }
+
+    return run_idempotent_increments(
+        spark,
+        raw,
+        wh,
+        checkpoint_dir,
+        f"{serving_table}__applied_batches",
+        transform,
+        processing_time,
+    )
