@@ -1,0 +1,175 @@
+"""Cron/ops-shaped CLI for the persisted ANN index lifecycle.
+
+Three subcommands mirror how a 100 TB deployment actually serves
+similarity search (operators/annindex.py, streaming/vectors.py):
+
+``build``
+    Train the IVF quantizer on a parquet embeddings snapshot (hash-
+    sampled via ``--train-mod`` at scale), persist BOTH versioned
+    artifacts (centroids + LSH planes), and bootstrap the serving
+    table with the snapshot's serving columns (batch_id = -1
+    partition — re-running build overwrites exactly that partition, so
+    bootstrap is idempotent and never clobbers streamed appends).
+
+``ingest``
+    Drain a JSONL vector inbox as ONE availableNow pass of
+    ``stream_vector_ingest`` — new vectors join the serving table
+    assigned against the FROZEN artifacts (no retraining; a drifted
+    LSH artifact fails at start).
+
+``search``
+    Top-k neighbors for serving-table vectors by id, via the
+    search-only paths (``centroids=``/``centroid_col=``,
+    ``bucket_col=``) — zero training jobs. Prints one JSON line with
+    the result rows.
+
+Example::
+
+    python -m etl_sber_spark.ann_cli build \
+        --embeddings /data/embeddings.parquet --warehouse /data/ann_wh
+    python -m etl_sber_spark.ann_cli ingest \
+        --inbox /data/vec_inbox --warehouse /data/ann_wh
+    python -m etl_sber_spark.ann_cli search \
+        --warehouse /data/ann_wh --query-ids 1,2,3 --k 10 --method ivf
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
+    p = argparse.ArgumentParser(
+        prog="python -m etl_sber_spark.ann_cli",
+        description="Build / ingest / search the persisted ANN index.",
+    )
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build", help="train + persist index, bootstrap serving table")
+    b.add_argument("--embeddings", required=True, help="parquet embeddings snapshot")
+    b.add_argument("--warehouse", required=True)
+    b.add_argument("--n-lists", type=int, default=64)
+    b.add_argument("--n-iter", type=int, default=3)
+    b.add_argument(
+        "--train-mod",
+        type=int,
+        default=None,
+        help="train on the deterministic ~1/m hash sample (100 TB default)",
+    )
+
+    i = sub.add_parser("ingest", help="drain a JSONL vector inbox into the serving table")
+    i.add_argument("--inbox", required=True)
+    i.add_argument("--warehouse", required=True)
+    i.add_argument("--max-files-per-trigger", type=int, default=1)
+
+    s = sub.add_parser("search", help="top-k neighbors for serving-table vectors")
+    s.add_argument("--warehouse", required=True)
+    s.add_argument("--query-ids", required=True, help="comma-separated vec_ids")
+    s.add_argument("--k", type=int, default=10)
+    s.add_argument("--method", choices=("ivf", "lsh"), default="ivf")
+    s.add_argument("--n-probe", type=int, default=2)
+    return p.parse_args(argv)
+
+
+SERVING = "ann_serving"
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = parse_args(argv)
+
+    from pyspark.sql import functions as F
+
+    from .operators import annindex as ai
+    from .operators import similarity as sim
+    from .session import get_spark
+    from .sinks.warehouse import Warehouse
+
+    spark = get_spark("ann-index")
+    wh = Warehouse(spark, args.warehouse)
+
+    if args.cmd == "build":
+        emb = spark.read.parquet(args.embeddings)
+        stored = ai.build_ann_index(
+            wh,
+            emb,
+            n_lists=args.n_lists,
+            n_iter=args.n_iter,
+            train_mod=args.train_mod,
+        )
+        wh.overwrite_partitions(
+            stored.withColumn("batch_id", F.lit(-1)), SERVING, ["batch_id"]
+        )
+        out = {
+            "built": True,
+            "n_vectors": wh.read(SERVING)
+            .filter(F.col("batch_id") == -1)
+            .count(),
+            "n_lists": ai.load_ivf_index(wh).count(),
+            "ivf_version": wh.versions(ai.IVF_TABLE)[-1],
+            "lsh_version": wh.versions(ai.LSH_TABLE)[-1],
+        }
+    elif args.cmd == "ingest":
+        from .streaming.vectors import stream_vector_ingest
+
+        q = stream_vector_ingest(
+            spark,
+            args.inbox,
+            wh,
+            os.path.join(args.warehouse, "_ann_checkpoint"),
+            serving_table=SERVING,
+            max_files_per_trigger=args.max_files_per_trigger,
+        )
+        q.awaitTermination()
+        serving = wh.read(SERVING)
+        out = {
+            "serving_total": serving.count(),
+            "streamed_total": serving.filter(F.col("batch_id") >= 0).count(),
+        }
+    else:  # search
+        ids = [int(x) for x in args.query_ids.split(",") if x.strip()]
+        serving = wh.read(SERVING).drop("batch_id")
+        queries = serving.filter(F.col("vec_id").isin(ids)).select(
+            "vec_id", "embedding"
+        )
+        if args.method == "ivf":
+            res = sim.cosine_topk_ivf(
+                serving,
+                queries,
+                k=args.k,
+                n_probe=args.n_probe,
+                centroids=ai.load_ivf_index(wh),
+                centroid_col="centroid_id",
+            )
+        else:
+            n_dims, _ = ai.load_lsh_model(wh)
+            res = sim.cosine_topk_lsh(
+                serving,
+                queries,
+                n_dims,
+                k=args.k,
+                n_probe=args.n_probe,
+                bucket_col="bucket",
+            )
+        out = {
+            "method": args.method,
+            "k": args.k,
+            "results": [
+                {
+                    "query_id": r.query_id,
+                    "vec_id": r.vec_id,
+                    "sim": r.sim,
+                    "rank": r.rank,
+                }
+                for r in res.orderBy("query_id", "rank").collect()
+            ],
+        }
+    print(json.dumps(out))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,120 @@
+"""The ANN index lifecycle CLI (ann_cli.py) as real subprocesses:
+build → ingest → search against one warehouse, cwd outside the repo
+(the deployment shape every CLI test in this repo uses)."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+REPO = str(Path(__file__).resolve().parents[1])
+
+
+def _run(tmp_path, *argv):
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    env["SPARK_GRAFT_CPUS"] = "4"
+    out = subprocess.run(
+        [sys.executable, "-m", "etl_sber_spark.ann_cli", *argv],
+        capture_output=True,
+        text=True,
+        env=env,
+        cwd=str(tmp_path),
+        timeout=600,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def test_build_ingest_search_lifecycle(spark, sf_dir, tmp_path):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    base = emb.filter("vec_id < 400").select("vec_id", "embedding")
+    base_path = str(tmp_path / "snapshot.parquet")
+    base.write.parquet(base_path)
+    wh_dir = str(tmp_path / "wh")
+
+    r = _run(
+        tmp_path,
+        "build",
+        "--embeddings",
+        base_path,
+        "--warehouse",
+        wh_dir,
+        "--n-lists",
+        "8",
+        "--n-iter",
+        "2",
+    )
+    n_base = base.count()
+    assert r["built"] and r["n_vectors"] == n_base
+    assert r["ivf_version"] == 1 and r["lsh_version"] == 1
+
+    # late vectors arrive via the inbox
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    late = emb.filter("vec_id >= 400").select("vec_id", "embedding").collect()
+    with open(inbox / "late.jsonl", "w") as f:
+        for row in late:
+            f.write(
+                json.dumps(
+                    {
+                        "vec_id": row.vec_id,
+                        "embedding": [float(x) for x in row.embedding],
+                    }
+                )
+                + "\n"
+            )
+    r = _run(tmp_path, "ingest", "--inbox", str(inbox), "--warehouse", wh_dir)
+    assert r["streamed_total"] == len(late)
+    assert r["serving_total"] == n_base + len(late)
+
+    # search finds streamed vectors through the same serving table
+    qid = late[0].vec_id
+    r = _run(
+        tmp_path,
+        "search",
+        "--warehouse",
+        wh_dir,
+        "--query-ids",
+        str(qid),
+        "--k",
+        "3",
+        "--method",
+        "ivf",
+    )
+    assert r["k"] == 3 and r["results"]
+    assert all(row["query_id"] == qid for row in r["results"])
+    assert [row["rank"] for row in r["results"]] == list(
+        range(1, len(r["results"]) + 1)
+    )
+
+    # rebuilding is idempotent: overwrites the bootstrap partition only
+    r = _run(
+        tmp_path,
+        "build",
+        "--embeddings",
+        base_path,
+        "--warehouse",
+        wh_dir,
+        "--n-lists",
+        "8",
+        "--n-iter",
+        "2",
+    )
+    assert r["n_vectors"] == n_base and r["ivf_version"] == 2
+    r = _run(
+        tmp_path,
+        "search",
+        "--warehouse",
+        wh_dir,
+        "--query-ids",
+        str(qid),
+        "--k",
+        "3",
+        "--method",
+        "lsh",
+    )
+    assert r["method"] == "lsh"
