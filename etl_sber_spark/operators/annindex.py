@@ -40,7 +40,7 @@ random-hyperplane LSH, Charikar STOC'02).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .similarity import (
@@ -193,6 +193,39 @@ def materialize_lsh_buckets(
     return spread(embeddings).withColumn(
         "bucket", bucket_expr(vec_col, n_dims)
     )
+
+
+def cluster_serving_table(
+    wh,
+    serving_table: str = "ann_serving",
+    out_table: str | None = None,
+    id_col: str = "vec_id",
+) -> str:
+    """Compaction step for the streamed serving table: rewrite the
+    batch_id-partitioned appends (streaming/vectors.py — that layout
+    exists for crash-replay idempotence, not for reads) into a
+    ``centroid_id``-PARTITIONED layout, latest batch winning per id
+    (a re-sent vector supersedes its earlier row). After this, an IVF
+    query's list equi-join carries a dynamic-partition-pruning filter
+    on the scan — only the probed lists' files are read, the literal
+    100 TB serving shape (plan-pinned in tests/test_annindex.py).
+    Run on the warehouse maintenance cadence alongside
+    ``Warehouse.compact_partition``; returns the output table name
+    (default ``{serving_table}_by_list``).
+    """
+    out = out_table or f"{serving_table}_by_list"
+    rows = wh.read(serving_table)
+    if "batch_id" in rows.columns:
+        w = Window.partitionBy(id_col).orderBy(F.col("batch_id").desc())
+        rows = (
+            rows.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn", "batch_id")
+        )
+    # centroid_id must be LAST for the partitioned write path
+    cols = [c for c in rows.columns if c != "centroid_id"]
+    wh.overwrite_partitions(rows.select(*cols, "centroid_id"), out, ["centroid_id"])
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -21,12 +21,12 @@ operators/semindex.py).
 Execution discipline = streaming/idempotent.py, shared with the
 corpus/crawl streams: availableNow by default (the cron shape),
 exactly-once per file via the checkpoint, per-batch writes idempotent
-by batch_id-partition overwrite, marker as fast-skip only. At 100 TB
-the serving table is additionally partitioned/clustered by
-centroid_id or bucket at compaction time (operators/zorder.py /
-Warehouse.compact_partition) so probes prune at file level — the
-streaming appends land batch-partitioned first because that is what
-makes crash replay rewrite instead of duplicate.
+by batch_id-partition overwrite, marker as fast-skip only. The
+batch-partitioned layout exists for crash replay, not for reads: on
+the maintenance cadence, ``annindex.cluster_serving_table`` rewrites
+it centroid_id-partitioned (latest batch wins per id), after which an
+IVF probe join dynamic-partition-prunes the serving scan to the
+probed lists' files (plan-pinned in tests/test_annindex.py).
 
 Reference parity: no streaming or vector surface in the reference
 (nightly Oracle ETL, main.py) — LLM-pipeline extension per SURVEY

@@ -158,3 +158,59 @@ def test_plane_signs_match_sql_formula(spark):
     sql = sim._signs_sql(8)
     row = spark.range(1).select(F.expr(sql).alias("m")).first()
     assert [list(p) for p in row.m] == ai._plane_signs(8)
+
+
+def test_cluster_serving_table_prunes_probed_lists(spark, emb, tmp_path):
+    """cluster_serving_table rewrites the streamed layout into a
+    centroid_id-partitioned one; an IVF probe join must then carry a
+    dynamic-partition-pruning filter on the serving scan (only probed
+    lists' files read — the 100 TB serving claim), latest batch wins
+    per id, and results match the unclustered path."""
+    import contextlib
+    import io
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    stored = ai.build_ann_index(wh, emb, n_lists=8, n_iter=2)
+    wh.overwrite_partitions(
+        stored.withColumn("batch_id", F.lit(-1)), "ann_serving", ["batch_id"]
+    )
+    # a later batch re-sends vec_id 0 with a zeroed vector: the rewrite
+    # must keep the batch-7 row, not the bootstrap one
+    resent = stored.filter(F.col("vec_id") == 0).withColumn(
+        "embedding", F.expr("transform(embedding, x -> CAST(0.0 AS FLOAT))")
+    )
+    wh.overwrite_partitions(
+        resent.withColumn("batch_id", F.lit(7)), "ann_serving", ["batch_id"]
+    )
+
+    out = ai.cluster_serving_table(wh)
+    clustered = wh.read(out)
+    assert clustered.count() == emb.count()  # one row per id
+    v0 = clustered.filter(F.col("vec_id") == 0).first()
+    assert all(x == 0.0 for x in v0.embedding)  # latest batch won
+
+    cents = ai.load_ivf_index(wh)
+    queries = emb.filter(F.col("vec_id").between(100, 102))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        res = sim.cosine_topk_ivf(
+            clustered, queries, k=3, centroids=cents, centroid_col="centroid_id"
+        )
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            res.explain("formatted")
+        assert "dynamicpruning" in buf.getvalue().lower(), buf.getvalue()
+
+        base = sim.cosine_topk_ivf(
+            stored.filter(F.col("vec_id") > 0),
+            queries,
+            k=3,
+            centroids=cents,
+            centroid_col="centroid_id",
+        )
+        # vec_id 0 is zeroed in the clustered table (NULL sim sorts
+        # last) and excluded from base — same top-k either way
+        assert _rows(res) == _rows(base)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
