@@ -17,11 +17,20 @@ similarity search (operators/annindex.py, streaming/vectors.py):
     assigned against the FROZEN artifacts (no retraining; a drifted
     LSH artifact fails at start).
 
+``compact``
+    Maintenance rewrite of the serving table into the
+    centroid_id-partitioned read layout
+    (``annindex.cluster_serving_table`` — latest batch wins per id,
+    probe joins then prune scanned files to the probed lists).
+
 ``search``
     Top-k neighbors for serving-table vectors by id, via the
     search-only paths (``centroids=``/``centroid_col=``,
-    ``bucket_col=``) — zero training jobs. Prints one JSON line with
-    the result rows.
+    ``bucket_col=``) — zero training jobs; reads the canonical serving
+    view (``annindex.read_serving``): the compacted layout when it
+    exists, topped up with batches streamed after its watermark —
+    compaction is a read-layout optimization, never a freshness
+    cliff. Prints one JSON line with the result rows.
 
 Example::
 
@@ -64,6 +73,11 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     i.add_argument("--inbox", required=True)
     i.add_argument("--warehouse", required=True)
     i.add_argument("--max-files-per-trigger", type=int, default=1)
+
+    c = sub.add_parser(
+        "compact", help="rewrite the serving table list-partitioned"
+    )
+    c.add_argument("--warehouse", required=True)
 
     s = sub.add_parser("search", help="top-k neighbors for serving-table vectors")
     s.add_argument("--warehouse", required=True)
@@ -128,9 +142,19 @@ def main(argv: list[str] | None = None) -> int:
             "serving_total": serving.count(),
             "streamed_total": serving.filter(F.col("batch_id") >= 0).count(),
         }
+    elif args.cmd == "compact":
+        out_table = ai.cluster_serving_table(wh, SERVING)
+        out = {
+            "compacted_to": out_table,
+            "n_vectors": wh.read(out_table).count(),
+            "n_lists_present": wh.read(out_table)
+            .select("centroid_id")
+            .distinct()
+            .count(),
+        }
     else:  # search
         ids = [int(x) for x in args.query_ids.split(",") if x.strip()]
-        serving = wh.read(SERVING).drop("batch_id")
+        serving = ai.read_serving(wh, SERVING)
         queries = serving.filter(F.col("vec_id").isin(ids)).select(
             "vec_id", "embedding"
         )

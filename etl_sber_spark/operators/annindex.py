@@ -215,7 +215,10 @@ def cluster_serving_table(
     """
     out = out_table or f"{serving_table}_by_list"
     rows = wh.read(serving_table)
+    watermark = None
     if "batch_id" in rows.columns:
+        wm_row = rows.agg(F.max("batch_id").alias("m")).first()
+        watermark = int(wm_row.m) if wm_row.m is not None else None
         w = Window.partitionBy(id_col).orderBy(F.col("batch_id").desc())
         rows = (
             rows.withColumn("_rn", F.row_number().over(w))
@@ -225,7 +228,51 @@ def cluster_serving_table(
     # centroid_id must be LAST for the partitioned write path
     cols = [c for c in rows.columns if c != "centroid_id"]
     wh.overwrite_partitions(rows.select(*cols, "centroid_id"), out, ["centroid_id"])
+    if watermark is not None:
+        # the highest batch folded in — read_serving tops the compacted
+        # layout up with batches streamed after this point
+        wh.overwrite_versioned(
+            wh.spark.createDataFrame(
+                [(watermark,)], "max_batch_id bigint"
+            ),
+            f"{out}__wm",
+        )
     return out
+
+
+def read_serving(wh, serving_table: str = "ann_serving") -> DataFrame:
+    """The canonical serving-table read for queries: the compacted
+    list-partitioned layout when it exists, TOPPED UP with any batches
+    streamed after its watermark (latest batch wins per id) — so
+    ``cluster_serving_table`` is purely a read-layout optimization,
+    never a freshness cliff; without a compacted table, the raw
+    batch-partitioned appends with the same latest-wins rule. Always
+    returns serving-schema rows without ``batch_id``."""
+    out = f"{serving_table}_by_list"
+
+    def _latest_wins(rows: DataFrame, id_col: str = "vec_id") -> DataFrame:
+        w = Window.partitionBy(id_col).orderBy(F.col("batch_id").desc())
+        return (
+            rows.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn", "batch_id")
+        )
+
+    if not wh.has_data(out):
+        return _latest_wins(wh.read(serving_table))
+    clustered = wh.read(out)
+    wm_table = f"{out}__wm"
+    if not wh.has_data(wm_table):
+        return clustered
+    wm = int(wh.read(wm_table).first().max_batch_id)
+    fresh = wh.read(serving_table).filter(F.col("batch_id") > wm)
+    # fresh is increment-sized: dedup IT with the window, then replace
+    # any superseded clustered rows via a (broadcastable) anti-join —
+    # never a corpus-wide window, and the clustered scan stays prunable
+    fresh_latest = _latest_wins(fresh).select(*clustered.columns)
+    return clustered.join(
+        fresh_latest.select("vec_id"), "vec_id", "left_anti"
+    ).unionByName(fresh_latest)
 
 
 # ---------------------------------------------------------------------------

@@ -90,6 +90,25 @@ def test_build_ingest_search_lifecycle(spark, sf_dir, tmp_path):
     assert [row["rank"] for row in r["results"]] == list(
         range(1, len(r["results"]) + 1)
     )
+    precompact_results = r["results"]
+
+    # compact to the list-partitioned read layout; search is unchanged
+    r = _run(tmp_path, "compact", "--warehouse", wh_dir)
+    assert r["n_vectors"] == n_base + len(late)
+    assert r["n_lists_present"] <= 8
+    r = _run(
+        tmp_path,
+        "search",
+        "--warehouse",
+        wh_dir,
+        "--query-ids",
+        str(qid),
+        "--k",
+        "3",
+        "--method",
+        "ivf",
+    )
+    assert r["results"] == precompact_results
 
     # rebuilding is idempotent: overwrites the bootstrap partition only
     r = _run(

@@ -214,3 +214,58 @@ def test_cluster_serving_table_prunes_probed_lists(spark, emb, tmp_path):
         assert _rows(res) == _rows(base)
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_read_serving_freshness_across_compaction(spark, emb, tmp_path):
+    """read_serving: raw-only, compacted-only, and compacted+fresh
+    top-up all present the same latest-wins view — compaction is never
+    a freshness cliff."""
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    stored = ai.build_ann_index(
+        wh,
+        emb.filter(F.col("vec_id") < 100).select("vec_id", "embedding"),
+        n_lists=4,
+        n_iter=1,
+    )
+    wh.overwrite_partitions(
+        stored.withColumn("batch_id", F.lit(0)), "ann_serving", ["batch_id"]
+    )
+    assert ai.read_serving(wh).count() == 100  # raw-only path
+
+    ai.cluster_serving_table(wh)
+    assert ai.read_serving(wh).count() == 100  # compacted-only path
+
+    # batches AFTER the watermark: 50 new ids + 1 re-sent (zeroed) id
+    cents = ai.load_ivf_index(wh)
+    late = ai.materialize_lsh_buckets(
+        ai.materialize_ivf_assignments(
+            emb.filter(F.col("vec_id").between(100, 149)).select(
+                "vec_id", "embedding"
+            ),
+            cents,
+        ),
+        N_DIMS,
+    ).select(*[c for c in stored.columns])
+    wh.overwrite_partitions(
+        late.withColumn("batch_id", F.lit(1)), "ann_serving", ["batch_id"]
+    )
+    resent = stored.filter(F.col("vec_id") == 3).withColumn(
+        "embedding", F.expr("transform(embedding, x -> CAST(0.0 AS FLOAT))")
+    )
+    wh.overwrite_partitions(
+        resent.withColumn("batch_id", F.lit(2)), "ann_serving", ["batch_id"]
+    )
+
+    view = ai.read_serving(wh)
+    assert view.count() == 150  # fresh ids visible, no duplicates
+    v3 = view.filter(F.col("vec_id") == 3).first()
+    assert all(x == 0.0 for x in v3.embedding)  # re-send superseded
+
+    # re-compacting folds the top-up in; the view is unchanged
+    ai.cluster_serving_table(wh)
+    view2 = ai.read_serving(wh)
+    assert view2.count() == 150
+    assert all(
+        x == 0.0
+        for x in view2.filter(F.col("vec_id") == 3).first().embedding
+    )
