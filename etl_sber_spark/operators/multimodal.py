@@ -402,17 +402,34 @@ def phash_near_duplicates(
     id_col: str = "media_id",
     phash_col: str = "phash64",
     max_hamming: int = 3,
+    *,
+    max_bucket: int | None = 1000,
 ) -> DataFrame:
     """Perceptual near-dup pairs: (id_a, id_b, hamming ≤ ``max_hamming``).
 
     Banding by pigeonhole: split the 64-bit hash into ``max_hamming+1``
     contiguous bands — two hashes within Hamming distance ``max_hamming``
     differ in at most ``max_hamming`` bands, so at least ONE band matches
-    exactly. Candidates come from per-band equi-joins (bucketed,
-    Σ|bucket|², never corpus²  — the LSH shape of operators/dedup.py),
-    then one ``bit_count(xor)`` verifies the exact distance JVM-side.
-    100% recall within the radius by construction; no Python, two
-    shuffles (band join + pair distinct).
+    exactly. Candidate generation is per-(band, key) bucket (Σ|bucket|²,
+    never corpus² — the LSH shape of operators/dedup.py), then one
+    ``bit_count(xor)`` verifies the exact distance JVM-side. 100% recall
+    within the radius by construction for buckets under the cap; no
+    Python.
+
+    **Hot-bucket guard** (r6 — the hazard class dedup.lsh_candidate_pairs
+    closed in r5, applied to the media path): a clique of byte-identical
+    or template images shares every band key, so one bucket holds the
+    whole clique and an unguarded join emits C(n, 2) pairs per band on
+    one task. Buckets over ``max_bucket`` emit the (anchor=min id,
+    member) STAR instead — pair generation is a GROUP-then-expand with
+    O(|bucket|) spill-backed state, the star pairs still hamming-verify
+    exactly, and connected components union a star like a clique. A pair
+    whose EVERY matching band is oversized loses its non-anchor edges
+    (the bounded-output price, same argument as the text twin); pairs
+    with any healthy matching band are unaffected. ``max_bucket=None``
+    is the unguarded semantics reference; the brute-force-oracle tests
+    pin the guard as a no-op on healthy fixtures
+    (tests/test_multimodal.py, tests/test_skew_caps.py).
     """
     n_bands = max_hamming + 1
     width = 64 // n_bands
@@ -436,30 +453,50 @@ def phash_near_duplicates(
         ]
     )
     banded = df.select(
-        F.col(id_col), F.col(phash_col), F.explode(bands).alias("bk")
+        F.col(id_col), F.explode(bands).alias("bk")
     ).select(
-        id_col, phash_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+        id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
     )
-    a = banded.alias("a")
-    b = banded.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.bit_count(
-                F.col(f"a.{phash_col}").bitwiseXOR(F.col(f"b.{phash_col}"))
-            ).alias("hamming"),
-        )
-        .filter(F.col("hamming") <= max_hamming)
+    grouped = banded.groupBy("band", "key").agg(
+        F.sort_array(F.collect_list(id_col)).alias("ids")
+    )
+    clique = F.expr(
+        "flatten(transform(ids, (a, i) -> "
+        "transform(slice(ids, i + 2, size(ids) - i - 1), "
+        "b -> struct(a AS id_a, b AS id_b))))"
+    )
+    star = F.expr(
+        "transform(slice(ids, 2, size(ids) - 1), "
+        "b -> struct(element_at(ids, 1) AS id_a, b AS id_b))"
+    )
+    emit = (
+        clique
+        if max_bucket is None
+        else F.when(F.size("ids") <= max_bucket, clique).otherwise(star)
+    )
+    # a pair can match in several bands -> distinct BEFORE the verify
+    # join (the old formulation distinct'ed after computing hamming;
+    # same pair set, less verify work)
+    cand = (
+        grouped.filter(F.size("ids") >= 2)
+        .select(F.explode(emit).alias("p"))
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
-    return pairs
+    ha = df.select(F.col(id_col).alias("id_a"), F.col(phash_col).alias("_pa"))
+    hb = df.select(F.col(id_col).alias("id_b"), F.col(phash_col).alias("_pb"))
+    return (
+        cand.join(ha, "id_a")
+        .join(hb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("_pa").bitwiseXOR(F.col("_pb"))).alias(
+                "hamming"
+            ),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
 
 
 def media_near_duplicates(

@@ -436,3 +436,38 @@ def test_embedding_neardup_guard_noop_on_real_corpus(spark, sf_dir):
     assert sorted(map(tuple, guarded.collect())) == sorted(
         map(tuple, reference.collect())
     )
+
+
+def test_phash_hot_bucket_emits_star(spark):
+    """A clique of identical perceptual hashes shares every band key;
+    the guarded operator must emit the anchor star (all hamming 0),
+    not C(n,2) pairs per band."""
+    from etl_sber_spark.operators.multimodal import phash_near_duplicates
+
+    n = 5000
+    df = spark.range(n).select(
+        F.col("id").alias("media_id"),
+        F.lit(0x5A5A5A5A5A5A5A5A).cast("long").alias("phash64"),
+    )
+    got = phash_near_duplicates(df, max_bucket=100).collect()
+    assert len(got) == n - 1
+    assert all(r.id_a == 0 and r.hamming == 0 for r in got)
+    assert sorted(r.id_b for r in got) == list(range(1, n))
+
+
+def test_phash_guard_noop_on_organic_hashes(spark):
+    """Distinct-ish hashes: the guarded default must equal the
+    unguarded reference pair-for-pair (and the reference equals the
+    brute-force oracle tests in test_multimodal.py)."""
+    from etl_sber_spark.operators.multimodal import phash_near_duplicates
+
+    # 200 hashes, some within hamming<=3 of each other, buckets tiny
+    df = spark.range(200).select(
+        F.col("id").alias("media_id"),
+        (F.col("id") * 2654435761).cast("long").alias("phash64"),
+    )
+    guarded = sorted(map(tuple, phash_near_duplicates(df).collect()))
+    reference = sorted(
+        map(tuple, phash_near_duplicates(df, max_bucket=None).collect())
+    )
+    assert guarded == reference
