@@ -14,7 +14,8 @@ crawl), crawl-authority ranking (pagerank),
 decontamination + leakage-guarded splits (decontam), sampling/splits
 (sampling), chunking/packing/materialization (packing), FIM transform
 (fim), ranking (ranking), tokenizers (bpe, vocab), LM quality gate
-(lm), mixture building (mixture), sessionization (sessionize),
+(lm), supervised quality classifier (classifier), mixture building
+(mixture), sessionization (sessionize),
 reporting (datacard), multimodal plumbing (multimodal).
 
 Shared infrastructure: materialize.pin (lazy localCheckpoint),

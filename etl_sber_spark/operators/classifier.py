@@ -1,0 +1,218 @@
+"""Hashed-feature logistic quality classifier — the supervised corpus
+filter (GPT-3/LLaMA-style: label a small reference set "high quality"
+vs "random crawl", train a linear classifier on cheap text features,
+score every document, threshold or importance-sample on the score).
+The fastText-shaped counterpart to the UNsupervised surprisal gate in
+operators/lm.py; both feed curation as per-document score columns.
+
+Everything is DataFrame algebra — no ML runtime:
+
+- :func:`hashed_token_features` — the hashing trick: tokens hash into
+  ``n_features`` buckets (portable md5 hash64, functions/hashing.py),
+  one (id, bucket, count) row per present bucket — the SPARSE layout;
+  a dense 10⁴-wide array per doc would be O(docs × width) storage for
+  mostly-zero entries. Bucket 0 is the bias feature (every doc,
+  count 1).
+- :func:`train_quality_classifier` — full-batch gradient descent on
+  logistic loss, the iterative-algorithm discipline of
+  ``similarity.kmeans_centroids``: weights live driver-side as plan
+  literals (metadata-scale: n_features+1 doubles), each iteration is
+  TWO distributed aggregates — margins per doc (groupBy id), gradient
+  per bucket (groupBy bucket, collected) — and no lineage growth
+  across iterations.
+- :func:`quality_scores` — scoring is ONE aggregate over the feature
+  rows against literal weights: at 100 TB this is the production path
+  (train once on the labeled sample, score the corpus in one pass).
+- :func:`save_classifier` / :func:`load_classifier` — the weight
+  vector persists as a VERSIONED warehouse artifact (the BPE/annindex
+  pattern): curation runs record exactly which classifier version
+  gated them.
+
+Determinism (the repo-wide differential-testability rule): every
+float contribution entering a distributed sum is rounded to 9 decimals
+and accumulated as DECIMAL(28,9) — exact, order-independent (the BM25
+rule, operators/ranking.py) — so margins, gradients, and therefore the
+whole GD trajectory are bit-identical across partitionings and
+re-runs; tests replay the exact trajectory in pure Python
+(tests/test_classifier.py).
+
+Reference parity: the reference has no ML surface (main.py is an
+Oracle-SQL nightly ETL) — LLM-pipeline extension per SURVEY §7.5,
+composing public techniques only (hashing trick: Weinberger et al.
+ICML'09; quality-classifier filtering: Brown et al. 2020 §A).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.hashing import hash64
+from .dedup import tokens_expr
+from .materialize import pin
+from .spread import spread
+
+#: default feature-space width (buckets 1..N_FEATURES; 0 is the bias)
+N_FEATURES = 1024
+
+#: contributions are rounded to this scale before the exact decimal sum
+_SCALE = 9
+_DEC = T.DecimalType(28, _SCALE)
+
+
+def hashed_token_features(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_features: int = N_FEATURES,
+) -> DataFrame:
+    """(id, bucket, v): sparse hashed bag-of-tokens counts, plus the
+    bias row (bucket 0, v=1) per document. One explode + one
+    hash-aggregate — parquet-scan-speed feature extraction."""
+    toks = spread(df).select(
+        F.col(id_col), F.explode(tokens_expr(text_col)).alias("tok")
+    )
+    counts = (
+        toks.select(
+            id_col,
+            (hash64(F.col("tok")) % n_features + 1).cast("int").alias("bucket"),
+        )
+        .groupBy(id_col, "bucket")
+        .agg(F.count(F.lit(1)).cast("int").alias("v"))
+    )
+    bias = df.select(
+        F.col(id_col), F.lit(0).alias("bucket"), F.lit(1).alias("v")
+    )
+    return counts.unionByName(bias)
+
+
+def _weights_sql(weights: list[float]) -> str:
+    return "array(" + ", ".join(f"{float(w)!r}D" for w in weights) + ")"
+
+
+def _margins(feats: DataFrame, weights: list[float], id_col: str) -> DataFrame:
+    """(id, margin): Σ v·w[bucket] per doc — contributions rounded then
+    decimal-summed (exact, order-independent), one aggregate."""
+    contrib = F.round(
+        F.col("v")
+        * F.expr(f"element_at({_weights_sql(weights)}, bucket + 1)"),
+        _SCALE,
+    ).cast(_DEC)
+    return feats.groupBy(id_col).agg(
+        F.sum(contrib).cast("double").alias("margin")
+    )
+
+
+def train_quality_classifier(
+    feats: DataFrame,
+    labels: DataFrame,
+    n_features: int = N_FEATURES,
+    *,
+    n_iter: int = 20,
+    lr: float = 1.0,
+    l2: float = 0.0,
+    id_col: str = "doc_id",
+    label_col: str = "label",
+) -> list[float]:
+    """Full-batch logistic GD; returns the weight list (index 0 = bias,
+    b = hashed bucket b). ``labels``: (id, label ∈ {0, 1}) — the
+    labeled reference sets; at 100 TB the labeled sample is tiny next
+    to the corpus, and training cost scales with the SAMPLE's feature
+    rows only (features of unlabeled docs never enter the loop).
+
+    Each iteration: margins per doc (one aggregate), residuals
+    (sigmoid(margin) − label, a projection after an id-equi-join with
+    the labels), gradient per bucket (one aggregate, collected —
+    n_features+1 rows, metadata-scale), weights updated driver-side:
+    ``w ← w·(1 − lr·l2) − (lr/n)·grad``. Deterministic end-to-end: the
+    two sums are exact decimal sums of rounded terms, sigmoid runs on
+    identical doubles everywhere, and the driver update is scalar
+    Python — the trajectory replays bit-identically (pure-Python
+    differential in tests/test_classifier.py).
+    """
+    lab = labels.select(
+        F.col(id_col), F.col(label_col).cast("double").alias("_y")
+    )
+    n = lab.count()
+    if n == 0:
+        raise ValueError("labels frame is empty — nothing to train on")
+    # training touches ONLY labeled docs' features, repeatedly
+    tfeats = pin(feats.join(lab.select(id_col), id_col, "left_semi"))
+    weights = [0.0] * (n_features + 1)
+    for _ in range(n_iter):
+        residuals = (
+            _margins(tfeats, weights, id_col)
+            .join(lab, id_col)
+            .select(
+                id_col,
+                (
+                    F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("margin")))
+                    - F.col("_y")
+                ).alias("_r"),
+            )
+        )
+        gcontrib = F.round(F.col("v") * F.col("_r"), _SCALE).cast(_DEC)
+        grad_rows = (
+            tfeats.join(residuals, id_col)
+            .groupBy("bucket")
+            .agg(F.sum(gcontrib).cast("double").alias("g"))
+            .collect()
+        )
+        grad = {int(r.bucket): float(r.g) for r in grad_rows}
+        decay = 1.0 - lr * l2
+        weights = [
+            w * decay - (lr / n) * grad.get(b, 0.0)
+            for b, w in enumerate(weights)
+        ]
+    return weights
+
+
+def quality_scores(
+    feats: DataFrame, weights: list[float], id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, score): sigmoid of the margin against literal weights —
+    the corpus-wide scoring pass, one aggregate over the sparse
+    feature rows; rounded to 6 decimals (portable across engines)."""
+    return _margins(feats, weights, id_col).select(
+        id_col,
+        F.round(
+            F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("margin"))), 6
+        ).alias("score"),
+    )
+
+
+def sigmoid(x: float) -> float:
+    """Driver-side reference sigmoid (for the pure-Python trajectory
+    differential — same IEEE arithmetic as the distributed one)."""
+    return 1.0 / (1.0 + math.exp(-x))
+
+
+def save_classifier(wh, weights: list[float], name: str = "quality_classifier") -> None:
+    """Persist the weight vector as a versioned warehouse artifact
+    (atomic flip + time travel, like the BPE merge table and the ANN
+    centroid index)."""
+    rows = [(b, float(w)) for b, w in enumerate(weights)]
+    wh.overwrite_versioned(
+        wh.spark.createDataFrame(rows, "bucket int, weight double"), name
+    )
+
+
+def load_classifier(
+    wh, name: str = "quality_classifier", version: int | None = None
+) -> list[float]:
+    """Reload a weight vector saved by :func:`save_classifier`."""
+    rows = sorted(
+        (int(r.bucket), float(r.weight))
+        for r in wh.read(name, version=version).collect()
+    )
+    if not rows:
+        raise ValueError(f"classifier table {name!r} is empty")
+    if [b for b, _ in rows] != list(range(len(rows))):
+        raise ValueError(
+            f"classifier table {name!r} has gaps in its bucket ids — "
+            "not a weight vector written by save_classifier"
+        )
+    return [w for _, w in rows]

@@ -1,0 +1,159 @@
+"""Hashed-feature logistic quality classifier (operators/classifier.py):
+exact pure-Python trajectory differential, separability on planted
+data, partitioning determinism, versioned artifact round-trip, and the
+scoring-plan shape."""
+
+from __future__ import annotations
+
+import math
+from decimal import ROUND_HALF_UP, Decimal
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_sber_spark.operators import classifier as cl
+
+D = 64  # small feature space keeps the differential fast
+
+
+def _corpus(spark):
+    """40 planted 'quality' docs vs 40 'spam' docs, token-separable."""
+    rows = []
+    for i in range(40):
+        rows.append(
+            (i, f"measured insight careful analysis evidence source v{i % 5}")
+        )
+        rows.append(
+            (
+                100 + i,
+                f"click here free winner prize urgent offer now w{i % 5}",
+            )
+        )
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def _labels(spark):
+    rows = [(i, 1) for i in range(40)] + [(100 + i, 0) for i in range(40)]
+    return spark.createDataFrame(rows, "doc_id bigint, label int")
+
+
+@pytest.fixture(scope="module")
+def trained(spark):
+    docs = _corpus(spark)
+    feats = cl.hashed_token_features(docs, n_features=D).localCheckpoint()
+    w = cl.train_quality_classifier(
+        feats, _labels(spark), n_features=D, n_iter=15, lr=1.0
+    )
+    return docs, feats, w
+
+
+def test_learns_planted_separation(spark, trained):
+    docs, feats, w = trained
+    scores = {
+        r.doc_id: r.score for r in cl.quality_scores(feats, w).collect()
+    }
+    good = [scores[i] for i in range(40)]
+    spam = [scores[100 + i] for i in range(40)]
+    assert min(good) > max(spam)  # perfectly separable fixture
+    acc = (
+        sum(1 for s in good if s > 0.5) + sum(1 for s in spam if s < 0.5)
+    ) / 80
+    assert acc >= 0.95
+
+
+def test_trajectory_matches_pure_python(spark, trained):
+    """The distributed GD replays bit-identically in Python: rounded
+    contributions summed exactly (HALF_UP, like Spark's round), same
+    sigmoid, same driver update."""
+    _, feats, w = trained
+    rows = [(r.doc_id, r.bucket, r.v) for r in feats.collect()]
+    labels = {i: 1.0 for i in range(40)}
+    labels.update({100 + i: 0.0 for i in range(40)})
+    n = len(labels)
+
+    def r9(x: float) -> Decimal:
+        return Decimal(repr(x)).quantize(
+            Decimal("1e-9"), rounding=ROUND_HALF_UP
+        )
+
+    weights = [0.0] * (D + 1)
+    for _ in range(15):
+        margins: dict = {}
+        for did, b, v in rows:
+            margins[did] = margins.get(did, Decimal(0)) + r9(v * weights[b])
+        residuals = {
+            did: 1.0 / (1.0 + math.exp(-float(m))) - labels[did]
+            for did, m in margins.items()
+        }
+        grad: dict = {}
+        for did, b, v in rows:
+            grad[b] = grad.get(b, Decimal(0)) + r9(v * residuals[did])
+        weights = [
+            wt - (1.0 / n) * float(grad.get(b, Decimal(0)))
+            for b, wt in enumerate(weights)
+        ]
+    assert weights == w
+
+
+def test_determinism_across_partitionings(spark):
+    docs = _corpus(spark)
+    labels = _labels(spark)
+    feats = cl.hashed_token_features(docs, n_features=D)
+    w3 = cl.train_quality_classifier(
+        feats.repartition(3), labels, n_features=D, n_iter=5
+    )
+    w17 = cl.train_quality_classifier(
+        feats.repartition(17), labels, n_features=D, n_iter=5
+    )
+    assert w3 == w17
+
+
+def test_artifact_round_trip_versioned(spark, trained, tmp_path):
+    from etl_sber_spark.sinks.warehouse import Warehouse
+
+    _, _, w = trained
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    cl.save_classifier(wh, w)
+    assert cl.load_classifier(wh) == w
+    w2 = [x * 0.5 for x in w]
+    cl.save_classifier(wh, w2)
+    assert cl.load_classifier(wh) == w2
+    assert cl.load_classifier(wh, version=1) == w
+
+    # a gapped table is not a weight vector
+    wh.overwrite_versioned(
+        spark.createDataFrame([(0, 1.0), (2, 1.0)], "bucket int, weight double"),
+        "quality_classifier",
+    )
+    with pytest.raises(ValueError, match="gaps"):
+        cl.load_classifier(wh)
+
+
+def test_scoring_is_one_aggregate_no_join(spark, trained):
+    """The corpus-wide scoring pass must stay a single aggregate over
+    the sparse feature rows — weights ride as literals, never a join."""
+    _, feats, w = trained
+    plan = (
+        cl.quality_scores(feats, w)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Join" not in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_unlabeled_features_never_enter_training(spark):
+    """Training cost scales with the labeled sample: corrupt feature
+    rows for unlabeled docs must not change the trajectory."""
+    docs = _corpus(spark)
+    labels = _labels(spark)
+    feats = cl.hashed_token_features(docs, n_features=D)
+    extra = spark.createDataFrame(
+        [(999999, 1, 10**6)], "doc_id bigint, bucket int, v int"
+    )
+    w_clean = cl.train_quality_classifier(feats, labels, n_features=D, n_iter=3)
+    w_noisy = cl.train_quality_classifier(
+        feats.unionByName(extra), labels, n_features=D, n_iter=3
+    )
+    assert w_clean == w_noisy
