@@ -40,10 +40,13 @@ from .spread import spread
 R_LANG = "lang"
 R_TOO_SHORT = "too_short"
 R_QUALITY = "quality"
+R_CLASSIFIER = "classifier"
 R_EXACT = "exact_dup"
 R_NEAR = "near_dup"
 R_SEMANTIC = "semantic_dup"
-DROP_REASONS = (R_LANG, R_TOO_SHORT, R_QUALITY, R_EXACT, R_NEAR, R_SEMANTIC)
+DROP_REASONS = (
+    R_LANG, R_TOO_SHORT, R_QUALITY, R_CLASSIFIER, R_EXACT, R_NEAR, R_SEMANTIC
+)
 
 
 def curate_corpus(
@@ -62,6 +65,8 @@ def curate_corpus(
     semantic_clusters: int = 16,
     semantic_keep: str = "farthest",
     materialize_annotations: bool = True,
+    classifier_weights: list[float] | None = None,
+    classifier_threshold: float = 0.5,
 ) -> DataFrame:
     """Annotate every document with curation columns and a verdict.
 
@@ -74,6 +79,13 @@ def curate_corpus(
     - ``'lang'``       language not in ``allowed_langs``;
     - ``'too_short'``  fewer than ``min_tokens`` whitespace tokens;
     - ``'quality'``    heuristic quality below ``min_quality``;
+    - ``'classifier'`` (only with ``classifier_weights``) trained
+      quality-classifier score below ``classifier_threshold`` — pass a
+      weight vector from operators/classifier.py
+      (``train_quality_classifier`` / ``load_classifier``); evaluated
+      ONLY on cheap-gate survivors (it costs a feature explode + two
+      aggregates where the gates above are projections), and the score
+      surfaces as ``cur_cls_score`` for report/threshold tuning;
     - ``'exact_dup'``  identical normalized content as a kept doc with a
       smaller id (the min-id doc of each group survives);
     - ``'near_dup'``   3-gram Jaccard ≥ ``near_dup_jaccard`` against a
@@ -150,6 +162,34 @@ def curate_corpus(
     # the right trade when the corpus dwarfs cluster storage while CPU
     # is cheap at scan time.
     annotated = annotated.withColumn("_cheap_reason", cheap_reason)
+    if classifier_weights is not None:
+        from .classifier import hashed_token_features, quality_scores
+
+        n_features = len(classifier_weights) - 1
+        survivors = annotated.filter(
+            F.col("_cheap_reason").isNull()
+        ).select(id_col, text_col)
+        scores = quality_scores(
+            hashed_token_features(survivors, id_col, text_col, n_features),
+            classifier_weights,
+            id_col,
+        ).select(F.col(id_col), F.col("score").alias("cur_cls_score"))
+        cols = annotated.columns
+        annotated = (
+            annotated.join(scores, id_col, "left")
+            .select(*[c for c in cols if c != "_cheap_reason"],
+                    "cur_cls_score", "_cheap_reason")
+            .withColumn(
+                "_cheap_reason",
+                F.coalesce(
+                    F.col("_cheap_reason"),
+                    F.when(
+                        F.col("cur_cls_score") < classifier_threshold,
+                        F.lit(R_CLASSIFIER),
+                    ),
+                ),
+            )
+        )
     if materialize_annotations:
         annotated = annotated.localCheckpoint(eager=True)
 
@@ -267,12 +307,14 @@ def curate_corpus(
             "left",
         ).drop("_drop_id")
         reason_arms.append(F.when(F.col("_sem"), F.lit(R_SEMANTIC)))
+    extra = ["cur_cls_score"] if classifier_weights is not None else []
     return out.select(
         *df.columns,
         "cur_lang",
         "cur_n_tokens",
         "cur_quality",
         "cur_fingerprint",
+        *extra,
         F.coalesce(*reason_arms).alias("drop_reason"),
     )
 

@@ -157,3 +157,38 @@ def test_unlabeled_features_never_enter_training(spark):
         feats.unionByName(extra), labels, n_features=D, n_iter=3
     )
     assert w_clean == w_noisy
+
+
+def test_classifier_gate_in_curate(spark, trained):
+    """curate_corpus(classifier_weights=...): the trained gate drops
+    low-score docs with reason 'classifier', cheap gates keep
+    precedence, dedup still fires on classifier survivors, and the
+    funnel report grows the n_classifier column."""
+    from etl_sber_spark.operators.curate import curate_corpus, curation_report
+
+    _, _, w = trained
+    good = "measured insight careful analysis evidence source v9"
+    docs = spark.createDataFrame(
+        [
+            (1, good),
+            (2, good),  # exact dup of 1 — dedup must still win for it
+            (3, "click here free winner prize urgent offer now w9"),
+            (4, "!!!! ???? .... ;;;; :::: ++++ ==== @@@@"),  # lang gate first
+        ],
+        "doc_id bigint, text string",
+    )
+    out = curate_corpus(
+        docs, classifier_weights=w, classifier_threshold=0.5
+    )
+    rows = {r.doc_id: r for r in out.collect()}
+    assert rows[1].drop_reason is None
+    assert rows[1].cur_cls_score > 0.5
+    assert rows[2].drop_reason == "exact_dup"
+    assert rows[3].drop_reason == "classifier"
+    assert rows[3].cur_cls_score < 0.5
+    assert rows[4].drop_reason == "lang"  # precedence: cheap gate first
+    assert rows[4].cur_cls_score is None  # never evaluated past the gate
+
+    rep = curation_report(out).collect()[0]
+    assert rep.n_classifier == 1 and rep.n_exact_dup == 1 and rep.n_lang == 1
+    assert rep.n_kept == 1
