@@ -54,6 +54,20 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
         default=1,
         help="files per micro-batch = per curation increment (default 1)",
     )
+    p.add_argument(
+        "--classifier-table",
+        default=None,
+        help="versioned warehouse table holding trained quality-"
+        "classifier weights (operators/classifier.py save_classifier); "
+        "when set, each increment gates documents on the classifier "
+        "score before any dedup work",
+    )
+    p.add_argument(
+        "--classifier-threshold",
+        type=float,
+        default=0.5,
+        help="minimum classifier score to keep a document (default 0.5)",
+    )
     return p.parse_args(argv)
 
 
@@ -68,6 +82,11 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = get_spark("corpus-maintenance")
     wh = Warehouse(spark, args.warehouse)
+    weights = None
+    if args.classifier_table:
+        from .operators.classifier import load_classifier
+
+        weights = load_classifier(wh, args.classifier_table)
     q = stream_corpus_increments(
         spark,
         args.inbox,
@@ -76,6 +95,8 @@ def main(argv: list[str] | None = None) -> int:
         est_threshold=args.est_threshold,
         exact_threshold=args.exact_threshold,
         max_files_per_trigger=args.max_files_per_trigger,
+        classifier_weights=weights,
+        classifier_threshold=args.classifier_threshold,
     )
     q.awaitTermination()
 

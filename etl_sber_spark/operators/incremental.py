@@ -160,21 +160,45 @@ def curate_increment(
     text_col: str = "text",
     est_threshold: float = 0.5,
     exact_threshold: float = 0.8,
+    classifier_weights: list[float] | None = None,
+    classifier_threshold: float = 0.5,
 ) -> tuple[DataFrame, DataFrame]:
     """One increment of corpus maintenance.
 
     Returns ``(annotated, new_index_rows)``:
 
     - ``annotated``: every new document with ``drop_reason`` — NULL for
-      keepers, ``'index_near_dup'`` (estimated vs the standing index,
-      checked FIRST: the index is the larger, settled corpus) or
+      keepers, ``'classifier'`` (only with ``classifier_weights`` — a
+      trained quality gate from operators/classifier.py, checked FIRST:
+      it is per-document and cheaper than any dedup join, and a
+      rejected doc must never cost LSH work or enter the index),
+      ``'index_near_dup'`` (estimated vs the standing index, before
+      the batch: the index is the larger, settled corpus) or
       ``'batch_near_dup'`` (exact n-gram Jaccard vs a smaller-id new
       survivor, the in-batch pipeline's semantics);
     - ``new_index_rows``: the keepers' signatures, ready to APPEND to
       the index table — after which the next increment dedupes against
-      the grown corpus.
+      the grown corpus. Weights come from ``load_classifier`` — the
+      versioned artifact records which classifier gated each crawl.
     """
-    sigs = pin(minhash_signatures(new_docs, id_col, text_col))
+    cls_drops = None
+    if classifier_weights is not None:
+        from .classifier import hashed_token_features, quality_scores
+
+        n_features = len(classifier_weights) - 1
+        cls_drops = pin(
+            quality_scores(
+                hashed_token_features(new_docs, id_col, text_col, n_features),
+                classifier_weights,
+                id_col,
+            )
+            .filter(F.col("score") < classifier_threshold)
+            .select(id_col)
+        )
+        gated = new_docs.join(cls_drops, id_col, "left_anti")
+    else:
+        gated = new_docs
+    sigs = pin(minhash_signatures(gated, id_col, text_col))
     # pinned: duplicate-sized, but its SUBTREE is the index-bands join +
     # estimator — and it feeds three consumers (batch_docs/batch_sigs
     # anti-joins and the final annotation join). The normal caller
@@ -189,7 +213,7 @@ def curate_increment(
 
     # in-batch near-dups among docs that SURVIVED the index check —
     # exact verification (text is at hand for both sides of each pair)
-    batch_docs = new_docs.join(vs_index, id_col, "left_anti")
+    batch_docs = gated.join(vs_index, id_col, "left_anti")
     batch_sigs = sigs.join(vs_index, id_col, "left_anti")
     pairs = lsh_candidate_pairs(batch_sigs, id_col)
     verified = ngram_jaccard(batch_docs, pairs, id_col, text_col).filter(
@@ -203,18 +227,21 @@ def curate_increment(
         verified.select(F.col("id_b").alias(id_col)).distinct()
     )
 
-    annotated = (
-        new_docs.join(
-            vs_index.withColumn("_ix", F.lit(True)), id_col, "left"
+    annotated = new_docs.join(
+        vs_index.withColumn("_ix", F.lit(True)), id_col, "left"
+    ).join(batch_drops.withColumn("_bd", F.lit(True)), id_col, "left")
+    arms = [
+        F.when(F.col("_ix"), F.lit("index_near_dup")),
+        F.when(F.col("_bd"), F.lit("batch_near_dup")),
+    ]
+    if cls_drops is not None:
+        annotated = annotated.join(
+            cls_drops.withColumn("_cl", F.lit(True)), id_col, "left"
         )
-        .join(batch_drops.withColumn("_bd", F.lit(True)), id_col, "left")
-        .select(
-            *new_docs.columns,
-            F.coalesce(
-                F.when(F.col("_ix"), F.lit("index_near_dup")),
-                F.when(F.col("_bd"), F.lit("batch_near_dup")),
-            ).alias("drop_reason"),
-        )
+        arms.insert(0, F.when(F.col("_cl"), F.lit("classifier")))
+    annotated = annotated.select(
+        *new_docs.columns,
+        F.coalesce(*arms).alias("drop_reason"),
     )
     keeper_sigs = sigs.join(
         annotated.filter(F.col("drop_reason").isNotNull()).select(id_col),

@@ -66,6 +66,8 @@ def stream_corpus_increments(
     semantic_index_table: str = "semantic_index",
     semantic_threshold: float = 0.95,
     encoder=None,
+    classifier_weights: list[float] | None = None,
+    classifier_threshold: float = 0.5,
 ) -> StreamingQuery:
     """Start the landing-zone stream; returns the StreamingQuery.
 
@@ -88,6 +90,12 @@ def stream_corpus_increments(
     corpus), and survivors' index rows append — the full per-crawl
     lexical→semantic maintenance loop, one availableNow pass per cron
     tick.
+
+    ``classifier_weights`` (operators/classifier.py — train offline,
+    persist versioned, ``load_classifier`` at stream start) adds the
+    trained quality gate as the increment's FIRST stage: rejected docs
+    get ``'classifier'``, cost no dedup work, and never enter either
+    index.
     """
     raw = (
         spark.readStream.schema(corrupt_capture_schema())
@@ -115,6 +123,8 @@ def stream_corpus_increments(
             index,
             est_threshold=est_threshold,
             exact_threshold=exact_threshold,
+            classifier_weights=classifier_weights,
+            classifier_threshold=classifier_threshold,
         )
         out = {
             curated_table: annotated,

@@ -192,3 +192,90 @@ def test_classifier_gate_in_curate(spark, trained):
     rep = curation_report(out).collect()[0]
     assert rep.n_classifier == 1 and rep.n_exact_dup == 1 and rep.n_lang == 1
     assert rep.n_kept == 1
+
+
+def test_classifier_gate_in_increment(spark, trained):
+    """curate_increment(classifier_weights=...): the trained gate fires
+    FIRST — rejected docs get 'classifier', cost no dedup, never enter
+    the index; survivors still dedupe normally."""
+    from etl_sber_spark.operators.incremental import curate_increment
+    from etl_sber_spark.streaming.corpus import empty_index
+
+    _, _, w = trained
+    good = "measured insight careful analysis evidence source v9"
+    docs = spark.createDataFrame(
+        [
+            (1, good),
+            (2, good + " extra"),  # near-dup of 1 (jaccard 5/6)
+            (3, "click here free winner prize urgent offer now w9"),
+        ],
+        "doc_id bigint, text string",
+    )
+    annotated, keepers = curate_increment(
+        docs, empty_index(spark), classifier_weights=w
+    )
+    rows = {r.doc_id: r.drop_reason for r in annotated.collect()}
+    assert rows[1] is None
+    assert rows[2] == "batch_near_dup"
+    assert rows[3] == "classifier"
+    assert [r.doc_id for r in keepers.collect()] == [1]
+
+
+def test_classifier_gate_in_corpus_stream(spark, trained, tmp_path):
+    """The streaming loop loads the versioned classifier artifact at
+    start and gates every increment — the full train-offline /
+    persist / gate-the-live-loop lifecycle."""
+    import json as _json
+
+    from etl_sber_spark.operators.classifier import (
+        load_classifier,
+        save_classifier,
+    )
+    from etl_sber_spark.sinks.warehouse import Warehouse
+    from etl_sber_spark.streaming.corpus import stream_corpus_increments
+
+    _, _, w = trained
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    save_classifier(wh, w)
+
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    with open(inbox / "b1.jsonl", "w") as f:
+        for did, text in (
+            (1, "measured insight careful analysis evidence source v9"),
+            (2, "click here free winner prize urgent offer now w9"),
+        ):
+            f.write(
+                _json.dumps(
+                    {"doc_id": did, "text": text, "lang": "en", "source": "a"}
+                )
+                + "\n"
+            )
+    q = stream_corpus_increments(
+        spark,
+        str(inbox),
+        wh,
+        str(tmp_path / "ckpt"),
+        classifier_weights=load_classifier(wh),
+    )
+    q.awaitTermination()
+    reasons = {
+        r.doc_id: r.drop_reason for r in wh.read("curated_docs").collect()
+    }
+    assert reasons == {1: None, 2: "classifier"}
+    assert [r.doc_id for r in wh.read("minhash_index").collect()] == [1]
+
+
+def test_corpus_cli_classifier_flags_parse():
+    from etl_sber_spark.corpus_cli import parse_args
+
+    a = parse_args(
+        [
+            "--inbox", "x", "--warehouse", "y",
+            "--classifier-table", "quality_classifier",
+            "--classifier-threshold", "0.7",
+        ]
+    )
+    assert a.classifier_table == "quality_classifier"
+    assert a.classifier_threshold == 0.7
+    assert parse_args(["--inbox", "x", "--warehouse", "y"]).classifier_table is None
