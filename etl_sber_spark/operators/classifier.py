@@ -46,7 +46,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -181,6 +181,67 @@ def quality_scores(
         F.round(
             F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("margin"))), 6
         ).alias("score"),
+    )
+
+
+def evaluate_classifier(
+    scores: DataFrame,
+    labels: DataFrame,
+    *,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """One-row evaluation frame for threshold tuning on a held-out
+    labeled set: ``n_pos``, ``n_neg``, ``auc`` (rank-based
+    Mann-Whitney — threshold-free ranking quality, ties get average
+    ranks), ``accuracy``/``precision``/``recall`` at ``threshold``.
+
+    Shape: one id-equi-join, one global rank window, one aggregate —
+    runs on the labeled HOLD-OUT (thousands of rows at any corpus
+    scale), never the corpus. The window is a single global sort of
+    that hold-out; do not point this at corpus-sized input (score
+    distributions over the corpus belong to operators/profile.py).
+    All ratios are exact-count divisions rounded to 6 — deterministic
+    across partitionings (differential vs a pure-Python replay in
+    tests/test_classifier.py).
+    """
+    joined = scores.join(
+        labels.select(
+            F.col(id_col), F.col(label_col).cast("int").alias("_y")
+        ),
+        id_col,
+    )
+    # average rank per tied score: (min row_number + max row_number)/2
+    # over each distinct score — the standard tie-corrected rank
+    rn = F.row_number().over(Window.orderBy("score", id_col))
+    ranked = joined.withColumn("_rn", rn).withColumn(
+        "_rank",
+        (F.min("_rn").over(Window.partitionBy("score"))
+         + F.max("_rn").over(Window.partitionBy("score"))) / 2.0,
+    )
+    pred_pos = F.col("score") >= threshold
+    agg = ranked.agg(
+        F.sum(F.col("_y")).alias("n_pos"),
+        F.sum(1 - F.col("_y")).alias("n_neg"),
+        F.sum(F.when(F.col("_y") == 1, F.col("_rank"))).alias("_rank_pos"),
+        F.sum((pred_pos.cast("int") == F.col("_y")).cast("long")).alias("_tp_tn"),
+        F.sum(F.when(pred_pos & (F.col("_y") == 1), 1).otherwise(0)).alias("_tp"),
+        F.sum(pred_pos.cast("long")).alias("_pp"),
+    )
+    return agg.select(
+        "n_pos",
+        "n_neg",
+        F.round(
+            (F.col("_rank_pos") - F.col("n_pos") * (F.col("n_pos") + 1) / 2.0)
+            / (F.col("n_pos") * F.col("n_neg")),
+            6,
+        ).alias("auc"),
+        F.round(F.col("_tp_tn") / (F.col("n_pos") + F.col("n_neg")), 6).alias(
+            "accuracy"
+        ),
+        F.round(F.col("_tp") / F.col("_pp"), 6).alias("precision"),
+        F.round(F.col("_tp") / F.col("n_pos"), 6).alias("recall"),
     )
 
 

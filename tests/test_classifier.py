@@ -279,3 +279,59 @@ def test_corpus_cli_classifier_flags_parse():
     assert a.classifier_table == "quality_classifier"
     assert a.classifier_threshold == 0.7
     assert parse_args(["--inbox", "x", "--warehouse", "y"]).classifier_table is None
+
+
+def test_evaluate_matches_python_reference(spark, trained):
+    """AUC/accuracy/precision/recall against an exact pure-Python
+    replay (tie-corrected Mann-Whitney ranks), including planted tied
+    scores."""
+    from etl_sber_spark.operators.classifier import evaluate_classifier
+
+    _, feats, w = trained
+    scores = cl.quality_scores(feats, w)
+    labels = _labels(spark)
+    row = evaluate_classifier(scores, labels, threshold=0.5).collect()[0]
+
+    sc = {r.doc_id: r.score for r in scores.collect()}
+    y = {r.doc_id: r.label for r in labels.collect()}
+    # tie-corrected average ranks (1-based)
+    ordered = sorted(y, key=lambda d: (sc[d], d))
+    ranks: dict = {}
+    i = 0
+    while i < len(ordered):
+        j = i
+        while j < len(ordered) and sc[ordered[j]] == sc[ordered[i]]:
+            j += 1
+        avg = (i + 1 + j) / 2.0
+        for d in ordered[i:j]:
+            ranks[d] = avg
+        i = j
+    n_pos = sum(y.values())
+    n_neg = len(y) - n_pos
+    rank_pos = sum(ranks[d] for d in y if y[d] == 1)
+    auc = (rank_pos - n_pos * (n_pos + 1) / 2.0) / (n_pos * n_neg)
+    tp = sum(1 for d in y if sc[d] >= 0.5 and y[d] == 1)
+    pp = sum(1 for d in y if sc[d] >= 0.5)
+    acc = sum(1 for d in y if (sc[d] >= 0.5) == bool(y[d])) / len(y)
+
+    assert (row.n_pos, row.n_neg) == (n_pos, n_neg)
+    assert row.auc == round(auc, 6)
+    assert row.accuracy == round(acc, 6)
+    assert row.precision == round(tp / pp, 6)
+    assert row.recall == round(tp / n_pos, 6)
+    assert row.auc == 1.0  # the fixture is perfectly separable
+
+
+def test_evaluate_handles_ties(spark):
+    """Constant scores: AUC must be exactly 0.5 (all ranks tied), not
+    NULL or biased — the average-rank correction under test."""
+    from etl_sber_spark.operators.classifier import evaluate_classifier
+
+    scores = spark.createDataFrame(
+        [(i, 0.5) for i in range(10)], "doc_id bigint, score double"
+    )
+    labels = spark.createDataFrame(
+        [(i, i % 2) for i in range(10)], "doc_id bigint, label int"
+    )
+    row = evaluate_classifier(scores, labels).collect()[0]
+    assert row.auc == 0.5
