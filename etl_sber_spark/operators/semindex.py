@@ -25,8 +25,10 @@ and each increment dedupes against that index plus itself. The loop:
   corpus.
 
 The centroids are TRAINED ONCE (kmeans_centroids on a sample or the
-first corpus; persist the tiny frame through the warehouse like the BPE
-merge table) and must stay FIXED across increments — the index stores
+first corpus; persist versioned via operators/annindex.py
+``save_ivf_index`` and reload with ``load_ivf_index`` — one saved
+quantizer serves IVF search and this index) and must stay FIXED across
+increments — the index stores
 cluster ids, so retraining invalidates the index (same contract as
 hashing.py's xxhash64 note). Drift between the frozen quantizer and new
 data shows up as cluster imbalance, which the datacard/profiler surface.
