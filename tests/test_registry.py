@@ -75,3 +75,17 @@ def test_every_oracle_key_is_a_registered_query():
     queries, oracle = _registry()
     stray = [k for k in oracle if k not in queries]
     assert not stray, f"oracle entries without a query: {stray}"
+
+
+def test_bench_ann_split_helper_runs(spark):
+    """bench._ann_split_bench is wrapped in a try/except inside
+    bench.py (extras must never fail the bench), so a regression there
+    would silently drop the build-vs-search split from BENCH — pin it
+    here instead."""
+    import bench
+
+    res = bench._ann_split_bench(spark, "/root/testdata/sf0.001")
+    assert set(res) == {
+        "ivf_train", "ivf_assign", "lsh_bucket", "ivf_search", "lsh_search"
+    }
+    assert all(v > 0 for v in res.values())
