@@ -1150,7 +1150,14 @@ def q_scalar_funcs(spark, sf_dir):
     both a timestamp+JSON source and a NULL-bearing string dimension in
     ONE scan pair; the dim side broadcasts (tiny), so the battery stays
     scan-shaped at any scale."""
-    e = load_table(spark, sf_dir, "events")
+    from ..operators.spread import spread
+
+    # spread(): the events file plans as ONE split at bench SFs, so the
+    # whole 17-expression battery (two timestamp format round-trips
+    # included) otherwise runs on a single task (r6; 1.15 -> 0.66 s
+    # min-of-3 at sf0.1 — the residual is the 100k-row exchange). At warehouse scale the scan has real splits and spread is
+    # a no-op.
+    e = spread(load_table(spark, sf_dir, "events"))
     c = load_table(spark, sf_dir, "customer")
     joined = e.join(
         F.broadcast(c),
