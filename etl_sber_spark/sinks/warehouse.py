@@ -308,3 +308,65 @@ class Warehouse:
         for e in os.listdir(d):
             if e.startswith("v_") and e not in retained:
                 shutil.rmtree(os.path.join(d, e), ignore_errors=True)
+
+
+def warehouse_manifest(wh: Warehouse, *, count_rows: bool = True):
+    """One-row-per-table snapshot manifest of a warehouse — the
+    reproducibility record a corpus/dataset release ships alongside its
+    datacard: for each table, its layout (``versioned`` swap /
+    ``partitioned`` / plain ``path``), the CURRENT version and retained
+    version count, file count, total bytes, and (optionally) row count.
+
+    Columns: ``table``, ``layout``, ``current_version`` (NULL for
+    non-versioned), ``n_versions``, ``n_files``, ``n_bytes``,
+    ``n_rows`` (NULL with ``count_rows=False`` — the cheap mode walks
+    only filesystem metadata; row counts run one parquet-footer count
+    job per table). Deterministic ordering by table name.
+
+    Scale: metadata-sized output (one row per table); the byte/file
+    walk is driver-side filesystem listing — on object storage this is
+    the same LIST the reader performs — and counts are parquet
+    metadata-only. Fingerprinting CONTENT (value hashes) is the
+    datacard/profiler's job (operators/datacard.py), not the
+    manifest's.
+    """
+    rows = []
+    for name in sorted(os.listdir(wh.root)):
+        d = wh._dir(name)
+        if not os.path.isdir(d) or name.startswith(("_", ".")):
+            continue
+        if not wh.exists(name):
+            continue
+        versions = wh.versions(name)
+        if versions:
+            layout = "versioned"
+            current = versions[-1]
+            scan_dir = os.path.join(d, f"v_{current}")
+        else:
+            current = None
+            layout = (
+                "partitioned"
+                if any(
+                    "=" in e and not e.startswith(("_", "."))
+                    for e in os.listdir(d)
+                )
+                else "path"
+            )
+            scan_dir = d
+        n_files = 0
+        n_bytes = 0
+        for base, _, files in os.walk(scan_dir):
+            for f in files:
+                if f.startswith(("_", ".")):
+                    continue
+                n_files += 1
+                n_bytes += os.path.getsize(os.path.join(base, f))
+        n_rows = wh.read(name).count() if count_rows else None
+        rows.append(
+            (name, layout, current, len(versions), n_files, n_bytes, n_rows)
+        )
+    return wh.spark.createDataFrame(
+        rows,
+        "table string, layout string, current_version int, "
+        "n_versions int, n_files int, n_bytes bigint, n_rows bigint",
+    )

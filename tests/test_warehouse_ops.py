@@ -258,3 +258,49 @@ def test_schema_evolution_read(spark, tmp_path):
     assert got == {1: None, 2: 9.5}
     # both generations' rows are present either way
     assert wh.read("t").count() == 2
+
+
+def test_warehouse_manifest_inventories_all_layouts(spark, tmp_path):
+    """warehouse_manifest: one row per table across the three layouts,
+    with version/file/byte/row accounting — the corpus-release
+    reproducibility record."""
+    from pyspark.sql import functions as F
+
+    from etl_sber_spark.sinks.warehouse import Warehouse, warehouse_manifest
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    dim = spark.range(10).select(F.col("id"), F.lit("x").alias("v"))
+    wh.overwrite_versioned(dim, "dim")
+    wh.overwrite_versioned(dim.limit(5), "dim")  # v2 current
+    wh.overwrite_partitions(
+        spark.range(20).select(F.col("id"), (F.col("id") % 3).alias("p")),
+        "fact",
+        ["p"],
+    )
+    spark.range(7).write.parquet(str(tmp_path / "wh" / "plain"))
+
+    m = {r.table: r for r in warehouse_manifest(wh).collect()}
+    assert set(m) == {"dim", "fact", "plain"}
+
+    assert m["dim"].layout == "versioned"
+    assert m["dim"].current_version == 2 and m["dim"].n_versions == 2
+    assert m["dim"].n_rows == 5  # CURRENT version's rows, not v1's
+
+    assert m["fact"].layout == "partitioned"
+    assert m["fact"].current_version is None
+    assert m["fact"].n_rows == 20
+
+    assert m["plain"].layout == "path"
+    assert m["plain"].n_rows == 7
+
+    for r in m.values():
+        assert r.n_files > 0 and r.n_bytes > 0
+
+    # cheap mode: no count jobs, rows NULL, the rest identical
+    cheap = {
+        r.table: r for r in warehouse_manifest(wh, count_rows=False).collect()
+    }
+    assert all(cheap[t].n_rows is None for t in cheap)
+    assert {t: cheap[t].n_bytes for t in cheap} == {
+        t: m[t].n_bytes for t in m
+    }
