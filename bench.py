@@ -240,7 +240,7 @@ def _ann_split_bench(spark, sf_dir: str) -> dict[str, float]:
         res["lsh_bucket"] = round(time.perf_counter() - t0, 3)
 
         loaded = ai.load_ivf_index(wh)
-        lsh_dims, _ = ai.load_lsh_model(wh)
+        lsh_dims = ai.load_lsh_model(wh).n_dims
         stored_ivf = spark.read.parquet(f"{tmp}/emb_ivf")
         stored_lsh = spark.read.parquet(f"{tmp}/emb_lsh")
         queries = emb.filter(F.col("vec_id") < 5)

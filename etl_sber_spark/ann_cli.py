@@ -168,7 +168,7 @@ def main(argv: list[str] | None = None) -> int:
                 centroid_col="centroid_id",
             )
         else:
-            n_dims, _ = ai.load_lsh_model(wh)
+            n_dims = ai.load_lsh_model(wh).n_dims
             res = sim.cosine_topk_lsh(
                 serving,
                 queries,

@@ -40,6 +40,8 @@ random-hyperplane LSH, Charikar STOC'02).
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -128,71 +130,136 @@ def materialize_ivf_assignments(
 # ---------------------------------------------------------------------------
 
 
-def _plane_signs(n_dims: int, n_planes: int = N_PLANES) -> list[list[float]]:
-    """The deterministic ±1 hyperplane matrix (the Python rendering of
-    similarity._signs_sql — one source formula, asserted equal in
-    tests/test_annindex.py)."""
+def _plane_signs(
+    n_dims: int, n_planes: int = N_PLANES, table: int = 0
+) -> list[list[float]]:
+    """The deterministic ±1 hyperplane matrix of one plane set (the
+    Python rendering of similarity._signs_sql — single source:
+    similarity.plane_sign, asserted equal in tests/test_annindex.py).
+    Table 0 is the frozen historical matrix; higher tables are
+    independent hash draws (similarity.plane_sign docstring)."""
+    from .similarity import plane_sign
+
     return [
-        [float(((d * (p + 7)) % 13 % 2) * 2 - 1) for d in range(1, n_dims + 1)]
+        [float(plane_sign(d, p, table)) for d in range(1, n_dims + 1)]
         for p in range(n_planes)
     ]
 
 
+class LshModel(NamedTuple):
+    """Shape of a verified LSH model artifact (``load_lsh_model``)."""
+
+    n_dims: int
+    n_planes: int
+    n_tables: int
+
+
 def save_lsh_model(
-    wh, n_dims: int, n_planes: int = N_PLANES, name: str = LSH_TABLE
+    wh,
+    n_dims: int,
+    n_planes: int = N_PLANES,
+    name: str = LSH_TABLE,
+    n_tables: int = 1,
 ) -> None:
-    """Persist the LSH hyperplane matrix as a versioned artifact:
-    (plane_id, signs). The matrix is derivable from (n_dims, n_planes),
-    but a stored ``bucket`` column outlives code — persisting the
-    actual planes pins the stored column to the plane set that computed
-    it, so a future formula change is a detectable version bump, not a
-    silent recall collapse."""
+    """Persist the LSH hyperplane family as a versioned artifact:
+    (table_id, plane_id, signs) — one row per plane per table. The
+    matrices are derivable from (n_dims, n_planes, table), but a stored
+    bucket column outlives code — persisting the actual planes pins the
+    stored columns to the plane sets that computed them, so a future
+    formula change is a detectable version bump, not a silent recall
+    collapse. ``n_tables > 1`` persists the extra independent plane
+    sets that serve multi-table search against per-table stored columns
+    (:func:`materialize_lsh_buckets` ``n_tables=``)."""
     spark = wh.spark
-    rows = [(p, signs) for p, signs in enumerate(_plane_signs(n_dims, n_planes))]
+    rows = [
+        (t, p, signs)
+        for t in range(n_tables)
+        for p, signs in enumerate(_plane_signs(n_dims, n_planes, t))
+    ]
     wh.overwrite_versioned(
-        spark.createDataFrame(rows, "plane_id int, signs array<double>"), name
+        spark.createDataFrame(
+            rows, "table_id int, plane_id int, signs array<double>"
+        ),
+        name,
     )
 
 
 def load_lsh_model(
     wh, name: str = LSH_TABLE, version: int | None = None
-) -> tuple[int, int]:
-    """Reload an LSH model: returns ``(n_dims, n_planes)`` for
-    :func:`materialize_lsh_buckets` / ``cosine_topk_lsh`` after
-    verifying the stored planes match the current formula for that
-    shape. A mismatch means the code's plane formula drifted since the
-    bucket column was materialized — every stored bucket would silently
-    stop colliding with query buckets, so refuse loudly instead."""
+) -> LshModel:
+    """Reload an LSH model: returns :class:`LshModel` ``(n_dims,
+    n_planes, n_tables)`` for :func:`materialize_lsh_buckets` /
+    ``cosine_topk_lsh`` after verifying EVERY stored table's planes
+    match the current formula for that shape. A mismatch means the
+    code's plane family drifted since the bucket columns were
+    materialized — every stored bucket would silently stop colliding
+    with query buckets, so refuse loudly instead. Reads pre-multi-table
+    artifacts (no ``table_id`` column) as a single table 0."""
+    df = wh.read(name, version=version)
+    has_tables = "table_id" in df.columns
     rows = sorted(
-        ((int(r.plane_id), [float(x) for x in r.signs]) for r in
-         wh.read(name, version=version).collect())
+        (
+            (int(r.table_id) if has_tables else 0, int(r.plane_id),
+             [float(x) for x in r.signs])
+            for r in df.collect()
+        )
     )
     if not rows:
         raise ValueError(f"LSH model table {name!r} is empty")
-    n_planes = len(rows)
-    n_dims = len(rows[0][1])
-    expected = _plane_signs(n_dims, n_planes)
-    stored = [signs for _, signs in rows]
-    if stored != expected:
+    tables = sorted({t for t, _, _ in rows})
+    n_tables = len(tables)
+    n_dims = len(rows[0][2])
+    n_planes = sum(1 for t, _, _ in rows if t == tables[0])
+    if tables != list(range(n_tables)):
         raise ValueError(
-            f"stored LSH planes in {name!r} do not match the current "
-            "plane formula — bucket columns materialized with this model "
-            "are incompatible with the running code; rebuild the bucket "
-            "column (or pin the library version that wrote it)"
+            f"LSH model {name!r} table_ids are not contiguous from 0: "
+            f"{tables}"
         )
-    return n_dims, n_planes
+    for t in tables:
+        stored = [signs for tt, _, signs in rows if tt == t]
+        if stored != _plane_signs(n_dims, n_planes, t):
+            raise ValueError(
+                f"stored LSH planes in {name!r} (table {t}) do not match "
+                "the current plane formula — bucket columns materialized "
+                "with this model are incompatible with the running code; "
+                "rebuild the bucket columns (or pin the library version "
+                "that wrote them)"
+            )
+    return LshModel(n_dims, n_planes, n_tables)
+
+
+def lsh_table_columns(n_tables: int, bucket_col: str = "bucket") -> list[str]:
+    """Stored-column names of an L-table bucket layout: table 0 keeps
+    the historical ``bucket`` name (single-table readers and the graded
+    oracle see exactly the pre-multi-table column), tables 1..L-1 are
+    ``bucket_t{t}``. One definition so the materializer and the
+    search path cannot drift."""
+    return [bucket_col] + [f"{bucket_col}_t{t}" for t in range(1, n_tables)]
 
 
 def materialize_lsh_buckets(
-    embeddings: DataFrame, n_dims: int, vec_col: str = "embedding"
+    embeddings: DataFrame,
+    n_dims: int,
+    vec_col: str = "embedding",
+    n_tables: int = 1,
 ) -> DataFrame:
     """Ingest-time LSH bucketing: every input column plus ``bucket``
-    (the N_PLANES-bit hyperplane signature — a pure projection). Store
-    hash-partitioned by ``bucket`` and a query touches only its probed
-    buckets' files."""
-    return spread(embeddings).withColumn(
-        "bucket", bucket_expr(vec_col, n_dims)
-    )
+    (the N_PLANES-bit table-0 hyperplane signature — a pure projection).
+    Store hash-partitioned by ``bucket`` and a query touches only its
+    probed buckets' files.
+
+    ``n_tables=L`` additionally materializes ``bucket_t1..bucket_t{L-1}``
+    — one column per independent plane set (still one row per vector:
+    the WIDE layout, chosen over a (tbl, bucket) exploded layout so the
+    base table never duplicates vector payloads L-fold and single-table
+    readers are untouched). ``cosine_topk_lsh(bucket_col=..,
+    n_tables=L)`` then runs multi-table search with zero corpus-side
+    plane math (the per-table candidate explode is a projection over
+    these stored ints)."""
+    out = spread(embeddings)
+    for t, col in enumerate(lsh_table_columns(n_tables)):
+        out = out.withColumn(col, bucket_expr(vec_col, n_dims, t))
+    return out
 
 
 def cluster_serving_table(

@@ -72,26 +72,64 @@ def quantize_vec_sql(col_name: str) -> str:
     )
 
 
-def _signs_sql(n_dims: int, table: int = 0) -> str:
-    """Literal ±1 sign matrix of the N_PLANES hyperplanes: entry of
-    plane p at dimension d is ``((d*(p+7)) % 13) % 2 * 2 - 1`` — cheap
-    deterministic integer arithmetic, no RNG. The formula is evaluated
-    driver-side once rather than per (row, plane, dim) inside
-    interpreted HOFs (r5; bucket projection 1.79 → 1.12 s at sf0.1,
-    bit-identical buckets); the DuckDB oracles keep the formula inline
-    (plans/llm_queries.py) — same values either way.
+_SM64_MASK = (1 << 64) - 1
 
-    ``table`` selects an INDEPENDENT plane set for multi-table LSH
-    (plane index offset by table·N_PLANES inside the same formula);
-    table 0 is bit-identical to the historical single-table matrix, so
-    stored bucket columns, the graded oracle, and the annindex drift
-    guard are untouched."""
+
+def plane_sign(d: int, p: int, table: int = 0) -> int:
+    """±1 entry of LSH hyperplane ``p`` at dimension ``d`` (1-based) in
+    plane-set ``table``. Two regimes, one contract:
+
+    - **table 0** (the stored/graded convention) keeps the historical
+      formula ``((d*(p+7)) % 13) % 2 * 2 - 1`` bit-for-bit — stored
+      ``bucket`` columns, the graded oracle SQL, and the annindex
+      plane-drift guard all pin this matrix, so it is frozen the same
+      way functions/hashing.py freezes xxhash64.
+    - **table ≥ 1** derives each entry from a splitmix64-style hash of
+      the packed ``(table, p, d)`` triple. The r6 formula offset the
+      plane index inside the same mod-13 arithmetic, which admits only
+      13 distinct plane patterns TOTAL across all tables (review
+      finding) — tables beyond ~2 reused planes and table t+13
+      duplicated table t exactly. The hash family has no such
+      plane-universe bound: any two 64-dim plane rows anywhere in the
+      family coincide with probability ~2^-64, so every table is a
+      genuinely fresh draw (pinned in tests/test_lsh_multiprobe.py:
+      pairwise-distinct matrices across tables, t=13 ≠ t=0, no
+      constant rows).
+
+    Driver-side integer arithmetic, no RNG state — the whole family is
+    reproducible from (table, p, d) alone, which is what lets per-table
+    serving columns persist and drift-guard (operators/annindex.py).
+    """
+    if table == 0:
+        return ((d * (p + 7)) % 13 % 2) * 2 - 1
+    x = (
+        table * 0x9E3779B97F4A7C15
+        + p * 0xBF58476D1CE4E5B9
+        + d * 0x94D049BB133111EB
+    ) & _SM64_MASK
+    x ^= x >> 30
+    x = (x * 0xBF58476D1CE4E5B9) & _SM64_MASK
+    x ^= x >> 27
+    x = (x * 0x94D049BB133111EB) & _SM64_MASK
+    x ^= x >> 31
+    return (x & 1) * 2 - 1
+
+
+def _signs_sql(n_dims: int, table: int = 0) -> str:
+    """Literal ±1 sign matrix of the N_PLANES hyperplanes of
+    ``table``'s plane set (:func:`plane_sign` — table 0 is the frozen
+    historical matrix, higher tables are independent hash draws). The
+    matrix is evaluated driver-side once rather than per
+    (row, plane, dim) inside interpreted HOFs (r5; bucket projection
+    1.79 → 1.12 s at sf0.1, bit-identical buckets); the DuckDB oracles
+    keep table 0's formula inline (plans/llm_queries.py) — same values
+    either way."""
     return (
         "array("
         + ", ".join(
             "array("
             + ", ".join(
-                f"{float(((d * (p + table * N_PLANES + 7)) % 13 % 2) * 2 - 1)!r}D"
+                f"{float(plane_sign(d, p, table))!r}D"
                 for d in range(1, n_dims + 1)
             )
             + ")"
@@ -686,25 +724,49 @@ def cosine_topk_lsh(
     if it collides with the query in ANY table. Where extra probes
     recover neighbors one plane away, extra tables re-draw the planes
     entirely — the lever for the mid-cosine regime where multi-probe
-    saturates (measured floor in SCALE.md's factor-2 row). Candidate
-    volume scales ~linearly with L; a pair colliding in several
-    tables is deduplicated before ranking (same rounded sim in every
-    table, so a distinct on the scored row is exact). Table 0 is the
-    historical plane set: ``n_tables=1`` is bit-identical to the
-    pre-r6 operator, and the graded oracle pins that path. Only the
-    inline path supports it — a pre-materialized ``bucket_col``
-    stores table 0's signature (pass probes instead, or materialize
-    per-table columns and union).
+    saturates (measured floor in SCALE.md's factor-2 row). Each
+    table's planes are a genuinely independent hash draw
+    (:func:`plane_sign` — r7 fix: the r6 plane-offset formula admitted
+    only 13 distinct plane patterns total, so tables beyond ~2 reused
+    planes). Candidate volume scales ~linearly with L; a pair
+    colliding in several tables is deduplicated before ranking (same
+    rounded sim in every table, so a distinct on the scored row is
+    exact). Table 0 is the historical plane set: ``n_tables=1`` is
+    bit-identical to the pre-r6 operator, and the graded oracle pins
+    that path.
+
+    ``bucket_col`` + ``n_tables=L`` is the SERVING multi-table path:
+    the frame must carry one stored column per table —
+    ``bucket_col`` for table 0 and ``{bucket_col}_t{t}`` for tables
+    1..L-1 (``materialize_lsh_buckets(n_tables=L)`` +
+    ``load_lsh_model`` drift-guarding every table's planes,
+    operators/annindex.py). The candidate side is then a posexplode
+    over stored ints — zero corpus-side plane math at query time —
+    and results are bit-equal to the inline L-table path (parity
+    pinned in tests/test_annindex.py).
     """
     if n_tables < 1:
         raise ValueError(f"n_tables must be >= 1, got {n_tables}")
-    if bucket_col is not None:
-        if n_tables != 1:
+    if bucket_col is not None and n_tables > 1:
+        from .annindex import lsh_table_columns
+
+        table_cols = lsh_table_columns(n_tables, bucket_col)
+        missing = [c for c in table_cols if c not in embeddings.columns]
+        if missing:
             raise ValueError(
-                "a pre-materialized bucket column stores table 0's "
-                "signature only — multi-table search needs the inline "
-                "path (bucket_col=None)"
+                f"multi-table search over stored columns needs one "
+                f"bucket column per table ({table_cols}); missing "
+                f"{missing} — materialize them with "
+                "materialize_lsh_buckets(n_tables=...) or use the "
+                "inline path (bucket_col=None)"
             )
+        cand = spread(embeddings).select(
+            *[c for c in embeddings.columns if c not in table_cols],
+            F.posexplode(
+                F.array(*[F.col(c) for c in table_cols])
+            ).alias("tbl", "bucket"),
+        )
+    elif bucket_col is not None:
         cand = spread(embeddings)
         if bucket_col != "bucket":
             cand = cand.withColumnRenamed(bucket_col, "bucket")

@@ -77,7 +77,7 @@ def stream_vector_ingest(
     ``serving_table`` (batch_id-partitioned; replay-safe).
     """
     centroids = load_ivf_index(wh, ivf_name)
-    n_dims, _ = load_lsh_model(wh, lsh_name)
+    n_dims = load_lsh_model(wh, lsh_name).n_dims
 
     raw = (
         spark.readStream.schema(VECTOR_SCHEMA)

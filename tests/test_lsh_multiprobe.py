@@ -175,13 +175,17 @@ def test_multitable_ladder_monotone_on_raw_corpus(spark):
     assert r4 > r1, "three independent extra tables must recover something"
 
 
-def test_multitable_rejects_prematerialized_bucket(spark):
+def test_multitable_requires_per_table_stored_columns(spark):
+    """bucket_col + n_tables=L needs one stored column per table
+    (materialize_lsh_buckets(n_tables=L)); a frame carrying only
+    table 0's column must be refused, not silently searched at L=1
+    recall."""
     e = _load(spark).withColumn(
         "bucket", F.lit(0)
     )
     import pytest
 
-    with pytest.raises(ValueError, match="table 0"):
+    with pytest.raises(ValueError, match="bucket_t1"):
         cosine_topk_lsh(
             e,
             e.limit(1),
