@@ -32,6 +32,14 @@ similarity search (operators/annindex.py, streaming/vectors.py):
     compaction is a read-layout optimization, never a freshness
     cliff. Prints one JSON line with the result rows.
 
+``status``
+    Drift/health report (``annindex.ann_status``): version-stamp
+    checks, stored-vs-current assignment mismatch fraction, mean
+    assignment distance vs the build-time baseline, a sampled recall
+    probe, and compaction lag — rolled into one ``recommendation``
+    (ok / recompact / retrain / rebuild). The retrain trigger for the
+    maintenance cron.
+
 Example::
 
     python -m etl_sber_spark.ann_cli build \
@@ -79,6 +87,15 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     )
     c.add_argument("--warehouse", required=True)
 
+    st = sub.add_parser(
+        "status",
+        help="index health / drift report with a retrain recommendation",
+    )
+    st.add_argument("--warehouse", required=True)
+    st.add_argument("--sample-mod", type=int, default=16)
+    st.add_argument("--recall-queries", type=int, default=8)
+    st.add_argument("--n-probe", type=int, default=2)
+
     s = sub.add_parser("search", help="top-k neighbors for serving-table vectors")
     s.add_argument("--warehouse", required=True)
     s.add_argument("--query-ids", required=True, help="comma-separated vec_ids")
@@ -106,6 +123,12 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.cmd == "build":
         emb = spark.read.parquet(args.embeddings)
+        # Re-assign any already-streamed batches FIRST, against what
+        # will become the new artifacts — a retrain makes every stored
+        # centroid_id/bucket stale, and rows assigned under the old
+        # quantizer must never be served against the new centroids
+        # (r6 ADVICE). build_ann_index trains eagerly, so artifacts are
+        # CURRENT once it returns.
         stored = ai.build_ann_index(
             wh,
             emb,
@@ -113,17 +136,43 @@ def main(argv: list[str] | None = None) -> int:
             n_iter=args.n_iter,
             train_mod=args.train_mod,
         )
+        n_reassigned = 0
+        if wh.has_data(SERVING):
+            model = ai.load_lsh_model(wh)
+            cents = ai.load_ivf_index(wh)
+            streamed = wh.read(SERVING).filter(F.col("batch_id") >= 0)
+            base_cols = [
+                c
+                for c in streamed.columns
+                if c != "centroid_id" and not c.startswith("bucket")
+            ]
+            # cut lineage before overwriting the partitions being read
+            re_assigned = ai.materialize_lsh_buckets(
+                ai.materialize_ivf_assignments(
+                    streamed.select(*base_cols), cents
+                ),
+                model.n_dims,
+                n_tables=model.n_tables,
+            ).localCheckpoint()
+            n_reassigned = re_assigned.count()
+            if n_reassigned:
+                wh.overwrite_partitions(re_assigned, SERVING, ["batch_id"])
+        # the compacted read layout snapshots OLD assignments and its
+        # watermark would hide the re-bootstrapped batch -1 partition
+        ai.invalidate_serving_layout(wh, SERVING)
         wh.overwrite_partitions(
             stored.withColumn("batch_id", F.lit(-1)), SERVING, ["batch_id"]
         )
+        binding = ai.bind_serving(wh, SERVING)
         out = {
             "built": True,
             "n_vectors": wh.read(SERVING)
             .filter(F.col("batch_id") == -1)
             .count(),
+            "n_reassigned": n_reassigned,
             "n_lists": ai.load_ivf_index(wh).count(),
-            "ivf_version": wh.versions(ai.IVF_TABLE)[-1],
-            "lsh_version": wh.versions(ai.LSH_TABLE)[-1],
+            "ivf_version": binding["ivf_version"],
+            "lsh_version": binding["lsh_version"],
         }
     elif args.cmd == "ingest":
         from .streaming.vectors import stream_vector_ingest
@@ -142,6 +191,14 @@ def main(argv: list[str] | None = None) -> int:
             "serving_total": serving.count(),
             "streamed_total": serving.filter(F.col("batch_id") >= 0).count(),
         }
+    elif args.cmd == "status":
+        out = ai.ann_status(
+            wh,
+            SERVING,
+            sample_mod=args.sample_mod,
+            recall_queries=args.recall_queries,
+            n_probe=args.n_probe,
+        )
     elif args.cmd == "compact":
         out_table = ai.cluster_serving_table(wh, SERVING)
         out = {

@@ -432,6 +432,19 @@ def nearest_centroids_expr(
     # the same IEEE double, same (x-y)*(x-y) zip, same 0.0D-seeded
     # left fold, same round(…, SIM_SCALE), same (d, centroid_id) sort —
     # the q_ivf_topk DuckDB oracle still hash-matches.
+    n = min(n_probe, len(cent_rows))
+    return F.expr(
+        f"transform(slice({_nearest_struct_sql(qv_sql, cent_rows)}, 1, {n}), "
+        "s -> s.centroid_id)"
+    )
+
+
+def _nearest_struct_sql(
+    qv_sql: str, cent_rows: list[tuple[int, list[float]]]
+) -> str:
+    """The shared core of centroid assignment: SQL text of the sorted
+    (d, centroid_id) struct array — squared L2 in quantized space,
+    rounded, ties on centroid_id."""
     vecs = (
         "array("
         + ", ".join(
@@ -441,14 +454,33 @@ def nearest_centroids_expr(
         + ")"
     )
     ids = "array(" + ", ".join(str(int(cid)) for cid, _ in cent_rows) + ")"
-    n = min(n_probe, len(cent_rows))
-    return F.expr(
-        f"transform(slice(array_sort(zip_with({vecs}, {ids}, (v, cid) -> "
+    return (
+        f"array_sort(zip_with({vecs}, {ids}, (v, cid) -> "
         f"struct(round(aggregate(zip_with(CAST({qv_sql} AS array<double>), "
         "CAST(v AS array<double>), (x, y) -> (x - y) * (x - y)), 0.0D, "
         f"(acc, x) -> acc + x), {SIM_SCALE}) AS d, "
-        f"CAST(cid AS INT) AS centroid_id))), 1, {n}), "
-        "s -> s.centroid_id)"
+        "CAST(cid AS INT) AS centroid_id)))"
+    )
+
+
+def nearest_centroid_dist_expr(
+    qv_col: str, cent_rows: list[tuple[int, list[float]]]
+) -> Column:
+    """Distance to the NEAREST centroid, in ORIGINAL vector space
+    (sqrt of the quantized squared L2, divided by QUANT) — the drift
+    monitor's signal (operators/annindex.py ``ann_status``): a corpus
+    drifting away from its trained quantizer pushes this distribution
+    up. Same sorted-struct core as :func:`nearest_centroids_expr`, so
+    the distance always corresponds to the id assignment would pick."""
+    if not isinstance(qv_col, str):
+        raise TypeError(
+            "nearest_centroid_dist_expr takes the quantized-vector "
+            "COLUMN NAME (the expression is built as one SQL string)"
+        )
+    return F.expr(
+        f"sqrt(element_at(transform(slice("
+        f"{_nearest_struct_sql(qv_col, cent_rows)}, 1, 1), s -> s.d), 1))"
+        f" / {float(QUANT)!r}D"
     )
 
 

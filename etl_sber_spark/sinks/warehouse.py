@@ -279,7 +279,13 @@ class Warehouse:
         w.saveAsTable(name)
 
     def overwrite_versioned(
-        self, df: DataFrame, name: str, keep_versions: int = 2
+        self,
+        df: DataFrame,
+        name: str,
+        keep_versions: int = 2,
+        *,
+        partition_by: list[str] | None = None,
+        metadata: dict | None = None,
     ) -> None:
         """Write the next version directory, then atomically flip CURRENT.
 
@@ -289,7 +295,25 @@ class Warehouse:
         enough to diff "before vs after last night's load" — because each
         retained version is a full copy of the table (dimension-sized
         here; a fact-sized table at 100 TB would use the partitioned
-        layout, not the swap layout)."""
+        layout, not the swap layout).
+
+        ``partition_by`` writes the version directory Hive-partitioned —
+        the versioned+partitioned combination a compacted serving layout
+        needs: partition pruning / DPP inside the version, snapshot
+        isolation across rewrites (a rewrite publishes v_{n+1}; readers
+        that resolved CURRENT earlier keep reading intact v_n files,
+        never a half-deleted partition — the FAILED_READ_FILE hazard of
+        :meth:`overwrite_partitions`).
+
+        ``metadata`` is a small JSON-able dict written as ``_meta.json``
+        INSIDE the version directory BEFORE the flip (the '_' prefix
+        keeps Spark's reader away from it) — so data and metadata
+        publish in the same atomic pointer swap; a separate sidecar
+        table would let a reader observe new data with the old
+        watermark (review finding, r6 ADVICE). Read it back with
+        :meth:`read_metadata`."""
+        import json
+
         d = self._dir(name)
         os.makedirs(d, exist_ok=True)
         cur = os.path.join(d, "CURRENT")
@@ -299,7 +323,13 @@ class Warehouse:
                 prev = f.read().strip()
         n = int(prev.split("_")[1]) + 1 if prev else 1
         version = f"v_{n}"
-        df.write.mode("overwrite").parquet(os.path.join(d, version))
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(os.path.join(d, version))
+        if metadata is not None:
+            with open(os.path.join(d, version, "_meta.json"), "w") as f:
+                json.dump(metadata, f)
         tmp = cur + ".tmp"
         with open(tmp, "w") as f:
             f.write(version)
@@ -308,6 +338,28 @@ class Warehouse:
         for e in os.listdir(d):
             if e.startswith("v_") and e not in retained:
                 shutil.rmtree(os.path.join(d, e), ignore_errors=True)
+
+    def read_metadata(self, name: str, version: int | None = None) -> dict | None:
+        """The ``metadata`` dict a versioned write published with its
+        version (``None`` when absent). Resolves CURRENT like
+        :meth:`read`; ``version=n`` reads a retained version's
+        metadata."""
+        import json
+
+        d = self._dir(name)
+        if version is not None:
+            vdir = os.path.join(d, f"v_{version}")
+        else:
+            cur = os.path.join(d, "CURRENT")
+            if not os.path.exists(cur):
+                return None
+            with open(cur) as f:
+                vdir = os.path.join(d, f.read().strip())
+        meta = os.path.join(vdir, "_meta.json")
+        if not os.path.exists(meta):
+            return None
+        with open(meta) as f:
+            return json.load(f)
 
 
 def warehouse_manifest(wh: Warehouse, *, count_rows: bool = True):

@@ -41,6 +41,7 @@ from pyspark.sql.streaming import StreamingQuery
 from ..operators.annindex import (
     IVF_TABLE,
     LSH_TABLE,
+    _check_binding,
     load_ivf_index,
     load_lsh_model,
     materialize_ivf_assignments,
@@ -77,7 +78,10 @@ def stream_vector_ingest(
     ``serving_table`` (batch_id-partitioned; replay-safe).
     """
     centroids = load_ivf_index(wh, ivf_name)
-    n_dims = load_lsh_model(wh, lsh_name).n_dims
+    model = load_lsh_model(wh, lsh_name)
+    # a retrained artifact with an unrebuilt serving table must fail at
+    # START (the binding stamp mismatch), not append mixed-quantizer rows
+    _check_binding(wh, serving_table, ivf_name, lsh_name, context="ingest")
 
     raw = (
         spark.readStream.schema(VECTOR_SCHEMA)
@@ -91,8 +95,11 @@ def stream_vector_ingest(
                 materialize_ivf_assignments(
                     batch_df, centroids, id_col, vec_col
                 ),
-                n_dims,
+                model.n_dims,
                 vec_col,
+                # the serving schema carries whatever table columns the
+                # bootstrap materialized — the model artifact says how many
+                n_tables=model.n_tables,
             )
         }
 

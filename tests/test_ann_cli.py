@@ -92,6 +92,11 @@ def test_build_ingest_search_lifecycle(spark, sf_dir, tmp_path):
     )
     precompact_results = r["results"]
 
+    # status on a consistent index: everything bound, nothing stale
+    r = _run(tmp_path, "status", "--warehouse", wh_dir)
+    assert r["recommendation"] == "ok", r
+    assert r["binding_ok"] and r["frac_reassigned"] == 0.0
+
     # compact to the list-partitioned read layout; search is unchanged
     r = _run(tmp_path, "compact", "--warehouse", wh_dir)
     assert r["n_vectors"] == n_base + len(late)
@@ -110,7 +115,11 @@ def test_build_ingest_search_lifecycle(spark, sf_dir, tmp_path):
     )
     assert r["results"] == precompact_results
 
-    # rebuilding is idempotent: overwrites the bootstrap partition only
+    # rebuilding after a compaction: the bootstrap partition is
+    # overwritten, every STREAMED batch is re-assigned under the new
+    # artifacts, the stale compacted layout is dropped, and the binding
+    # re-stamped (r6 ADVICE: without this, read_serving silently served
+    # old-quantizer assignments against the new centroids)
     r = _run(
         tmp_path,
         "build",
@@ -124,6 +133,24 @@ def test_build_ingest_search_lifecycle(spark, sf_dir, tmp_path):
         "2",
     )
     assert r["n_vectors"] == n_base and r["ivf_version"] == 2
+    assert r["n_reassigned"] == len(late)
+    assert not (Path(wh_dir) / "ann_serving_by_list").exists()
+    # deterministic k-means on the same snapshot + params -> identical
+    # centroids, so post-rebuild IVF search must reproduce the earlier
+    # results exactly (the strongest correct-reassignment pin available)
+    r = _run(
+        tmp_path,
+        "search",
+        "--warehouse",
+        wh_dir,
+        "--query-ids",
+        str(qid),
+        "--k",
+        "3",
+        "--method",
+        "ivf",
+    )
+    assert r["results"] == precompact_results
     r = _run(
         tmp_path,
         "search",

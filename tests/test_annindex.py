@@ -309,6 +309,162 @@ def test_cluster_serving_table_prunes_probed_lists(spark, emb, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
 
+def test_retrain_without_rebuild_is_refused(spark, emb, tmp_path):
+    """The binding stamp: a retrain (new artifact version) with
+    unrebuilt serving columns must fail searches, compactions, and
+    ingest at the door — old centroid_id against new centroids is
+    silently wrong, never slow-but-right (r6 ADVICE)."""
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    sub = emb.filter(F.col("vec_id") < 200).select("vec_id", "embedding")
+    stored = ai.build_ann_index(wh, sub, n_lists=4, n_iter=1)
+    wh.overwrite_partitions(
+        stored.withColumn("batch_id", F.lit(-1)), "ann_serving", ["batch_id"]
+    )
+    ai.bind_serving(wh)
+    ai.cluster_serving_table(wh)
+    assert ai.read_serving(wh).count() == 200  # consistent -> green
+
+    # retrain WITHOUT re-materializing the serving columns
+    ai.save_ivf_index(wh, ai.train_ivf_index(sub, n_lists=8, n_iter=1))
+    with pytest.raises(ValueError, match="retrain"):
+        ai.read_serving(wh)
+    with pytest.raises(ValueError, match="retrain"):
+        ai.cluster_serving_table(wh)
+
+    # re-binding (what ann_cli build does after re-assigning) clears it,
+    # but the COMPACTED layout still snapshots old assignments — the
+    # metadata version stamp catches that independently
+    ai.bind_serving(wh)
+    with pytest.raises(ValueError, match="older quantizer"):
+        ai.read_serving(wh)
+    ai.invalidate_serving_layout(wh)
+    assert ai.read_serving(wh).count() == 200  # raw path serves again
+
+
+def test_compacted_version_stamp_refuses_stale_without_binding(
+    spark, emb, tmp_path
+):
+    """Even with no binding stamp (manually assembled warehouses), the
+    compacted layout's own metadata pins the artifact versions it was
+    built under — a retrain after compaction is refused at read."""
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    sub = emb.filter(F.col("vec_id") < 100).select("vec_id", "embedding")
+    stored = ai.build_ann_index(wh, sub, n_lists=4, n_iter=1)
+    wh.overwrite_partitions(
+        stored.withColumn("batch_id", F.lit(-1)), "ann_serving", ["batch_id"]
+    )
+    out = ai.cluster_serving_table(wh)
+    meta = wh.read_metadata(out)
+    assert meta["max_batch_id"] == -1
+    assert meta["ivf_version"] == 1 and meta["lsh_version"] == 1
+    assert ai.read_serving(wh).count() == 100
+
+    ai.save_ivf_index(wh, ai.train_ivf_index(sub, n_lists=8, n_iter=1))
+    with pytest.raises(ValueError, match="older quantizer"):
+        ai.read_serving(wh)
+
+
+def test_compaction_is_versioned_snapshot_isolated(spark, emb, tmp_path):
+    """The compacted layout is a versioned+partitioned table: a
+    re-compaction publishes v_2 in one atomic CURRENT flip (layout +
+    watermark + version stamp together), and a reader that resolved
+    the table BEFORE the flip keeps reading intact v_1 files instead
+    of hitting half-deleted partitions (r6 ADVICE low #3)."""
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    sub = emb.filter(F.col("vec_id") < 100).select("vec_id", "embedding")
+    stored = ai.build_ann_index(wh, sub, n_lists=4, n_iter=1)
+    wh.overwrite_partitions(
+        stored.withColumn("batch_id", F.lit(0)), "ann_serving", ["batch_id"]
+    )
+    out = ai.cluster_serving_table(wh)
+    assert wh.versions(out) == [1]
+    reader = wh.read(out)  # resolves CURRENT=v_1 now
+
+    late = stored.filter(F.col("vec_id") < 10).withColumn(
+        "embedding", F.expr("transform(embedding, x -> CAST(0.0 AS FLOAT))")
+    )
+    wh.overwrite_partitions(
+        late.withColumn("batch_id", F.lit(1)), "ann_serving", ["batch_id"]
+    )
+    ai.cluster_serving_table(wh)
+    assert wh.versions(out) == [1, 2]
+    assert wh.read_metadata(out)["max_batch_id"] == 1
+    # the pre-flip reader still scans v_1: complete and un-deleted
+    assert reader.count() == 100
+    assert ai.read_serving(wh).count() == 100  # new CURRENT
+
+
+def test_ann_status_healthy_then_drifted(spark, emb, tmp_path):
+    """The retrain trigger (r6 verdict #5): a freshly built index
+    reports ok (zero reassignments, distance ratio ~1, recall above
+    floor); a retrain with unrebuilt serving columns flips the
+    recommendation to rebuild WITHOUT raising (status is a
+    diagnostic, unlike the read-path guards)."""
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    sub = emb.filter(F.col("vec_id") < 400).select("vec_id", "embedding")
+    stored = ai.build_ann_index(wh, sub, n_lists=8, n_iter=2)
+    wh.overwrite_partitions(
+        stored.withColumn("batch_id", F.lit(-1)), "ann_serving", ["batch_id"]
+    )
+    ai.bind_serving(wh)
+
+    st = ai.ann_status(wh)
+    assert st["recommendation"] == "ok", st
+    assert st["binding_ok"] and st["compacted_ok"]
+    assert st["frac_reassigned"] == 0.0
+    assert st["build_mean_assign_dist"] is not None
+    assert st["assign_dist_ratio"] == 1.0, st  # same sample, same probe
+    assert st["recall_ratio"] == 1.0, st
+    assert st["n_sampled"] > 0
+
+    # policy wiring: the same healthy metrics against a tightened
+    # threshold must flip the recommendation (deterministic stand-in
+    # for a drifted corpus — ratio 1.0 > 0.5)
+    st_tight = ai.ann_status(wh, dist_ratio_threshold=0.5)
+    assert st_tight["recommendation"] == "retrain", st_tight
+
+    # retrain without rebuilding -> status DIAGNOSES what the read
+    # guards refuse
+    ai.save_ivf_index(wh, ai.train_ivf_index(sub, n_lists=4, n_iter=1))
+    st2 = ai.ann_status(wh)
+    assert st2["recommendation"] == "rebuild", st2
+    assert not st2["binding_ok"]
+    assert st2["frac_reassigned"] > 0  # stored ids predate the artifact
+
+
+def test_ann_status_flags_compaction_lag(spark, emb, tmp_path):
+    """compact_lag: many streamed batches past the compacted watermark
+    -> recommendation recompact (health, not correctness — read_serving
+    still tops up)."""
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    sub = emb.filter(F.col("vec_id") < 100).select("vec_id", "embedding")
+    stored = ai.build_ann_index(wh, sub, n_lists=4, n_iter=1)
+    wh.overwrite_partitions(
+        stored.withColumn("batch_id", F.lit(-1)), "ann_serving", ["batch_id"]
+    )
+    ai.bind_serving(wh)
+    ai.cluster_serving_table(wh)
+    st = ai.ann_status(wh, recall_queries=4)
+    assert st["batches_behind"] == 0
+
+    late = ai.materialize_lsh_buckets(
+        ai.materialize_ivf_assignments(
+            emb.filter(F.col("vec_id").between(100, 199)).select(
+                "vec_id", "embedding"
+            ),
+            ai.load_ivf_index(wh),
+        ),
+        N_DIMS,
+    ).select(*stored.columns)
+    for b in range(3):
+        wh.overwrite_partitions(
+            late.withColumn("batch_id", F.lit(b)), "ann_serving", ["batch_id"]
+        )
+    st2 = ai.ann_status(wh, recall_queries=4, compact_lag=1)
+    assert st2["batches_behind"] == 3  # wm=-1 (bootstrap), max batch 2
+    assert st2["recommendation"] == "recompact", st2
+
+
 def test_read_serving_freshness_across_compaction(spark, emb, tmp_path):
     """read_serving: raw-only, compacted-only, and compacted+fresh
     top-up all present the same latest-wins view — compaction is never
