@@ -64,13 +64,26 @@ def data_view(
     date ⋈ terminals.
 
     Plan notes for 100 TB: the ``create_date`` day-filter is applied to
-    the fact BEFORE any join (with the fact partitioned by ``load_date``
-    it becomes static partition pruning); dims (clients/accounts/cards/
-    terminals) broadcast when small, degrade to shuffle equi-joins when
-    not. The only big-side shuffle key is ``card_num``.
+    the fact BEFORE any join, and when the fact carries its
+    ``load_date`` PARTITION column (the pipeline's layout) the
+    equivalent partition predicate is added too — ``create_date`` is a
+    DATA column, so alone it reaches the scan only as a row filter and
+    every historical partition's files are still opened; the
+    ``load_date`` predicate prunes them at the FILE level (r7 — the
+    pipeline scale smoke measured day-3 mart latency growing with
+    history size before this). Semantics-preserving by the loader's
+    invariant ``load_date == to_date(create_date)``
+    (pipeline.load_transactions stamps both from one processing_ts);
+    both filters are kept, so even a hand-written violating row changes
+    nothing relative to the reference's create_date-only filter within
+    its own partition. Dims (clients/accounts/cards/terminals)
+    broadcast when small, degrade to shuffle equi-joins when not. The
+    only big-side shuffle key is ``card_num``.
     """
     day = F.lit(processing_ts.date()).cast("date")
     fact_today = fact_transactions.filter(F.to_date("create_date") == day)
+    if "load_date" in fact_transactions.columns:
+        fact_today = fact_today.filter(F.col("load_date") == day)
 
     trm = (
         terminals_hist

@@ -116,6 +116,63 @@ def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
 
+def test_daily_mart_prunes_fact_partitions(spark, tmp_path):
+    """The daily fraud view must reach the load_date-partitioned fact
+    scan with a PartitionFilters entry (file-level pruning), not only
+    the create_date ROW filter — at 100 TB the create_date-only filter
+    opens every historical partition's files for every nightly run
+    (r7 pipeline-scale-smoke finding; plans/fraud.py data_view)."""
+    import contextlib
+    import datetime as dt
+    import io
+
+    from pyspark.sql import functions as F
+
+    from etl_sber_spark import schemas
+    from etl_sber_spark.plans.fraud import data_view
+
+    ts = dt.datetime(2021, 3, 3, 23, 50)
+    from pyspark.sql import types as T
+
+    # a COPY of the schema: StructType.add mutates the shared module
+    # schema (the pipeline.py:129 pitfall)
+    fact_schema = T.StructType(
+        [*schemas.FACT_TRANSACTIONS.fields, T.StructField("load_date", T.DateType())]
+    )
+    fact = spark.createDataFrame(
+        [
+            (f"T{i}", dt.datetime(2021, 3, 1 + i % 3, 12, 0), f"C{i}",
+             "PAYMENT", None, "SUCCESS", f"P{i}",
+             dt.datetime(2021, 3, 1 + i % 3, 23, 50),
+             dt.date(2021, 3, 1 + i % 3))
+            for i in range(30)
+        ],
+        fact_schema,
+    )
+    p = str(tmp_path / "fact")
+    fact.write.partitionBy("load_date").parquet(p)
+
+    def _empty(schema):
+        return spark.createDataFrame([], schema)
+
+    view = data_view(
+        _empty(schemas.CLIENTS),
+        _empty(schemas.ACCOUNTS),
+        _empty(schemas.CARDS),
+        spark.read.parquet(p),
+        _empty(schemas.TERMINALS_HIST),
+        ts,
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        view.explain("formatted")
+    plan = buf.getvalue()
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "load_date" in m.group(1), plan
+
+
 def test_bm25_single_matched_exchange_two_corpus_passes(spark):
     """bm25_scores' scale contract (round 3): document lengths ride with
     the exploded term rows, so the only doc-keyed shuffle carries
