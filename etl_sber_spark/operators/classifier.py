@@ -245,6 +245,252 @@ def evaluate_classifier(
     )
 
 
+def select_threshold(
+    scores: DataFrame,
+    labels: DataFrame,
+    *,
+    target_precision: float | None = None,
+    target_recall: float | None = None,
+    id_col: str = "doc_id",
+    label_col: str = "label",
+) -> dict:
+    """Pick the score threshold hitting a precision/recall target on a
+    labeled HOLD-OUT — the tuning step between ``evaluate_classifier``
+    (fixed-threshold metrics) and wiring the gate into curation.
+
+    Sweeps every distinct hold-out score as a candidate threshold
+    (predictions are ``score >= t``) via one groupBy + one cumulative
+    window over the hold-out's distinct scores — never corpus-sized.
+    Selection rule (deterministic, ties broken toward the HIGHER
+    threshold — the stricter gate):
+
+    - ``target_precision=p``: among thresholds with precision ≥ p,
+      maximize recall;
+    - ``target_recall=r``: among thresholds with recall ≥ r, maximize
+      precision;
+    - neither: maximize F1.
+
+    When no threshold meets the target, returns the closest one
+    (max precision / max recall respectively) with ``met=False`` —
+    callers gate deployment on ``met``, not on the numbers looking
+    plausible. Returns ``{threshold, precision, recall, f1, met}``,
+    ratios rounded to 6 like ``evaluate_classifier``.
+    """
+    if target_precision is not None and target_recall is not None:
+        raise ValueError(
+            "pick ONE of target_precision / target_recall — meeting both "
+            "is two constraints with no defined objective; run twice and "
+            "compare"
+        )
+    joined = scores.join(
+        labels.select(
+            F.col(id_col), F.col(label_col).cast("int").alias("_y")
+        ),
+        id_col,
+    )
+    n_pos = joined.agg(F.sum("_y").alias("p")).first().p
+    if not n_pos:
+        raise ValueError("hold-out has no positive labels")
+    per_s = joined.groupBy("score").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("_y").alias("p")
+    )
+    w = Window.orderBy(F.col("score").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    metrics = per_s.select(
+        F.col("score").alias("threshold"),
+        F.round(F.sum("p").over(w) / F.sum("n").over(w), 6).alias(
+            "precision"
+        ),
+        F.round(F.sum("p").over(w) / F.lit(float(n_pos)), 6).alias("recall"),
+    ).withColumn(
+        "f1",
+        F.round(
+            2.0
+            * F.col("precision")
+            * F.col("recall")
+            / (F.col("precision") + F.col("recall")),
+            6,
+        ),
+    )
+    if target_precision is not None:
+        ok = metrics.filter(F.col("precision") >= target_precision)
+        pick = ok.orderBy(
+            F.col("recall").desc(), F.col("threshold").desc()
+        ).first()
+        met = pick is not None
+        if pick is None:
+            pick = metrics.orderBy(
+                F.col("precision").desc(), F.col("threshold").desc()
+            ).first()
+    elif target_recall is not None:
+        ok = metrics.filter(F.col("recall") >= target_recall)
+        pick = ok.orderBy(
+            F.col("precision").desc(), F.col("threshold").desc()
+        ).first()
+        met = pick is not None
+        if pick is None:
+            pick = metrics.orderBy(
+                F.col("recall").desc(), F.col("threshold").desc()
+            ).first()
+    else:
+        pick = metrics.orderBy(
+            F.col("f1").desc(), F.col("threshold").desc()
+        ).first()
+        met = True
+    return {
+        "threshold": float(pick.threshold),
+        "precision": float(pick.precision),
+        "recall": float(pick.recall),
+        "f1": float(pick.f1) if pick.f1 is not None else None,
+        "met": met,
+    }
+
+
+def train_quality_classifier_by_lang(
+    feats: DataFrame,
+    labels: DataFrame,
+    n_features: int = N_FEATURES,
+    *,
+    lang_col: str = "lang",
+    n_iter: int = 20,
+    lr: float = 1.0,
+    l2: float = 0.0,
+    id_col: str = "doc_id",
+    label_col: str = "label",
+) -> dict[str, list[float]]:
+    """One weight vector PER LANGUAGE: token distributions (and what
+    "quality" looks like) differ across languages, and a pooled linear
+    model averages their signals away when they conflict (planted
+    demonstration in tests/test_classifier.py). ``labels`` carries
+    ``lang_col``; each language trains on its own labeled subset via
+    the standard trainer (so each run stays semi-joined to ITS sample
+    — corpus-size-independent). The language domain is collected
+    driver-side (tens of values, the 256-bucket discipline).
+    Returns ``{lang: weights}`` for :func:`quality_scores_by_lang` /
+    :func:`save_classifier_by_lang`."""
+    langs = sorted(
+        r[lang_col]
+        for r in labels.select(lang_col).distinct().collect()
+        if r[lang_col] is not None
+    )
+    if not langs:
+        raise ValueError("labels frame has no non-null languages")
+    return {
+        lang: train_quality_classifier(
+            feats,
+            labels.filter(F.col(lang_col) == lang),
+            n_features,
+            n_iter=n_iter,
+            lr=lr,
+            l2=l2,
+            id_col=id_col,
+            label_col=label_col,
+        )
+        for lang in langs
+    }
+
+
+def quality_scores_by_lang(
+    feats: DataFrame,
+    doc_langs: DataFrame,
+    by_lang: dict[str, list[float]],
+    *,
+    default_lang: str | None = None,
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """(id, score) against each document's OWN language's weights.
+    ``doc_langs``: (id, lang) — usually a projection of the curation
+    frame's ``cur_lang``. All weight vectors travel as ONE literal
+    lang→array map, so scoring stays a single aggregate; the only join
+    is the id-equi attach of ``lang`` onto the sparse feature rows
+    (feats⋈doc_langs shuffle on id — at 100 TB compute features WITH
+    the lang column riding instead and pass ``doc_langs=None``-shaped
+    pre-joined input by naming ``lang`` in ``feats``). Documents whose
+    language has no vector use ``default_lang``'s (or score NULL when
+    unset — surfaced, not silently pooled)."""
+    if not by_lang:
+        raise ValueError("by_lang is empty")
+    map_sql = (
+        "map("
+        + ", ".join(
+            f"'{lang}', {_weights_sql(w)}" for lang, w in sorted(by_lang.items())
+        )
+        + ")"
+    )
+    if lang_col in feats.columns:
+        rows = feats
+    else:
+        rows = feats.join(
+            doc_langs.select(F.col(id_col), F.col(lang_col)), id_col
+        )
+    wvec = F.expr(f"element_at({map_sql}, {lang_col})")
+    if default_lang is not None:
+        if default_lang not in by_lang:
+            raise ValueError(
+                f"default_lang {default_lang!r} has no trained vector"
+            )
+        wvec = F.coalesce(
+            wvec, F.expr(_weights_sql(by_lang[default_lang]))
+        )
+    contrib = F.round(
+        F.col("v") * F.element_at(wvec, F.col("bucket") + 1), _SCALE
+    ).cast(_DEC)
+    return rows.groupBy(id_col).agg(
+        F.round(
+            F.lit(1.0)
+            / (F.lit(1.0) + F.exp(-F.sum(contrib).cast("double"))),
+            6,
+        ).alias("score")
+    )
+
+
+def save_classifier_by_lang(
+    wh, by_lang: dict[str, list[float]], name: str = "quality_classifier_by_lang"
+) -> None:
+    """Persist a per-language weight family as ONE versioned artifact
+    ((lang, bucket, weight) rows) — atomic flip, time travel, and
+    "which vectors gated this curation run" stays one version id."""
+    rows = [
+        (lang, b, float(w))
+        for lang, ws in sorted(by_lang.items())
+        for b, w in enumerate(ws)
+    ]
+    wh.overwrite_versioned(
+        wh.spark.createDataFrame(
+            rows, "lang string, bucket int, weight double"
+        ),
+        name,
+    )
+
+
+def load_classifier_by_lang(
+    wh, name: str = "quality_classifier_by_lang", version: int | None = None
+) -> dict[str, list[float]]:
+    """Reload a per-language family saved by
+    :func:`save_classifier_by_lang`, validating each language's vector
+    is gap-free like :func:`load_classifier`."""
+    rows = sorted(
+        (r.lang, int(r.bucket), float(r.weight))
+        for r in wh.read(name, version=version).collect()
+    )
+    if not rows:
+        raise ValueError(f"classifier table {name!r} is empty")
+    out: dict[str, list[float]] = {}
+    for lang, b, w in rows:
+        out.setdefault(lang, []).append((b, w))
+    result = {}
+    for lang, pairs in out.items():
+        if [b for b, _ in pairs] != list(range(len(pairs))):
+            raise ValueError(
+                f"classifier table {name!r} lang {lang!r} has gaps in its "
+                "bucket ids — not written by save_classifier_by_lang"
+            )
+        result[lang] = [w for _, w in pairs]
+    return result
+
+
 def sigmoid(x: float) -> float:
     """Driver-side reference sigmoid (for the pure-Python trajectory
     differential — same IEEE arithmetic as the distributed one)."""

@@ -85,7 +85,16 @@ def curate_corpus(
       (``train_quality_classifier`` / ``load_classifier``); evaluated
       ONLY on cheap-gate survivors (it costs a feature explode + two
       aggregates where the gates above are projections), and the score
-      surfaces as ``cur_cls_score`` for report/threshold tuning;
+      surfaces as ``cur_cls_score`` for report/threshold tuning.
+      The tuned-threshold flow (r7): score a labeled HOLD-OUT
+      (``quality_scores``), pick the operating point with
+      ``classifier.select_threshold(scores, holdout,
+      target_precision=…)`` — gate deployment on its ``met`` flag —
+      then pass the returned ``threshold`` here; per-language vectors
+      (``train_quality_classifier_by_lang`` +
+      ``quality_scores_by_lang`` keyed on ``cur_lang``) exist for
+      corpora where one pooled vector underfits conflicting
+      language-specific signals;
     - ``'exact_dup'``  identical normalized content as a kept doc with a
       smaller id (the min-id doc of each group survives);
     - ``'near_dup'``   3-gram Jaccard ≥ ``near_dup_jaccard`` against a

@@ -429,7 +429,18 @@ def phash_near_duplicates(
     with any healthy matching band are unaffected. ``max_bucket=None``
     is the unguarded semantics reference; the brute-force-oracle tests
     pin the guard as a no-op on healthy fixtures
-    (tests/test_multimodal.py, tests/test_skew_caps.py).
+    (tests/test_multimodal.py, tests/test_skew_caps.py). The guard is
+    ON by default (the repo-wide r5 doctrine: every near-dup candidate
+    generator capped by omission) — callers that need the unconditional
+    100%-recall-within-radius contract on possibly-cliquey corpora must
+    OPT OUT explicitly and own the C(n,2) cost.
+
+    Duplicate input ids tolerated (r6 ADVICE low #4): a repeated
+    ``id_col`` value cannot create self-pairs (filtered) or duplicate
+    output pairs (the final distinct runs AFTER the hash re-join, on
+    the candidates-scale pair set) — though its hash is still whichever
+    rows the join matched, so upstream uniqueness remains the sane
+    layout (media_near_duplicates guarantees it via its synthetic key).
     """
     n_bands = max_hamming + 1
     width = 64 // n_bands
@@ -481,6 +492,9 @@ def phash_near_duplicates(
         grouped.filter(F.size("ids") >= 2)
         .select(F.explode(emit).alias("p"))
         .select("p.id_a", "p.id_b")
+        # duplicate input ids put the same id in one bucket list twice
+        # -> (x, x) "pairs"; never meaningful, always hamming 0
+        .filter(F.col("id_a") != F.col("id_b"))
         .distinct()
     )
     ha = df.select(F.col(id_col).alias("id_a"), F.col(phash_col).alias("_pa"))
@@ -496,6 +510,10 @@ def phash_near_duplicates(
             ),
         )
         .filter(F.col("hamming") <= max_hamming)
+        # duplicate input ids multiply candidate pairs through the hash
+        # re-join; dedup AFTER the join restores the pre-r6 output
+        # contract at candidates-scale cost (r6 ADVICE low #4)
+        .distinct()
     )
 
 

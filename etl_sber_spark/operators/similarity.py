@@ -640,6 +640,20 @@ def embedding_neardup_pairs(
     approaches 1000. ``max_bucket=None`` disables the guard — a
     test-only semantics reference.
 
+    **Eager-construction caveat** (r6 ADVICE, deliberate): with the
+    guard on, CALLING this function runs one Spark job — the ≤256-row
+    bucket-size aggregate (which also materializes the pinned
+    candidate frame) — before returning, and the hot-bucket list is a
+    snapshot baked into the returned plan. Callers composing plans
+    without executing them pay that job up front; callers wanting the
+    fully lazy semantics pass ``max_bucket=None``. Kept eager on
+    purpose: the r7 A/B re-measured the fully-lazy alternative
+    (pinned counts frame + broadcast anti/semi split, no collect) at
+    0.65-0.74 s steady vs 0.56-0.62 s for this shape at sf0.1
+    (BENCHLOG.md) — the two broadcast joins cost more than the one
+    driver round-trip, and at 100 TB the collect is still a 256-row
+    driver read off a map-combined aggregate.
+
     Guard mechanics differ from the text twin because the bucket
     DOMAIN is tiny (2^N_PLANES = 256 ids): bucket sizes are one
     ≤256-row aggregate collected driver-side (the centroid-literal

@@ -335,3 +335,180 @@ def test_evaluate_handles_ties(spark):
     )
     row = evaluate_classifier(scores, labels).collect()[0]
     assert row.auc == 0.5
+
+
+def _py_threshold_sweep(pairs):
+    """Pure-Python reference for select_threshold's metric table:
+    pairs = [(score, y)]; returns {threshold: (precision, recall, f1)}
+    with the same round-to-6 convention."""
+    def r6(x):
+        return float(
+            Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP)
+        )
+
+    n_pos = sum(y for _, y in pairs)
+    out = {}
+    for t in sorted({s for s, _ in pairs}):
+        pp = sum(1 for s, _ in pairs if s >= t)
+        tp = sum(1 for s, y in pairs if s >= t and y == 1)
+        prec, rec = r6(tp / pp), r6(tp / n_pos)
+        f1 = r6(2 * prec * rec / (prec + rec)) if prec + rec else None
+        out[t] = (prec, rec, f1)
+    return out
+
+
+def test_select_threshold_matches_python_reference(spark, trained):
+    """select_threshold's pick == the pure-Python sweep's pick under
+    the documented selection rules, on a holdout with overlap (planted
+    misranked docs so precision/recall actually trade off)."""
+    docs, feats, w = trained
+    scored = cl.quality_scores(feats, w)
+    # flip 6 labels so no threshold is perfect: 3 good docs labeled 0,
+    # 3 spam docs labeled 1
+    rows = (
+        [(i, 1) for i in range(3, 40)]
+        + [(i, 0) for i in range(3)]
+        + [(100 + i, 0) for i in range(3, 40)]
+        + [(100 + i, 1) for i in range(3)]
+    )
+    labels = spark.createDataFrame(rows, "doc_id bigint, label int")
+    pairs = [
+        (r.score, r._y)
+        for r in scored.join(
+            labels.select("doc_id", F.col("label").alias("_y")), "doc_id"
+        ).collect()
+    ]
+    sweep = _py_threshold_sweep(pairs)
+
+    got = cl.select_threshold(scored, labels, target_precision=0.9)
+    ok = [(t, m) for t, m in sweep.items() if m[0] >= 0.9]
+    assert ok, "fixture must admit a >=0.9-precision threshold"
+    want_t = max(ok, key=lambda tm: (tm[1][1], tm[0]))[0]
+    assert got["met"] and got["threshold"] == want_t
+    assert (got["precision"], got["recall"], got["f1"]) == sweep[want_t]
+
+    got_r = cl.select_threshold(scored, labels, target_recall=0.9)
+    ok_r = [(t, m) for t, m in sweep.items() if m[1] >= 0.9]
+    want_tr = max(ok_r, key=lambda tm: (tm[1][0], tm[0]))[0]
+    assert got_r["met"] and got_r["threshold"] == want_tr
+
+    got_f = cl.select_threshold(scored, labels)
+    want_tf = max(sweep.items(), key=lambda tm: (tm[1][2], tm[0]))[0]
+    assert got_f["threshold"] == want_tf
+
+    # unreachable target -> met=False, closest (max precision) returned
+    got_u = cl.select_threshold(scored, labels, target_precision=1.0)
+    assert not got_u["met"]
+    assert got_u["precision"] == max(m[0] for m in sweep.values())
+
+    with pytest.raises(ValueError, match="ONE of"):
+        cl.select_threshold(
+            scored, labels, target_precision=0.9, target_recall=0.9
+        )
+
+
+def _bilingual(spark):
+    """Two languages where the SAME token flips polarity: 'premium'
+    present = quality in lang xx, present = spam in lang yy, and it is
+    the ONLY within-language separator (everything else appears in both
+    classes) — a linear XOR: one pooled weight for premium's bucket
+    cannot be simultaneously positive (xx) and negative (yy), while
+    per-language vectors separate both perfectly."""
+    rows, labels = [], []
+    for i in range(30):
+        rows.append((i, f"premium common filler x{i % 5}"))
+        labels.append((i, 1, "xx"))
+        rows.append((100 + i, f"common filler x{i % 5}"))
+        labels.append((100 + i, 0, "xx"))
+        rows.append((200 + i, f"common filler y{i % 5}"))
+        labels.append((200 + i, 1, "yy"))
+        rows.append((300 + i, f"premium common filler y{i % 5}"))
+        labels.append((300 + i, 0, "yy"))
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    labs = spark.createDataFrame(
+        labels, "doc_id bigint, label int, lang string"
+    )
+    return docs, labs
+
+
+def test_per_language_beats_pooled_on_conflicting_signal(spark):
+    docs, labs = _bilingual(spark)
+    feats = cl.hashed_token_features(docs, n_features=D).localCheckpoint()
+    by_lang = cl.train_quality_classifier_by_lang(
+        feats, labs, n_features=D, n_iter=15
+    )
+    assert sorted(by_lang) == ["xx", "yy"]
+
+    doc_langs = labs.select("doc_id", "lang")
+    scores = {
+        r.doc_id: r.score
+        for r in cl.quality_scores_by_lang(
+            feats, doc_langs, by_lang
+        ).collect()
+    }
+    # per-language: both languages perfectly separated
+    assert min(scores[i] for i in range(30)) > max(
+        scores[100 + i] for i in range(30)
+    )
+    assert min(scores[200 + i] for i in range(30)) > max(
+        scores[300 + i] for i in range(30)
+    )
+    # pooled single vector: the conflicting 'premium' signal costs
+    # accuracy on at least one side (the planted demonstration)
+    pooled = cl.train_quality_classifier(
+        feats, labs.select("doc_id", "label"), n_features=D, n_iter=15
+    )
+    ps = {
+        r.doc_id: r.score for r in cl.quality_scores(feats, pooled).collect()
+    }
+    pooled_sep = (
+        min(ps[i] for i in range(30)) > max(ps[100 + i] for i in range(30))
+        and min(ps[200 + i] for i in range(30))
+        > max(ps[300 + i] for i in range(30))
+    )
+    assert not pooled_sep
+
+
+def test_per_language_parity_fallback_and_artifact(spark, tmp_path):
+    """Single-language parity: scoring through the by-lang path with
+    one vector == quality_scores with that vector; unknown languages
+    fall back to default_lang (or NULL-score without one); the family
+    artifact round-trips versioned."""
+    from etl_sber_spark.sinks.warehouse import Warehouse
+
+    docs, labs = _bilingual(spark)
+    feats = cl.hashed_token_features(docs, n_features=D).localCheckpoint()
+    by_lang = cl.train_quality_classifier_by_lang(
+        feats, labs, n_features=D, n_iter=5
+    )
+
+    xx_ids = labs.filter(F.col("lang") == "xx").select("doc_id")
+    xx_feats = feats.join(xx_ids, "doc_id", "left_semi")
+    doc_langs = labs.select("doc_id", "lang")
+    via_map = {
+        r.doc_id: r.score
+        for r in cl.quality_scores_by_lang(
+            xx_feats, doc_langs, by_lang
+        ).collect()
+    }
+    direct = {
+        r.doc_id: r.score
+        for r in cl.quality_scores(xx_feats, by_lang["xx"]).collect()
+    }
+    assert via_map == direct
+
+    # unknown language: NULL without default, default vector with one
+    alien = doc_langs.withColumn("lang", F.lit("zz"))
+    nulls = cl.quality_scores_by_lang(xx_feats, alien, by_lang)
+    assert nulls.filter(F.col("score").isNotNull()).count() == 0
+    with_default = {
+        r.doc_id: r.score
+        for r in cl.quality_scores_by_lang(
+            xx_feats, alien, by_lang, default_lang="xx"
+        ).collect()
+    }
+    assert with_default == direct
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    cl.save_classifier_by_lang(wh, by_lang)
+    assert cl.load_classifier_by_lang(wh) == by_lang

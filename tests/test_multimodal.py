@@ -126,6 +126,28 @@ def test_phash_near_duplicates_pigeonhole_exact(spark):
     assert (1, 2) in got and (1, 3) in got and (1, 4) not in got
 
 
+def test_phash_near_duplicates_tolerates_duplicate_ids(spark):
+    """Duplicate media_id rows (double-ingested metadata) must not
+    produce self-pairs or duplicate output pairs (r6 ADVICE low #4:
+    the r6 rewrite moved distinct() to the candidate set and the hash
+    re-join multiplied pairs by the duplication factor)."""
+    from etl_sber_spark.operators.multimodal import phash_near_duplicates
+
+    base = 0x5A5A5A5A5A5A5A5A
+    rows = [
+        (1, base),
+        (1, base),  # duplicate ingest of id 1
+        (2, base ^ (1 << 7)),  # hamming 1 from id 1
+        (3, base ^ (1 << 1) ^ (1 << 30) ^ (1 << 55) ^ (1 << 60)),  # 4: out
+    ]
+    df = spark.createDataFrame(rows, "media_id long, phash64 long")
+    got = sorted(
+        (r.id_a, r.id_b, r.hamming)
+        for r in phash_near_duplicates(df, max_hamming=3).collect()
+    )
+    assert got == [(1, 2, 1)], got  # once, no (1,1), no duplicates
+
+
 def test_frame_sampling_skips_zero_frame_media(spark):
     """Corrupt metadata (n_frames <= 0) yields no rows instead of
     crashing the stage (round-4 review finding)."""
