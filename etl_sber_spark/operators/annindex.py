@@ -16,15 +16,18 @@ operators/similarity.py:
   ~n·n_probe/n_lists pre-assigned rows — zero training jobs, zero
   corpus-wide projections on the query path
   (``cosine_topk_ivf(..., centroids=..., centroid_col=...)``).
-- **LSH**: the hyperplanes are a deterministic sign matrix derived from
-  (n_dims, n_planes) — there is nothing to *train*, but the matrix still
-  persists (:func:`save_lsh_model`) so a stored ``bucket`` column
-  (:func:`materialize_lsh_buckets`) is verifiably tied to the plane set
-  that produced it: :func:`load_lsh_model` recomputes the formula for
-  the stored shape and REFUSES to load an artifact whose planes differ
-  (formula drift would silently zero recall against old bucket columns
-  — same frozen-quantizer contract as operators/semindex.py and
-  functions/hashing.py's xxhash64 note).
+- **LSH**: the hyperplane family is deterministic, derived from
+  (n_dims, n_planes, table) — table 0 the frozen historical matrix,
+  higher tables independent hash draws (similarity.plane_sign) — so
+  there is nothing to *train*, but the planes still persist
+  (:func:`save_lsh_model`, one row per (table, plane)) so stored bucket
+  columns (:func:`materialize_lsh_buckets` — ``bucket`` plus
+  ``bucket_t{t}`` per extra table) are verifiably tied to the plane
+  sets that produced them: :func:`load_lsh_model` recomputes the
+  formula for every stored table and REFUSES to load an artifact whose
+  planes differ (formula drift would silently zero recall against old
+  bucket columns — same frozen-quantizer contract as
+  operators/semindex.py and functions/hashing.py's xxhash64 note).
 
 The centroid artifact is exactly what operators/semindex.py's
 ``build_semantic_index``/``semantic_increment`` consume as their frozen

@@ -130,6 +130,14 @@ def main() -> None:
             "overwrite"
         ).parquet(f"{tmp}/emb_lsh")
         out["lsh_bucket_sec"] = round(time.perf_counter() - t0, 3)
+        # per-table stored columns for multi-table serving (r7): one
+        # extra projection per table at ingest, L-1 extra int columns
+        t0 = time.perf_counter()
+        ai.save_lsh_model(wh, N_DIMS, name="lsh_multi", n_tables=4)
+        ai.materialize_lsh_buckets(emb, N_DIMS, n_tables=4).write.mode(
+            "overwrite"
+        ).parquet(f"{tmp}/emb_lsh4")
+        out["lsh_bucket_t4_sec"] = round(time.perf_counter() - t0, 3)
 
         loaded = ai.load_ivf_index(wh)
         stored_ivf = spark.read.parquet(f"{tmp}/emb_ivf")
@@ -162,14 +170,33 @@ def main() -> None:
                 lambda a=approx: a
             )
             out[f"ivf_p{probes}_recall"] = recall_at_k(approx, exact)
-        # multi-table LSH ladder (inline path: independent plane sets
-        # cannot ride a single stored bucket column)
+        # multi-table LSH ladder, SEARCH-ONLY (r7): per-table stored
+        # bucket columns (wide layout), drift-guarded planes, candidate
+        # explode over stored ints — zero corpus-side plane math
+        model = ai.load_lsh_model(wh, name="lsh_multi")
+        stored_lsh4 = spark.read.parquet(f"{tmp}/emb_lsh4")
         for n_tables in (2, 4):
             approx = sim.cosine_topk_lsh(
-                emb, queries, N_DIMS, k=K, n_probe=1, n_tables=n_tables
+                stored_lsh4, queries, model.n_dims, k=K, n_probe=1,
+                bucket_col="bucket", n_tables=n_tables,
             )
             out[f"lsh_t{n_tables}_sec"] = timed_min2(lambda a=approx: a)
             out[f"lsh_t{n_tables}_recall"] = recall_at_k(approx, exact)
+
+        # drift-monitor latency (the status probe is sample-bounded)
+        wh.overwrite_partitions(
+            stored_ivf.join(
+                stored_lsh.select("vec_id", "bucket"), "vec_id"
+            ).withColumn("batch_id", F.lit(-1)),
+            "ann_serving",
+            ["batch_id"],
+        )
+        ai.bind_serving(wh)
+        t0 = time.perf_counter()
+        st = ai.ann_status(wh)
+        out["status_sec"] = round(time.perf_counter() - t0, 3)
+        out["status_recommendation"] = st["recommendation"]
+        out["status_n_sampled"] = st["n_sampled"]
 
         print(json.dumps(out))
     spark.stop()
