@@ -59,11 +59,32 @@ def band_partner_groups(
     ts_col: str,
     diff_col: str,
     tolerance_seconds: int = 3600,
+    *,
+    time_bins: bool = False,
 ) -> DataFrame:
     """Distinct ``(key_cols, ts_col, diff_col)`` groups that have at
     least one band partner: another group sharing ``key_cols`` within
     ``±tolerance_seconds`` on ``ts_col`` whose ``diff_col`` differs and
-    whose ``ts_col`` differs."""
+    whose ``ts_col`` differs.
+
+    ``time_bins=True`` is the HOT-KEY escape hatch (r7): the default
+    windows partition by ``key_cols`` alone, so one mega-hot key (an
+    aggregator card with millions of band-relevant rows) sorts on ONE
+    task — O(n_k log n_k) per key is the right complexity but the
+    wrong parallelism. Binned mode partitions by
+    ``(keys, floor(ts / tol))`` after replicating every group into its
+    own and both NEIGHBOR bins (the interval-binning trick of
+    operators/rangejoin.py): any partner within ±tol of a row in bin b
+    lives in bins b-1..b+1 and appears EXACTLY ONCE in partition
+    (keys, b), so the same three counts computed over the partition —
+    taken only on rows whose OWN bin is b — are exactly the unbinned
+    counts, and a hot key spreads over (time span / tol) tasks at the
+    cost of a 3× replication of the distinct groups. Row-identical by
+    construction; equality pinned on planted boundary cases
+    (tests/test_bandjoin.py) and measured on a planted mega-hot card
+    (SCALE.md). Default OFF: below millions-per-key the replication
+    buys nothing.
+    """
     keys = list(key_cols)
     grp = (
         df.filter(_non_null(keys + [ts_col, diff_col]))
@@ -72,21 +93,46 @@ def band_partner_groups(
     )
     us = F.unix_micros(F.col(ts_col))
     tol_us = tolerance_seconds * 1_000_000
-    w_all = Window.partitionBy(*keys).orderBy(us).rangeBetween(-tol_us, tol_us)
+    if time_bins:
+        own_bin = F.floor(F.col("_us") / tol_us)
+        grp = grp.select(
+            "*",
+            us.alias("_us"),
+        ).select(
+            "*",
+            F.explode(
+                F.array(own_bin - 1, own_bin, own_bin + 1)
+            ).alias("_bin"),
+        )
+        part = [*keys, "_bin"]
+        order_us = F.col("_us")
+    else:
+        part = keys
+        order_us = us
+    w_all = (
+        Window.partitionBy(*part).orderBy(order_us).rangeBetween(-tol_us, tol_us)
+    )
     w_same = (
-        Window.partitionBy(*keys, diff_col)
-        .orderBy(us)
+        Window.partitionBy(*part, diff_col)
+        .orderBy(order_us)
         .rangeBetween(-tol_us, tol_us)
     )
-    w_ts = Window.partitionBy(*keys, ts_col)
-    return (
-        grp.select(
-            "*",
-            F.count(F.lit(1)).over(w_all).alias("_n_all"),
-            F.count(F.lit(1)).over(w_same).alias("_n_same"),
-            F.count(F.lit(1)).over(w_ts).alias("_n_ts"),
+    w_ts = Window.partitionBy(*part, ts_col)
+    counted = grp.select(
+        "*",
+        F.count(F.lit(1)).over(w_all).alias("_n_all"),
+        F.count(F.lit(1)).over(w_same).alias("_n_same"),
+        F.count(F.lit(1)).over(w_ts).alias("_n_ts"),
+    )
+    if time_bins:
+        # counts are exact only for rows sitting in their OWN bin's
+        # partition (their full ±tol neighborhood is present there);
+        # the two neighbor-bin replicas exist to BE partners, not rows
+        counted = counted.filter(
+            F.floor(F.col("_us") / tol_us) == F.col("_bin")
         )
-        .filter(
+    return (
+        counted.filter(
             F.col("_n_all") - F.col("_n_same") - (F.col("_n_ts") - F.lit(1))
             >= 1
         )
@@ -100,14 +146,17 @@ def exists_band_partner(
     ts_col: str,
     diff_col: str,
     tolerance_seconds: int = 3600,
+    *,
+    time_bins: bool = False,
 ) -> DataFrame:
     """Rows of ``df`` (all columns preserved) whose ``(keys, ts, diff)``
     group has a band partner — the EXISTS form of the J9 band
     self-join. Rows with NULL key/ts/diff are dropped, matching what
-    the inner join's predicate would do to them."""
+    the inner join's predicate would do to them. ``time_bins`` is the
+    hot-key parallelism knob (see :func:`band_partner_groups`)."""
     keys = list(key_cols)
     qual = band_partner_groups(
-        df, keys, ts_col, diff_col, tolerance_seconds
+        df, keys, ts_col, diff_col, tolerance_seconds, time_bins=time_bins
     )
     joined = df.join(qual, on=keys + [ts_col, diff_col], how="left_semi")
     # the name-list join moves the join keys first; restore df's order

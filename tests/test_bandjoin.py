@@ -169,3 +169,70 @@ def test_default_rule3_plan_has_no_band_selfjoin(spark):
         "Join" in ln and "LeftSemi" not in ln
         for ln in faithful_plan.splitlines()
     ), faithful_plan
+
+
+def test_time_binned_matches_default(spark):
+    """time_bins=True (the hot-key parallelism knob) must be
+    row-identical to the default single-partition-per-key windows —
+    on the real events table AND on planted bin-boundary cases."""
+    e = _events(spark)
+    base = sorted(
+        map(
+            tuple,
+            band_partner_groups(
+                e, ["user_id"], "ts", "event_type"
+            ).collect(),
+        )
+    )
+    binned = sorted(
+        map(
+            tuple,
+            band_partner_groups(
+                e, ["user_id"], "ts", "event_type", time_bins=True
+            ).collect(),
+        )
+    )
+    assert binned == base and base  # non-vacuous
+
+
+def test_time_binned_boundary_cases(spark):
+    """Planted adversaries for the binning algebra: partners exactly
+    tolerance apart (inclusive band) landing in DIFFERENT bins,
+    same-ts different-diff rows (excluded by ts<>), same-diff partners
+    (excluded), and a lone row. Compared against the default windows
+    AND a literal pair-join oracle."""
+    rows = [
+        # k1: a at t=3599s before bin edge, b at t+3600 (exact tol,
+        # different bin) -> both qualify (inclusive band, diff differs)
+        ("k1", dt.datetime(2021, 3, 1, 0, 59, 59), "X"),
+        ("k1", dt.datetime(2021, 3, 1, 1, 59, 59), "Y"),
+        # k2: same ts, different diff -> ts<> fails, neither qualifies
+        ("k2", dt.datetime(2021, 3, 1, 2, 0, 0), "X"),
+        ("k2", dt.datetime(2021, 3, 1, 2, 0, 0), "Y"),
+        # k3: same diff 10 min apart -> diff<> fails
+        ("k3", dt.datetime(2021, 3, 1, 3, 0, 0), "X"),
+        ("k3", dt.datetime(2021, 3, 1, 3, 10, 0), "X"),
+        # k4: 3601 s apart, different diff -> outside the band
+        ("k4", dt.datetime(2021, 3, 1, 4, 0, 0), "X"),
+        ("k4", dt.datetime(2021, 3, 1, 5, 0, 1), "Y"),
+        # k5: lone row
+        ("k5", dt.datetime(2021, 3, 1, 6, 0, 0), "X"),
+        # k6: a qualifies via b two bins' worth of rows around an edge
+        ("k6", dt.datetime(2021, 3, 1, 0, 0, 1), "X"),
+        ("k6", dt.datetime(2021, 3, 1, 0, 59, 58), "Y"),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, d string")
+    want = {("k1", rows[0][1], "X"), ("k1", rows[1][1], "Y"),
+            ("k6", rows[9][1], "X"), ("k6", rows[10][1], "Y")}
+    base = {
+        tuple(r)
+        for r in band_partner_groups(df, ["k"], "ts", "d").collect()
+    }
+    binned = {
+        tuple(r)
+        for r in band_partner_groups(
+            df, ["k"], "ts", "d", time_bins=True
+        ).collect()
+    }
+    assert base == want
+    assert binned == want
