@@ -34,6 +34,15 @@ The centroid artifact is exactly what operators/semindex.py's
 coarse quantizer, so one saved index serves IVF top-k search, SemDeDup,
 and incremental semantic dedup.
 
+Lifecycle guards (r7): the serving table carries a version BINDING
+(:func:`bind_serving`) naming the artifact versions its stored columns
+were assigned under; :func:`read_serving`, :func:`cluster_serving_table`
+and the ingest stream REFUSE on mismatch (old assignments against new
+centroids are silently wrong), the compacted read layout publishes
+atomically (versioned+partitioned write with the fold watermark and
+version stamps in the same CURRENT flip), and :func:`ann_status` is the
+retrain trigger — drift metrics vs baselines stamped at build.
+
 Reference parity: the reference has no vector surface at all
 (`/root/reference/main.py` is an Oracle-SQL nightly ETL) — this is
 LLM-pipeline extension surface per SURVEY §7.5, composing public
