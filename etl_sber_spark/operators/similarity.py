@@ -522,6 +522,9 @@ def cosine_topk_ivf(
     quantized: bool = False,
     centroids: DataFrame | None = None,
     centroid_col: str | None = None,
+    qvec_col: str | None = None,
+    scale_col: str | None = None,
+    qnorm_col: str | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: k-means coarse quantizer,
     candidates = vectors in the query's ``n_probe`` nearest lists.
@@ -550,12 +553,44 @@ def cosine_topk_ivf(
     unchanged (same lists either way); only candidate scoring switches
     to the all-integer dot. Recall cost measured in
     tests/test_quantize.py (parity with the float IVF ladder).
+
+    ``qvec_col``/``scale_col`` (r7) name PRE-MATERIALIZED quantized
+    columns on ``embeddings`` (``quantize.quantize_embeddings`` at
+    ingest) — the stored half of the SQ8 promise: ``quantized=True``
+    alone still SCANS the float column to quantize it per query, so
+    the ¼-bytes win only lands when the stored table carries the int8
+    columns and the plan never references ``vec_col`` on the candidate
+    side (ReadSchema pinned in tests/test_quantize.py). Results are
+    bit-equal to ``quantized=True`` on the same float vectors (same
+    arithmetic, materialized earlier). Requires ``centroid_col`` too —
+    a stored-quantized table without stored assignments would re-read
+    nothing useful. ``qnorm_col`` names the ingest-stored BIGINT
+    self-dot (``quantize_embeddings(norm_col=…)``): candidate cosine
+    then needs ONE integer fold per row instead of three, and the scan
+    reads only (id, centroid_id, qvec, norm) — q_scale prunes away
+    too, since scales cancel in cosine.
     """
     if centroid_col is not None and centroids is None:
         raise ValueError(
             "centroid_col names a pre-materialized assignment, which is "
             "only meaningful against the persisted centroids that "
             "produced it — pass centroids= as well"
+        )
+    if (qvec_col is None) != (scale_col is None):
+        raise ValueError(
+            "qvec_col and scale_col name the two halves of one stored "
+            "SQ8 layout — pass both or neither"
+        )
+    if qvec_col is not None and centroid_col is None:
+        raise ValueError(
+            "stored-quantized scoring (qvec_col=) without a stored "
+            "assignment column would still scan per query for "
+            "assignment — materialize centroid_id too (centroid_col=)"
+        )
+    if qnorm_col is not None and qvec_col is None:
+        raise ValueError(
+            "qnorm_col is the stored norm OF the stored qvec — pass "
+            "qvec_col/scale_col as well"
         )
     cents = (
         centroids
@@ -582,7 +617,33 @@ def cosine_topk_ivf(
             nearest_centroids_expr(quantize_vec_sql(vec_col), cent_rows, n_probe)
         ).alias("centroid_id"),
     )
-    if quantized:
+    if qvec_col is not None:
+        from .quantize import dot_int_expr, quantize_cols
+
+        # quantize the QUERY side once, in the (tiny, broadcast) query
+        # projection — referencing quantize_cols(q_vec) inside sim_expr
+        # would re-run the transform+fold per JOINED ROW (measured 10×
+        # on the stored-SQ8 search before this)
+        _, q_q = quantize_cols(F.col("q_vec"))
+        q = q.withColumn("_qq", q_q)
+        q = q.withColumn(
+            "_qn", dot_int_expr(F.col("_qq"), F.col("_qq"))
+        )
+        cand_norm = (
+            F.col(f"e.{qnorm_col}")
+            if qnorm_col is not None
+            else dot_int_expr(F.col(f"e.{qvec_col}"), F.col(f"e.{qvec_col}"))
+        )
+        # same algebra as quantize.cosine_q_expr (scales cancel), with
+        # both norms hoisted: candidate's stored at ingest (qnorm_col),
+        # query's computed once above — bit-equal results either way
+        num = dot_int_expr(
+            F.col(f"e.{qvec_col}"), F.col("q._qq")
+        ).cast("double")
+        na = F.sqrt(cand_norm.cast("double"))
+        nb = F.sqrt(F.col("q._qn").cast("double"))
+        sim_expr = F.when((na > 0.0) & (nb > 0.0), num / (na * nb))
+    elif quantized:
         from .quantize import cosine_q_expr, quantize_cols
 
         e_scale, e_q = quantize_cols(F.col(f"e.{vec_col}"))

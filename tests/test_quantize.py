@@ -124,3 +124,91 @@ def test_recall_vs_exact(spark):
     assert n_total == 20 * k
     recall = n_hits / n_total
     assert recall >= 0.9, f"quantized recall@{k} = {recall}"
+
+
+def test_stored_sq8_search_matches_inline_and_prunes_float(spark, tmp_path):
+    """The stored half of the SQ8 promise (r7): search over
+    PRE-MATERIALIZED (qvec, q_scale, centroid_id) columns is bit-equal
+    to quantized=True (same arithmetic, materialized earlier), and the
+    candidate-side parquet scan's ReadSchema must NOT include the float
+    embedding column — the 1/4-bytes claim is column pruning, provable
+    in the plan."""
+    import contextlib
+    import io
+    import re
+
+    import pytest
+
+    from etl_sber_spark.operators import annindex as ai
+    from etl_sber_spark.operators import similarity as sim
+
+    e = load_table(spark, SF_SMALL, "embeddings").select("vec_id", "embedding")
+    cents = ai.train_ivf_index(e, n_lists=8, n_iter=2)
+    stored = quantize_embeddings(
+        ai.materialize_ivf_assignments(e, cents),
+        keep_original=True,
+        norm_col="q_norm",
+    )
+    p = str(tmp_path / "serving_sq8")
+    stored.write.parquet(p)
+    serving = spark.read.parquet(p)
+    queries = e.filter(F.col("vec_id") < 5)
+
+    inline = sorted(
+        map(
+            tuple,
+            sim.cosine_topk_ivf(
+                e, queries, k=3, n_probe=2, centroids=cents, quantized=True
+            ).collect(),
+        )
+    )
+    stored_q = sim.cosine_topk_ivf(
+        serving,
+        queries,
+        k=3,
+        n_probe=2,
+        centroids=cents,
+        centroid_col="centroid_id",
+        qvec_col="qvec",
+        scale_col="q_scale",
+    )
+    assert sorted(map(tuple, stored_q.collect())) == inline
+    # with the ingest-stored norm: same results, one fold per row
+    stored_qn = sim.cosine_topk_ivf(
+        serving,
+        queries,
+        k=3,
+        n_probe=2,
+        centroids=cents,
+        centroid_col="centroid_id",
+        qvec_col="qvec",
+        scale_col="q_scale",
+        qnorm_col="q_norm",
+    )
+    assert sorted(map(tuple, stored_qn.collect())) == inline
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        stored_q.explain("formatted")
+    plan = buf.getvalue()
+    schemas = re.findall(r"ReadSchema: (.*)", plan)
+    # two scans: the tiny query side (reads the float — it must) and
+    # the CANDIDATE side, identified by the stored qvec column, which
+    # must NOT read the float embedding (nor even q_scale: the scales
+    # cancel in cosine, so pruning drops that too)
+    cand_schemas = [s for s in schemas if "qvec" in s]
+    assert cand_schemas, schemas
+    assert not any("embedding" in s for s in cand_schemas), cand_schemas
+    assert not any("q_scale" in s for s in cand_schemas), cand_schemas
+
+    # guard rails: half a layout / missing assignment column refuse
+    with pytest.raises(ValueError, match="both or neither"):
+        sim.cosine_topk_ivf(
+            serving, queries, centroids=cents, centroid_col="centroid_id",
+            qvec_col="qvec",
+        )
+    with pytest.raises(ValueError, match="centroid_id"):
+        sim.cosine_topk_ivf(
+            serving, queries, centroids=cents,
+            qvec_col="qvec", scale_col="q_scale",
+        )

@@ -183,6 +183,36 @@ def main() -> None:
             out[f"lsh_t{n_tables}_sec"] = timed_min2(lambda a=approx: a)
             out[f"lsh_t{n_tables}_recall"] = recall_at_k(approx, exact)
 
+        # stored-SQ8 serving (r7): quantize at ingest, DROP the float
+        # column — measure bytes on disk + search latency/recall of the
+        # all-integer scoring path against the same exact oracle
+        from etl_sber_spark.operators.quantize import quantize_embeddings
+
+        t0 = time.perf_counter()
+        quantize_embeddings(stored_ivf, norm_col="q_norm").write.mode(
+            "overwrite"
+        ).parquet(f"{tmp}/emb_sq8")
+        out["sq8_materialize_sec"] = round(time.perf_counter() - t0, 3)
+
+        def _dir_bytes(d: str) -> int:
+            return sum(
+                os.path.getsize(os.path.join(base, f))
+                for base, _, files in os.walk(d)
+                for f in files
+                if not f.startswith(("_", "."))
+            )
+
+        out["float_table_mb"] = round(_dir_bytes(f"{tmp}/emb_ivf") / 1e6, 1)
+        out["sq8_table_mb"] = round(_dir_bytes(f"{tmp}/emb_sq8") / 1e6, 1)
+        stored_sq8 = spark.read.parquet(f"{tmp}/emb_sq8")
+        approx = sim.cosine_topk_ivf(
+            stored_sq8, queries, k=K, n_probe=2,
+            centroids=loaded, centroid_col="centroid_id",
+            qvec_col="qvec", scale_col="q_scale", qnorm_col="q_norm",
+        )
+        out["sq8_p2_sec"] = timed_min2(lambda a=approx: a)
+        out["sq8_p2_recall"] = recall_at_k(approx, exact)
+
         # drift-monitor latency (the status probe is sample-bounded)
         wh.overwrite_partitions(
             stored_ivf.join(
