@@ -676,19 +676,24 @@ def ann_status(
     )
 
     raw = wh.read(serving_table)
+    has_batches = "batch_id" in raw.columns
     batches_behind = None
-    if compacted and meta.get("max_batch_id") is not None:
+    if has_batches and compacted and meta.get("max_batch_id") is not None:
         mx = raw.agg(F.max("batch_id").alias("m")).first().m
         batches_behind = max(0, int(mx) - int(meta["max_batch_id"])) if mx is not None else 0
 
     # latest-wins sample of the raw serving rows (works in every state,
-    # including the stale ones read_serving refuses)
-    w = Window.partitionBy("vec_id").orderBy(F.col("batch_id").desc())
-    rows = (
-        raw.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn", "batch_id")
-    )
+    # including the stale ones read_serving refuses); a batch-less
+    # serving table (manually assembled) is taken as-is
+    if has_batches:
+        w = Window.partitionBy("vec_id").orderBy(F.col("batch_id").desc())
+        rows = (
+            raw.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn", "batch_id")
+        )
+    else:
+        rows = raw
     sample = _sample(rows, "vec_id", sample_mod).localCheckpoint(eager=False)
 
     from .similarity import (

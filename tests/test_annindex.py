@@ -432,6 +432,20 @@ def test_ann_status_healthy_then_drifted(spark, emb, tmp_path):
     assert st2["frac_reassigned"] > 0  # stored ids predate the artifact
 
 
+def test_ann_status_tolerates_batchless_serving(spark, emb, tmp_path):
+    """A manually assembled serving table without batch_id (no
+    streaming history) still gets a status report — the monitor is a
+    diagnostic for every layout, not just the CLI's."""
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    sub = emb.filter(F.col("vec_id") < 100).select("vec_id", "embedding")
+    stored = ai.build_ann_index(wh, sub, n_lists=4, n_iter=1)
+    stored.write.parquet(str(tmp_path / "wh" / "ann_serving"))
+    st = ai.ann_status(wh, recall_queries=4)
+    assert st["recommendation"] == "ok", st
+    assert st["batches_behind"] is None
+    assert st["frac_reassigned"] == 0.0
+
+
 def test_ann_status_flags_compaction_lag(spark, emb, tmp_path):
     """compact_lag: many streamed batches past the compacted watermark
     -> recommendation recompact (health, not correctness — read_serving
