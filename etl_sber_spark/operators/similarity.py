@@ -808,6 +808,9 @@ def cosine_topk_lsh(
     n_probe: int = 1,
     bucket_col: str | None = None,
     n_tables: int = 1,
+    qvec_col: str | None = None,
+    scale_col: str | None = None,
+    qnorm_col: str | None = None,
 ) -> DataFrame:
     """Approximate top-k: score only candidates in the query's LSH
     bucket(s).
@@ -842,6 +845,14 @@ def cosine_topk_lsh(
     bit-identical to the pre-r6 operator, and the graded oracle pins
     that path.
 
+    ``qvec_col``/``scale_col``/``qnorm_col`` (r7) mirror
+    ``cosine_topk_ivf``'s stored-SQ8 scoring: candidates score from
+    ingest-materialized int8 columns (``quantize_embeddings(
+    norm_col=…)``), the float column prunes off the scan, and with the
+    stored norm candidate cosine is ONE integer fold per row. Requires
+    ``bucket_col`` (the stored layout); composes with ``n_tables`` and
+    ``n_probe``. Pure-Python differential in tests/test_quantize.py.
+
     ``bucket_col`` + ``n_tables=L`` is the SERVING multi-table path:
     the frame must carry one stored column per table —
     ``bucket_col`` for table 0 and ``{bucket_col}_t{t}`` for tables
@@ -854,6 +865,22 @@ def cosine_topk_lsh(
     """
     if n_tables < 1:
         raise ValueError(f"n_tables must be >= 1, got {n_tables}")
+    if (qvec_col is None) != (scale_col is None):
+        raise ValueError(
+            "qvec_col and scale_col name the two halves of one stored "
+            "SQ8 layout — pass both or neither"
+        )
+    if qvec_col is not None and bucket_col is None:
+        raise ValueError(
+            "stored-quantized scoring (qvec_col=) without a stored "
+            "bucket column would still project buckets per query — "
+            "materialize buckets too (bucket_col=)"
+        )
+    if qnorm_col is not None and qvec_col is None:
+        raise ValueError(
+            "qnorm_col is the stored norm OF the stored qvec — pass "
+            "qvec_col/scale_col as well"
+        )
     if bucket_col is not None and n_tables > 1:
         from .annindex import lsh_table_columns
 
@@ -919,6 +946,30 @@ def cosine_topk_lsh(
         join_on = (F.col("e.tbl") == F.col("q.tbl")) & (
             F.col("e.bucket") == F.col("q.bucket")
         )
+    if qvec_col is not None:
+        # stored-SQ8 scoring (the IVF twin, r7): the query quantizes
+        # ONCE in the broadcast projection (per-joined-row lambda
+        # re-evaluation is the measured 10× hazard), candidates score
+        # from the stored int8 columns — with qnorm_col, one integer
+        # fold per row and the float column prunes off the scan
+        from .quantize import dot_int_expr, quantize_cols
+
+        _, q_q = quantize_cols(F.col("q_vec"))
+        q = q.withColumn("_qq", q_q)
+        q = q.withColumn("_qn", dot_int_expr(F.col("_qq"), F.col("_qq")))
+        cand_norm = (
+            F.col(f"e.{qnorm_col}")
+            if qnorm_col is not None
+            else dot_int_expr(F.col(f"e.{qvec_col}"), F.col(f"e.{qvec_col}"))
+        )
+        num = dot_int_expr(
+            F.col(f"e.{qvec_col}"), F.col("q._qq")
+        ).cast("double")
+        na = F.sqrt(cand_norm.cast("double"))
+        nb = F.sqrt(F.col("q._qn").cast("double"))
+        sim_expr = F.when((na > 0.0) & (nb > 0.0), num / (na * nb))
+    else:
+        sim_expr = cosine_similarity(F.col("q_vec"), F.col(f"e.{vec_col}"))
     scored = (
         cand.alias("e")
         .join(
@@ -928,14 +979,12 @@ def cosine_topk_lsh(
         .select(
             "query_id",
             F.col(f"e.{id_col}").alias(id_col),
-            F.round(
-                cosine_similarity(F.col("q_vec"), F.col(f"e.{vec_col}")),
-                SIM_SCALE,
-            ).alias("sim"),
+            F.round(sim_expr, SIM_SCALE).alias("sim"),
         )
     )
     if n_tables > 1:
-        # same pair in several tables -> identical rounded sim; one
-        # distinct restores exactly-once ranking
+        # same pair in several tables -> identical rounded sim (the
+        # quantized sim is deterministic per pair too); one distinct
+        # restores exactly-once ranking
         scored = scored.distinct()
     return _per_query_topk(scored, k, id_col)

@@ -212,3 +212,113 @@ def test_stored_sq8_search_matches_inline_and_prunes_float(spark, tmp_path):
             serving, queries, centroids=cents,
             qvec_col="qvec", scale_col="q_scale",
         )
+
+
+def test_stored_sq8_lsh_matches_python_reference(spark, tmp_path):
+    """Stored-SQ8 LSH search (r7) against a pure-Python replay of the
+    whole path — buckets via plane_sign, symmetric int8 quantization
+    (floor(x/scale + 0.5)), all-integer cosine, round-6, top-k with the
+    id tie-break — on a planted corpus with duplicates and a zero
+    vector. A real differential, not self-parity."""
+    import math
+
+    from etl_sber_spark.operators import annindex as ai
+    from etl_sber_spark.operators import similarity as sim
+
+    n_dims = 8
+    vecs = {}
+    for i in range(20):
+        vecs[i] = [math.sin(0.7 * i + 0.3 * d) for d in range(n_dims)]
+    vecs[20] = list(vecs[3])  # exact duplicate of 3
+    vecs[21] = [0.0] * n_dims  # zero vector: NULL sims, never top-k
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in vecs.items()],
+        "vec_id bigint, embedding array<float>",
+    )
+    stored = quantize_embeddings(
+        ai.materialize_lsh_buckets(df, n_dims),
+        keep_original=True,
+        norm_col="q_norm",
+    )
+    p = str(tmp_path / "lsh_sq8")
+    stored.write.parquet(p)
+    serving = spark.read.parquet(p)
+    queries = df.filter(F.col("vec_id") < 4)
+
+    got = sorted(
+        map(
+            tuple,
+            sim.cosine_topk_lsh(
+                serving,
+                queries,
+                n_dims,
+                k=3,
+                n_probe=2,
+                bucket_col="bucket",
+                qvec_col="qvec",
+                scale_col="q_scale",
+                qnorm_col="q_norm",
+            ).collect(),
+        )
+    )
+
+    # ---- pure-Python replay -------------------------------------------
+    def bucket(v):
+        b = 0
+        for pl in range(sim.N_PLANES):
+            dot = sum(
+                v[d - 1] * sim.plane_sign(d, pl) for d in range(1, n_dims + 1)
+            )
+            if round(dot, 6) >= 0:
+                b |= 1 << pl
+        return b
+
+    def probes(v, n_probe):
+        # own bucket + flips of the closest planes (abs rounded dot,
+        # tie on bit value) — mirrors probe_buckets_expr
+        b = bucket(v)
+        dots = []
+        for pl in range(sim.N_PLANES):
+            dot = sum(
+                v[d - 1] * sim.plane_sign(d, pl) for d in range(1, n_dims + 1)
+            )
+            dots.append((abs(round(dot, 6)), 1 << pl))
+        out = [b]
+        for _, bit in sorted(dots)[: n_probe - 1]:
+            out.append(b ^ bit)
+        return out
+
+    def quant(v):
+        scale = max(abs(x) for x in v) / QMAX
+        if scale == 0:
+            return 0.0, [0] * len(v)
+        return scale, [math.floor(x / scale + 0.5) for x in v]
+
+    # float32 round-trip: Spark stores array<float>, Python holds doubles
+    import struct
+
+    def f32(x):
+        return struct.unpack("f", struct.pack("f", x))[0]
+
+    qd = {i: quant([f32(x) for x in v]) for i, v in vecs.items()}
+    bd = {i: bucket([f32(x) for x in v]) for i, v in vecs.items()}
+
+    want = []
+    for qid in range(4):
+        pr = set(probes([f32(x) for x in vecs[qid]], 2))
+        cands = []
+        for cid, b in bd.items():
+            if cid == qid or b not in pr:
+                continue
+            _, qa = qd[cid]
+            _, qb = qd[qid]
+            num = sum(a * b2 for a, b2 in zip(qa, qb))
+            na = math.sqrt(sum(a * a for a in qa))
+            nb = math.sqrt(sum(b2 * b2 for b2 in qb))
+            if na > 0 and nb > 0:
+                s = round(num / (na * nb), 6)
+                cands.append((cid, s))
+        cands.sort(key=lambda cs: (-cs[1], cs[0]))
+        for rank, (cid, s) in enumerate(cands[:3], start=1):
+            want.append((qid, cid, s, rank))
+    assert got == sorted(want)
