@@ -112,7 +112,9 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     s.add_argument("--query-ids", required=True, help="comma-separated vec_ids")
     s.add_argument("--k", type=int, default=10)
     s.add_argument(
-        "--method", choices=("ivf", "lsh", "ivf-sq8"), default="ivf"
+        "--method",
+        choices=("ivf", "lsh", "ivf-sq8", "lsh-sq8"),
+        default="ivf",
     )
     s.add_argument("--n-probe", type=int, default=2)
     return p.parse_args(argv)
@@ -270,6 +272,16 @@ def main(argv: list[str] | None = None) -> int:
                 qnorm_col="q_norm",
             )
         else:
+            if args.method == "lsh-sq8" and "qvec" not in serving.columns:
+                raise SystemExit(
+                    "serving table has no stored SQ8 columns — rebuild "
+                    "with `build --sq8`"
+                )
+            sq8_kw = (
+                dict(qvec_col="qvec", scale_col="q_scale", qnorm_col="q_norm")
+                if args.method == "lsh-sq8"
+                else {}
+            )
             n_dims = ai.load_lsh_model(wh).n_dims
             res = sim.cosine_topk_lsh(
                 serving,
@@ -278,6 +290,7 @@ def main(argv: list[str] | None = None) -> int:
                 k=args.k,
                 n_probe=args.n_probe,
                 bucket_col="bucket",
+                **sq8_kw,
             )
         out = {
             "method": args.method,

@@ -219,5 +219,14 @@ def test_sq8_lifecycle(spark, sf_dir, tmp_path):
     assert pre["results"] and all(
         row["query_id"] == qid for row in pre["results"]
     )
+    r = _run(
+        tmp_path,
+        "search",
+        "--warehouse", wh_dir,
+        "--query-ids", str(qid),
+        "--k", "3",
+        "--method", "lsh-sq8",
+    )
+    assert r["method"] == "lsh-sq8" and r["results"]
     _run(tmp_path, "compact", "--warehouse", wh_dir)
     assert search()["results"] == pre["results"]
