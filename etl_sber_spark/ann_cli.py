@@ -59,6 +59,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import re
 import sys
 
 
@@ -123,6 +124,24 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
 SERVING = "ann_serving"
 
 
+def reassign_base_cols(columns: list[str]) -> list[str]:
+    """The payload columns a rebuild's reassignment carries through:
+    everything EXCEPT the serving columns the build rewrites — the LSH
+    table layout ("bucket" + "bucket_t<k>"; the fullmatch covers a
+    previous build's wider layout when a rebuild shrinks n_tables) and
+    the SQ8 triple. NOT a startswith("bucket") prefix match: an
+    unrelated payload column like "bucket_count" must ride through the
+    reassignment untouched (r7 ADVICE)."""
+    derived = {"centroid_id", "qvec", "q_scale", "q_norm"}
+    return [
+        c
+        for c in columns
+        if c not in derived
+        and c != "bucket"
+        and not re.fullmatch(r"bucket_t\d+", c)
+    ]
+
+
 def main(argv: list[str] | None = None) -> int:
     args = parse_args(argv)
 
@@ -165,13 +184,7 @@ def main(argv: list[str] | None = None) -> int:
             model = ai.load_lsh_model(wh)
             cents = ai.load_ivf_index(wh)
             streamed = wh.read(SERVING).filter(F.col("batch_id") >= 0)
-            base_cols = [
-                c
-                for c in streamed.columns
-                if c != "centroid_id"
-                and not c.startswith("bucket")
-                and c not in ("qvec", "q_scale", "q_norm")
-            ]
+            base_cols = reassign_base_cols(streamed.columns)
             # cut lineage before overwriting the partitions being read
             re_assigned = _sq8(
                 ai.materialize_lsh_buckets(

@@ -285,12 +285,16 @@ def materialize_lsh_buckets(
 def _current_index_versions(
     wh, ivf_name: str = IVF_TABLE, lsh_name: str = LSH_TABLE
 ) -> dict:
-    """CURRENT artifact versions, ``None`` per family when absent."""
-    ivf = wh.versions(ivf_name)
-    lsh = wh.versions(lsh_name)
+    """CURRENT artifact versions, ``None`` per family when absent.
+
+    Resolves the CURRENT pointer (``wh.current_version``), NOT the
+    highest retained directory: a crash between the version-dir write
+    and the atomic CURRENT flip leaves an orphan ``v_{n+1}`` that no
+    reader serves — binding stamps must track what ``load_ivf_index``
+    / ``load_lsh_model`` actually read (r7 ADVICE)."""
     return {
-        "ivf_version": ivf[-1] if ivf else None,
-        "lsh_version": lsh[-1] if lsh else None,
+        "ivf_version": wh.current_version(ivf_name),
+        "lsh_version": wh.current_version(lsh_name),
     }
 
 

@@ -412,20 +412,22 @@ def quality_scores_by_lang(
     unset — surfaced, not silently pooled)."""
     if not by_lang:
         raise ValueError("by_lang is empty")
-    map_sql = (
-        "map("
-        + ", ".join(
-            f"'{lang}', {_weights_sql(w)}" for lang, w in sorted(by_lang.items())
-        )
-        + ")"
-    )
+    # lang values are data-derived: bind them as literal Columns, never
+    # interpolate into SQL text (a quote/backslash in a lang value would
+    # break — or inject into — the map expression). Weights stay as the
+    # float-literal SQL arrays (_weights_sql emits only repr'd floats).
+    map_entries: list = []
+    for lang, w in sorted(by_lang.items()):
+        map_entries.append(F.lit(lang))
+        map_entries.append(F.expr(_weights_sql(w)))
+    weight_map = F.create_map(*map_entries)
     if lang_col in feats.columns:
         rows = feats
     else:
         rows = feats.join(
             doc_langs.select(F.col(id_col), F.col(lang_col)), id_col
         )
-    wvec = F.expr(f"element_at({map_sql}, {lang_col})")
+    wvec = F.element_at(weight_map, F.col(lang_col))
     if default_lang is not None:
         if default_lang not in by_lang:
             raise ValueError(

@@ -56,6 +56,7 @@ def data_view(
     processing_ts: dt.datetime,
     *,
     faithful_full_history: bool = False,
+    prune_partitions: bool = True,
 ) -> DataFrame:
     """The denormalized transaction view (main.py:392-421).
 
@@ -76,13 +77,19 @@ def data_view(
     (pipeline.load_transactions stamps both from one processing_ts);
     both filters are kept, so even a hand-written violating row changes
     nothing relative to the reference's create_date-only filter within
-    its own partition. Dims (clients/accounts/cards/terminals)
+    its own partition. Rows that VIOLATE the invariant (hand-backfilled
+    or late-loaded under a different load_date) would be excluded that
+    the reference's create_date-only filter includes — a backfill flow
+    that intentionally writes such rows passes
+    ``prune_partitions=False`` to fall back to the faithful data-column
+    filter over all partitions (r7 ADVICE: documented edge, opt-out
+    gated). Dims (clients/accounts/cards/terminals)
     broadcast when small, degrade to shuffle equi-joins when not. The
     only big-side shuffle key is ``card_num``.
     """
     day = F.lit(processing_ts.date()).cast("date")
     fact_today = fact_transactions.filter(F.to_date("create_date") == day)
-    if "load_date" in fact_transactions.columns:
+    if prune_partitions and "load_date" in fact_transactions.columns:
         fact_today = fact_today.filter(F.col("load_date") == day)
 
     trm = (

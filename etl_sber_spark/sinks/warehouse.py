@@ -137,7 +137,11 @@ class Warehouse:
 
     def versions(self, name: str) -> list[int]:
         """Retained version numbers of a versioned table, ascending
-        (the last one is CURRENT). Empty for path/partitioned tables."""
+        (the last one is CURRENT — except after a crash between the
+        version-dir write and the CURRENT flip, when an orphan v_{n+1}
+        exists that no reader serves; use :meth:`current_version` when
+        "the version readers actually see" is what matters).
+        Empty for path/partitioned tables."""
         d = self._dir(name)
         if not os.path.isdir(d):
             return []
@@ -146,6 +150,21 @@ class Warehouse:
             for e in os.listdir(d)
             if e.startswith("v_") and e.split("_")[1].isdigit()
         )
+
+    def current_version(self, name: str) -> int | None:
+        """The version number the CURRENT pointer resolves to — what
+        :meth:`read` actually serves — or ``None`` when the table has
+        no CURRENT file (path/partitioned tables, never-written names).
+        Unlike ``versions(name)[-1]``, an orphan ``v_{n+1}`` directory
+        left by a crash between the version write and the atomic
+        CURRENT flip is ignored: readers never saw it, so version
+        comparisons (ANN binding stamps, manifests) must not either."""
+        cur = os.path.join(self._dir(name), "CURRENT")
+        if not os.path.exists(cur):
+            return None
+        with open(cur) as f:
+            pointed = f.read().strip()
+        return int(pointed.split("_")[1])
 
     # -- write --------------------------------------------------------------
     def append(

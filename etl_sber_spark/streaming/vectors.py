@@ -83,9 +83,31 @@ def stream_vector_ingest(
     # START (the binding stamp mismatch), not append mixed-quantizer rows
     _check_binding(wh, serving_table, ivf_name, lsh_name, context="ingest")
     # SQ8 serving layouts (ann_cli build --sq8) carry stored quantized
-    # columns; streamed batches must match the bootstrap's schema, so
-    # detect it from the existing table once at stream start
-    sq8 = wh.has_data(serving_table) and "qvec" in wh.read(serving_table).columns
+    # columns; streamed batches must match the bootstrap's schema. The
+    # only layout this ingest can reproduce is the CLI's exact one
+    # (qvec + q_scale + q_norm alongside the float vector), so validate
+    # the FULL layout once at stream start and refuse loudly on a
+    # partial or renamed one — inferring from one column's presence
+    # would silently append schema-divergent batches that later
+    # non-mergeSchema reads surface inconsistently per read (r7 ADVICE).
+    sq8 = False
+    if wh.has_data(serving_table):
+        cols = set(wh.read(serving_table).columns)
+        sq8_cols = {"qvec", "q_scale", "q_norm"}
+        present = sq8_cols & cols
+        if present:
+            missing = (sq8_cols | {vec_col}) - cols
+            if missing:
+                raise ValueError(
+                    f"serving table {serving_table!r} has a partial SQ8 "
+                    f"layout: found {sorted(present)} but missing "
+                    f"{sorted(missing)} — this ingest appends the full "
+                    "(qvec, q_scale, q_norm, "
+                    f"{vec_col}) layout of `ann_cli build --sq8`; rebuild "
+                    "the table with that layout (or rename the columns) "
+                    "before streaming into it"
+                )
+            sq8 = True
 
     raw = (
         spark.readStream.schema(VECTOR_SCHEMA)

@@ -230,3 +230,33 @@ def test_sq8_lifecycle(spark, sf_dir, tmp_path):
     assert r["method"] == "lsh-sq8" and r["results"]
     _run(tmp_path, "compact", "--warehouse", wh_dir)
     assert search()["results"] == pre["results"]
+
+
+def test_reassign_base_cols_keeps_unrelated_bucket_payload():
+    """The rebuild reassignment strips EXACTLY the serving columns —
+    the LSH table layout (including a previous wider build's) and the
+    SQ8 triple — not anything merely prefixed 'bucket' (r7 ADVICE: a
+    payload column like bucket_count must survive the rewrite)."""
+    from etl_sber_spark.ann_cli import reassign_base_cols
+
+    cols = [
+        "vec_id",
+        "embedding",
+        "batch_id",
+        "bucket",
+        "bucket_t1",
+        "bucket_t12",
+        "centroid_id",
+        "qvec",
+        "q_scale",
+        "q_norm",
+        "bucket_count",  # payload, not a serving column
+        "bucket_type",  # payload: t-suffix but not t<digits>
+    ]
+    assert reassign_base_cols(cols) == [
+        "vec_id",
+        "embedding",
+        "batch_id",
+        "bucket_count",
+        "bucket_type",
+    ]

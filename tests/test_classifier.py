@@ -512,3 +512,43 @@ def test_per_language_parity_fallback_and_artifact(spark, tmp_path):
     wh = Warehouse(spark, str(tmp_path / "wh"))
     cl.save_classifier_by_lang(wh, by_lang)
     assert cl.load_classifier_by_lang(wh) == by_lang
+
+
+def test_lang_values_with_quotes_score_safely(spark):
+    """Language values are data-derived and travel as bound literals,
+    never interpolated into SQL text — a quote/backslash in a lang
+    value must score normally, not break (or inject into) the map
+    expression (r7 ADVICE)."""
+    hostile = "o'brien\\x"
+    docs = spark.createDataFrame(
+        [(i, f"w{i % 3} common") for i in range(8)],
+        "doc_id bigint, text string",
+    )
+    feats = cl.hashed_token_features(docs, n_features=D)
+    labs = spark.createDataFrame(
+        [(i, i % 2, hostile) for i in range(8)],
+        "doc_id bigint, label int, lang string",
+    )
+    by_lang = cl.train_quality_classifier_by_lang(
+        feats, labs, n_features=D, n_iter=3
+    )
+    assert sorted(by_lang) == [hostile]
+    doc_langs = labs.select("doc_id", "lang")
+    via_map = {
+        r.doc_id: r.score
+        for r in cl.quality_scores_by_lang(feats, doc_langs, by_lang).collect()
+    }
+    direct = {
+        r.doc_id: r.score
+        for r in cl.quality_scores(feats, by_lang[hostile]).collect()
+    }
+    assert via_map == direct
+    # default_lang with a hostile name binds safely too
+    alien = doc_langs.withColumn("lang", F.lit("zz"))
+    with_default = {
+        r.doc_id: r.score
+        for r in cl.quality_scores_by_lang(
+            feats, alien, by_lang, default_lang=hostile
+        ).collect()
+    }
+    assert with_default == direct

@@ -119,3 +119,77 @@ def test_missing_index_artifact_fails_at_start(spark, sf_dir, tmp_path):
     inbox.mkdir()
     with pytest.raises(Exception):
         stream_vector_ingest(spark, str(inbox), wh, str(tmp_path / "ckpt"))
+
+
+def _sq8_bootstrap(spark, sf_dir, tmp_path, *, drop=None):
+    """An SQ8 serving table the way `ann_cli build --sq8` lays it out,
+    optionally with columns dropped to fake a partial/renamed layout."""
+    from etl_sber_spark.operators.quantize import quantize_embeddings
+
+    emb = _emb(spark, sf_dir).filter(F.col("vec_id") < 40)
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    ai.build_ann_index(wh, emb, n_lists=4, n_iter=1)
+    cents = ai.load_ivf_index(wh)
+    model = ai.load_lsh_model(wh)
+    boot = quantize_embeddings(
+        ai.materialize_lsh_buckets(
+            ai.materialize_ivf_assignments(emb, cents), model.n_dims
+        ),
+        keep_original=True,
+        norm_col="q_norm",
+    ).withColumn("batch_id", F.lit(-1))
+    for c in drop or []:
+        boot = boot.drop(c)
+    wh.overwrite_partitions(boot, "ann_serving", ["batch_id"])
+    ai.bind_serving(wh, "ann_serving")
+    return emb, wh
+
+
+def test_partial_sq8_layout_refused_at_start(spark, sf_dir, tmp_path):
+    # a table quantized WITHOUT the stored norm (quantize_embeddings
+    # defaults) is a layout this ingest cannot reproduce — refuse at
+    # stream start, don't append schema-divergent batches (r7 ADVICE)
+    _, wh = _sq8_bootstrap(spark, sf_dir, tmp_path, drop=["q_norm"])
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    with pytest.raises(ValueError, match="partial SQ8 layout"):
+        stream_vector_ingest(spark, str(inbox), wh, str(tmp_path / "ckpt"))
+
+
+def test_sq8_layout_without_float_vector_refused(spark, sf_dir, tmp_path):
+    # keep_original=False layouts (float vector dropped) also diverge:
+    # the stream appends the float column the stored table lacks
+    _, wh = _sq8_bootstrap(spark, sf_dir, tmp_path, drop=["embedding"])
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    with pytest.raises(ValueError, match="partial SQ8 layout"):
+        stream_vector_ingest(spark, str(inbox), wh, str(tmp_path / "ckpt"))
+
+
+def test_full_sq8_layout_streams_quantized_batches(spark, sf_dir, tmp_path):
+    emb, wh = _sq8_bootstrap(spark, sf_dir, tmp_path)
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    extra = [
+        {"vec_id": 10_000 + i, "embedding": [float(i + 1)] * N_DIMS}
+        for i in range(5)
+    ]
+    _write_jsonl(inbox / "b1.jsonl", extra)
+    stream_vector_ingest(
+        spark, str(inbox), wh, str(tmp_path / "ckpt")
+    ).awaitTermination()
+    serving = wh.read("ann_serving")
+    streamed = serving.filter(F.col("vec_id") >= 10_000)
+    assert streamed.count() == len(extra)
+    # streamed rows carry the full SQ8 triple, non-null, and the float
+    # vector — schema-identical to the bootstrap partition
+    got = streamed.filter(
+        F.col("qvec").isNotNull()
+        & F.col("q_scale").isNotNull()
+        & F.col("q_norm").isNotNull()
+        & F.col("embedding").isNotNull()
+    )
+    assert got.count() == len(extra)
+    assert set(serving.columns) == set(
+        wh.read("ann_serving").filter(F.col("batch_id") == -1).columns
+    )

@@ -151,6 +151,28 @@ def test_versioned_time_travel(spark, tmp_path):
     assert wh.read("t").count() == 4
 
 
+def test_current_version_ignores_orphan_dir(spark, tmp_path):
+    """current_version resolves the CURRENT pointer, not the highest
+    retained dir: a crash between the v_{n+1} write and the atomic flip
+    leaves an orphan no reader serves, and version comparisons (ANN
+    binding stamps) must track what read() actually returns (r7
+    ADVICE)."""
+    import os
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    assert wh.current_version("t") is None  # never written
+    wh.overwrite_versioned(spark.range(1).toDF("k"), "t")
+    wh.overwrite_versioned(spark.range(2).toDF("k"), "t")
+    assert wh.current_version("t") == 2
+    # simulate the crash: v_3 written, CURRENT never flipped
+    spark.range(3).toDF("k").write.parquet(
+        os.path.join(str(tmp_path / "wh"), "t", "v_3")
+    )
+    assert wh.versions("t") == [1, 2, 3]  # the orphan IS on disk
+    assert wh.current_version("t") == 2  # ...but readers serve v_2
+    assert wh.read("t").count() == 2
+
+
 def test_clustered_append_tightens_zone_maps(spark, tmp_path):
     """append(cluster_by=[...]) range-partitions + sorts the write so
     parquet file/row-group min-max footers carve the key domain into
