@@ -28,6 +28,22 @@ Round-3 methodology notes (both changes measured, see R3_NOTES.md):
   ("queries_first" ships the one-shot series, methodology-compatible
   with r1/r2): this VM shows ~5% average CPU steal, and min-of-2
   suppresses host-noise spikes landing inside one window.
+
+Round-8 methodology (VERDICT r7 #1 — the artifact must attribute its
+own noise): the final JSON carries a ``machine`` block measured around
+the timed loop, so a total that regresses on a round with no code
+change is self-diagnosing instead of prose-diagnosed:
+
+- ``load_before`` / ``load_after``: 1-minute loadavg at the loop's
+  start/end — external multi-core contention (this box showed 0.01→21
+  swings with zero local processes in round 7).
+- ``steal_pct``: CPU-steal share of all jiffies spent during the loop
+  (/proc/stat delta) — hypervisor contention.
+- ``calib_before_s`` / ``calib_after_s``: wall time of a FIXED
+  single-core integer loop (xorshift-style LCG, 5M iterations,
+  min-of-3) — a machine-speed constant. Comparable across rounds:
+  if the calibration time inflates with the total, the host changed,
+  not the code. Quiet-host reference: see BENCHLOG.md.
 """
 
 from __future__ import annotations
@@ -106,6 +122,39 @@ HEADLINE = [
 ]
 
 
+def _proc_stat_jiffies() -> tuple[int, int]:
+    """(steal, total) jiffies from /proc/stat's aggregate cpu line.
+    (0, 0) when unreadable (non-Linux) — steal_pct then reads 0."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        vals = [int(x) for x in parts[1:]]
+        steal = vals[7] if len(vals) > 7 else 0
+        return steal, sum(vals)
+    except Exception:
+        return 0, 0
+
+
+def _calibrate(n_runs: int = 3, n_iter: int = 5_000_000) -> float:
+    """Fixed single-core work (LCG loop), min-of-N wall seconds.
+
+    The work is a machine-speed constant: CPython version and the loop
+    are pinned, so round-over-round this number moves ONLY when the
+    host does (contention, steal, frequency). If a bench total inflates
+    and this inflates with it, the artifact itself shows the host — not
+    the code — changed (VERDICT r7 #1)."""
+    best = float("inf")
+    for _ in range(n_runs):
+        t0 = time.perf_counter()
+        x = 1
+        for _ in range(n_iter):
+            x = (x * 1103515245 + 12345) & 0xFFFFFFFF
+        best = min(best, time.perf_counter() - t0)
+    if x == 0:  # keep the loop's result live (defensive; never true)
+        print("calibration underflow", file=sys.stderr)
+    return round(best, 4)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from etl_sber_spark.plans.queries import QUERIES
@@ -133,6 +182,12 @@ def main() -> None:
     else:
         spark.read.parquet(f"{sf_dir}/region.parquet").count()
 
+    # Machine-context block: sampled AROUND the timed loop so the
+    # artifact attributes its own noise (VERDICT r7 #1).
+    load_before = round(os.getloadavg()[0], 2)
+    steal0, total0 = _proc_stat_jiffies()
+    calib_before = _calibrate()
+
     timings: dict[str, float] = {}
     first: dict[str, float] = {}
     for name in names:
@@ -152,6 +207,20 @@ def main() -> None:
             runs.append(round(time.perf_counter() - t0, 3))
         first[name] = runs[0]
         timings[name] = min(runs)
+
+    calib_after = _calibrate()
+    steal1, total1 = _proc_stat_jiffies()
+    load_after = round(os.getloadavg()[0], 2)
+    machine = {
+        "cpus": os.cpu_count(),
+        "load_before": load_before,
+        "load_after": load_after,
+        "steal_pct": round(
+            100.0 * (steal1 - steal0) / max(1, total1 - total0), 2
+        ),
+        "calib_before_s": calib_before,
+        "calib_after_s": calib_after,
+    }
 
     extras = {}
     try:
@@ -186,6 +255,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf_val,
+        "machine": machine,
     }
     if extras:
         out["extras"] = extras
