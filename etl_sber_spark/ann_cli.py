@@ -14,6 +14,11 @@ similarity search (operators/annindex.py, streaming/vectors.py):
     (qvec/q_scale/q_norm) next to the float vectors; the ingest stream
     detects them and keeps streamed batches schema-consistent, and
     ``search --method ivf-sq8`` then scans ¼ the vector bytes.
+    ``--n-tables L`` builds L independent LSH plane sets (classic
+    multi-table LSH, the recall lever where multi-probe saturates —
+    SCALE.md: L=4 recall .995 at 100k vectors) and materializes one
+    stored bucket column per table; ingest and ``search --method lsh``
+    follow the stored model's width automatically.
 
 ``ingest``
     Drain a JSONL vector inbox as ONE availableNow pass of
@@ -75,6 +80,16 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     b.add_argument("--warehouse", required=True)
     b.add_argument("--n-lists", type=int, default=64)
     b.add_argument("--n-iter", type=int, default=3)
+    b.add_argument(
+        "--n-tables",
+        type=int,
+        default=1,
+        help="independent LSH plane sets (classic multi-table LSH) — "
+        "the recall lever where multi-probe saturates; serving gains "
+        "one stored bucket column per table and `search --method lsh` "
+        "follows the stored model's width automatically (L=4 measured "
+        "recall .995 in SCALE.md)",
+    )
     b.add_argument(
         "--train-mod",
         type=int,
@@ -169,6 +184,7 @@ def main(argv: list[str] | None = None) -> int:
             n_lists=args.n_lists,
             n_iter=args.n_iter,
             train_mod=args.train_mod,
+            n_tables=args.n_tables,
         )
         def _sq8(df):
             if not args.sq8:
@@ -216,6 +232,7 @@ def main(argv: list[str] | None = None) -> int:
             "n_lists": ai.load_ivf_index(wh).count(),
             "ivf_version": binding["ivf_version"],
             "lsh_version": binding["lsh_version"],
+            "n_tables": ai.load_lsh_model(wh).n_tables,
         }
     elif args.cmd == "ingest":
         from .streaming.vectors import stream_vector_ingest
@@ -295,14 +312,18 @@ def main(argv: list[str] | None = None) -> int:
                 if args.method == "lsh-sq8"
                 else {}
             )
-            n_dims = ai.load_lsh_model(wh).n_dims
+            # follow the stored model's width: a build --n-tables L
+            # serving table carries L stored bucket columns, and the
+            # multi-table posexplode path needs all of them
+            model = ai.load_lsh_model(wh)
             res = sim.cosine_topk_lsh(
                 serving,
                 queries,
-                n_dims,
+                model.n_dims,
                 k=args.k,
                 n_probe=args.n_probe,
                 bucket_col="bucket",
+                n_tables=model.n_tables,
                 **sq8_kw,
             )
         out = {

@@ -260,3 +260,109 @@ def test_reassign_base_cols_keeps_unrelated_bucket_payload():
         "bucket_count",
         "bucket_type",
     ]
+
+
+def test_multi_table_build_and_search(spark, sf_dir, tmp_path):
+    """`build --n-tables 4` (VERDICT r7 #3): the serving table carries
+    one stored bucket column per table, streamed batches materialize
+    the full width, `search --method lsh` follows the stored model's
+    n_tables (bit-parity with the API multi-table path), and the wider
+    candidate union can only help recall — L=4's candidate set is a
+    SUPERSET of table 0's, so recall@k vs exact is deterministically
+    >= the single-table path's on the same corpus."""
+    from pyspark.sql import functions as F
+
+    from etl_sber_spark.operators import annindex as ai
+    from etl_sber_spark.operators import similarity as sim
+    from etl_sber_spark.sinks.warehouse import Warehouse
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    base = emb.filter("vec_id < 300").select("vec_id", "embedding")
+    base_path = str(tmp_path / "snap.parquet")
+    base.write.parquet(base_path)
+    wh_dir = str(tmp_path / "wh")
+
+    r = _run(
+        tmp_path,
+        "build",
+        "--embeddings", base_path,
+        "--warehouse", wh_dir,
+        "--n-lists", "8",
+        "--n-iter", "2",
+        "--n-tables", "4",
+    )
+    assert r["built"] and r["n_tables"] == 4
+
+    wh = Warehouse(spark, wh_dir)
+    model = ai.load_lsh_model(wh)
+    assert model.n_tables == 4
+    table_cols = ai.lsh_table_columns(4)
+    serving = wh.read("ann_serving")
+    assert set(table_cols) <= set(serving.columns)
+
+    # streamed batches materialize every table's column, non-null
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    late = emb.filter("vec_id >= 300 and vec_id < 330").select(
+        "vec_id", "embedding"
+    ).collect()
+    with open(inbox / "late.jsonl", "w") as f:
+        for row in late:
+            f.write(
+                json.dumps(
+                    {
+                        "vec_id": row.vec_id,
+                        "embedding": [float(x) for x in row.embedding],
+                    }
+                )
+                + "\n"
+            )
+    r = _run(tmp_path, "ingest", "--inbox", str(inbox), "--warehouse", wh_dir)
+    assert r["streamed_total"] == len(late)
+    streamed = wh.read("ann_serving").filter(F.col("batch_id") >= 0)
+    for c in table_cols:
+        assert streamed.filter(F.col(c).isNull()).count() == 0
+
+    # CLI search follows the stored width: bit-parity with the API
+    # multi-table path over the same canonical serving view
+    qids = [late[0].vec_id, late[1].vec_id]
+    r = _run(
+        tmp_path,
+        "search",
+        "--warehouse", wh_dir,
+        "--query-ids", ",".join(str(q) for q in qids),
+        "--k", "5",
+        "--method", "lsh",
+    )
+    view = ai.read_serving(wh, "ann_serving")
+    queries = view.filter(F.col("vec_id").isin(qids)).select(
+        "vec_id", "embedding"
+    )
+    api = sim.cosine_topk_lsh(
+        view,
+        queries,
+        model.n_dims,
+        k=5,
+        n_probe=2,
+        bucket_col="bucket",
+        n_tables=4,
+    )
+    api_rows = [
+        {"query_id": x.query_id, "vec_id": x.vec_id, "sim": x.sim, "rank": x.rank}
+        for x in api.orderBy("query_id", "rank").collect()
+    ]
+    assert r["results"] == api_rows
+
+    # recall@5 vs exact: the 4-table candidate union >= table 0 alone
+    def _recall(res_df):
+        exact = sim.cosine_topk_bruteforce(view, queries, k=5)
+        truth = {
+            (x.query_id, x.vec_id) for x in exact.collect()
+        }
+        got = {(x.query_id, x.vec_id) for x in res_df.collect()}
+        return len(got & truth) / len(truth)
+
+    single = sim.cosine_topk_lsh(
+        view, queries, model.n_dims, k=5, n_probe=2, bucket_col="bucket"
+    )
+    assert _recall(api) >= _recall(single)
