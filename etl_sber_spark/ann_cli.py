@@ -119,7 +119,16 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
         help="index health / drift report with a retrain recommendation",
     )
     st.add_argument("--warehouse", required=True)
-    st.add_argument("--sample-mod", type=int, default=16)
+    st.add_argument(
+        "--sample-mod",
+        type=lambda v: v if v == "auto" else int(v),
+        default=16,
+        help="probe sample = ~1/mod hash sample; 'auto' picks the "
+        "ladder rung targeting --target-sample rows, so probe cost "
+        "stays flat as the corpus grows (baselines are stamped per "
+        "rung at build)",
+    )
+    st.add_argument("--target-sample", type=int, default=4096)
     st.add_argument("--recall-queries", type=int, default=8)
     st.add_argument("--n-probe", type=int, default=2)
 
@@ -256,6 +265,7 @@ def main(argv: list[str] | None = None) -> int:
             wh,
             SERVING,
             sample_mod=args.sample_mod,
+            target_sample=args.target_sample,
             recall_queries=args.recall_queries,
             n_probe=args.n_probe,
         )

@@ -571,6 +571,30 @@ PROBE_PARAMS = {
     "n_probe": 2,
 }
 
+#: Sample-mod ladder for the auto-scaling status probe (r7 verdict #4).
+#: Power-of-4 steps from STATUS_SAMPLE_MOD: each rung divides the next,
+#: so with hash-mod sampling every rung's sample is a strict SUBSET of
+#: the previous one (hash % 64 == 0 ⇒ hash % 16 == 0) — the build can
+#: stamp a baseline for EVERY rung from one checkpointed mod-16 sample,
+#: paying only sub-sample-sized extra jobs.
+PROBE_MOD_LADDER = tuple(STATUS_SAMPLE_MOD * 4**i for i in range(7))
+
+
+def choose_sample_mod(
+    n_rows: int, target_sample: int, ladder: tuple = PROBE_MOD_LADDER
+) -> int:
+    """Smallest ladder rung whose ~1/mod hash sample of ``n_rows`` fits
+    ``target_sample`` — i.e. the LARGEST comparable sample that keeps
+    probe cost bounded. Beyond the ladder's top rung the sample grows
+    again (a 100 TB corpus at mod 65536 is still large) — extend the
+    ladder before that regime, it is a constant."""
+    if target_sample <= 0:
+        raise ValueError(f"target_sample must be positive, got {target_sample}")
+    for mod in ladder:
+        if n_rows / mod <= target_sample:
+            return mod
+    return ladder[-1]
+
 
 def _recall_probe(
     corpus_sample: DataFrame,
@@ -623,7 +647,8 @@ def ann_status(
     ivf_name: str = IVF_TABLE,
     lsh_name: str = LSH_TABLE,
     *,
-    sample_mod: int = STATUS_SAMPLE_MOD,
+    sample_mod: int | str = STATUS_SAMPLE_MOD,
+    target_sample: int = 4096,
     recall_queries: int = 8,
     recall_k: int = 3,
     n_probe: int = 2,
@@ -663,6 +688,16 @@ def ann_status(
     Scale: every job is sample-sized (the brute-force probe is
     |sample| × recall_queries scored rows); at 100 TB run it on the
     maintenance cadence next to compaction. Policy in SCALE.md.
+
+    ``sample_mod="auto"`` (r7 verdict #4) targets a fixed sample SIZE
+    instead of a fixed fraction: one row count picks the smallest
+    :data:`PROBE_MOD_LADDER` rung whose sample fits ``target_sample``,
+    so probe cost stays ~flat as the corpus grows. Ratios stay
+    drift-vs-baseline because the build stamps a baseline PER rung
+    (``probe_baselines`` metadata, one nested sub-sample each) and
+    status compares against its chosen rung's stamp; a rung with no
+    stamp (pre-r8 artifact) falls back to the legacy mod-16 baseline,
+    comparable only when the mods match.
     """
     versions = _current_index_versions(wh, ivf_name, lsh_name)
     binding = serving_binding(wh, serving_table)
@@ -686,19 +721,28 @@ def ann_status(
         mx = raw.agg(F.max("batch_id").alias("m")).first().m
         batches_behind = max(0, int(mx) - int(meta["max_batch_id"])) if mx is not None else 0
 
+    if sample_mod == "auto":
+        mod = choose_sample_mod(raw.count(), target_sample)
+    else:
+        mod = int(sample_mod)
+
     # latest-wins sample of the raw serving rows (works in every state,
     # including the stale ones read_serving refuses); a batch-less
-    # serving table (manually assembled) is taken as-is
+    # serving table (manually assembled) is taken as-is. The hash
+    # sample filters BEFORE the window: both key on vec_id, so the
+    # filter commutes with the per-key latest-wins and the window
+    # shuffle is sample-sized, not corpus-sized.
+    sampled_raw = _sample(raw, "vec_id", mod)
     if has_batches:
         w = Window.partitionBy("vec_id").orderBy(F.col("batch_id").desc())
         rows = (
-            raw.withColumn("_rn", F.row_number().over(w))
+            sampled_raw.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
             .drop("_rn", "batch_id")
         )
     else:
-        rows = raw
-    sample = _sample(rows, "vec_id", sample_mod).localCheckpoint(eager=False)
+        rows = sampled_raw
+    sample = rows.localCheckpoint(eager=False)
 
     from .similarity import (
         nearest_centroid_dist_expr,
@@ -726,7 +770,31 @@ def ann_status(
     mean_dist = float(stats.mean_dist) if stats.mean_dist is not None else None
 
     ivf_meta = wh.read_metadata(ivf_name) or {}
-    baseline = ivf_meta.get("build_mean_assign_dist")
+    # baseline for the CHOSEN rung: per-mod stamp when the artifact has
+    # one (r8 builds), else the legacy mod-16 keys — comparable only
+    # when this probe's params match the stamped ones
+    per_mod = (ivf_meta.get("probe_baselines") or {}).get(str(mod))
+    stamped = ivf_meta.get("probe_params") or {}
+    if per_mod is not None:
+        baseline = per_mod.get("mean_assign_dist")
+        build_recall = per_mod.get("recall_probe")
+        comparable = all(
+            stamped.get(k) == v
+            for k, v in (
+                ("recall_queries", recall_queries),
+                ("recall_k", recall_k),
+                ("n_probe", n_probe),
+            )
+        )
+    else:
+        baseline = ivf_meta.get("build_mean_assign_dist")
+        build_recall = ivf_meta.get("build_recall_probe")
+        comparable = stamped == {
+            "sample_mod": mod,
+            "recall_queries": recall_queries,
+            "recall_k": recall_k,
+            "n_probe": n_probe,
+        }
     ratio = (
         mean_dist / baseline
         if mean_dist is not None and baseline
@@ -743,14 +811,6 @@ def ann_status(
             n_probe,
             centroid_col="centroid_id",
         )
-    build_recall = ivf_meta.get("build_recall_probe")
-    params = {
-        "sample_mod": sample_mod,
-        "recall_queries": recall_queries,
-        "recall_k": recall_k,
-        "n_probe": n_probe,
-    }
-    comparable = ivf_meta.get("probe_params") == params
     recall_ratio = (
         recall / build_recall
         if comparable and recall is not None and build_recall
@@ -779,6 +839,7 @@ def ann_status(
         "build_recall_probe": build_recall,
         "recall_ratio": round(recall_ratio, 4) if recall_ratio is not None else None,
         "n_sampled": n_sampled,
+        "sample_mod": mod,
         "batches_behind": batches_behind,
         **versions,
     }
@@ -823,6 +884,8 @@ def build_ann_index(
     # probe run with the SAME deterministic procedure status replays
     # (the ratio isolates drift from corpus hardness). Both jobs are
     # sample-sized, absorbed by the build.
+    from .similarity import nearest_centroid_dist_expr
+
     cent_rows = _centroid_rows(cents)
     sample = _sample(
         spread(embeddings).select(
@@ -831,26 +894,54 @@ def build_ann_index(
         id_col,
         PROBE_PARAMS["sample_mod"],
     ).localCheckpoint(eager=False)
-    baseline = _mean_assign_dist(
-        sample, cent_rows, id_col, vec_col, sample_mod=1
-    )
-    build_recall = _recall_probe(
-        sample,
-        cents,
-        PROBE_PARAMS["recall_queries"],
-        PROBE_PARAMS["recall_k"],
-        PROBE_PARAMS["n_probe"],
-        id_col,
-        vec_col,
-    )
+    # One baseline per ladder rung (r7 verdict #4): ann_status's auto
+    # mode picks the rung whose sample fits a fixed target SIZE, and a
+    # ratio is only drift-vs-baseline when both sides probed the same
+    # rung. Rungs nest (PROBE_MOD_LADDER doc), so every sub-sample is a
+    # filter of the one checkpointed mod-16 sample — each extra rung
+    # costs sub-sample-sized jobs, shrinking 4× per step. Stop once a
+    # rung's sample is empty: deeper rungs are empty too, and a corpus
+    # that small never auto-selects them.
+    probe_baselines: dict[str, dict] = {}
+    for mod in PROBE_MOD_LADDER:
+        sub = _sample(sample, id_col, mod)
+        row = sub.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg(
+                nearest_centroid_dist_expr(quantize_vec_sql(vec_col), cent_rows)
+            ).alias("m"),
+        ).first()
+        n_sub = int(row.n)
+        if n_sub == 0:
+            break
+        rung_recall = None
+        if n_sub > PROBE_PARAMS["recall_queries"]:
+            rung_recall = _recall_probe(
+                sub,
+                cents,
+                PROBE_PARAMS["recall_queries"],
+                PROBE_PARAMS["recall_k"],
+                PROBE_PARAMS["n_probe"],
+                id_col,
+                vec_col,
+            )
+        probe_baselines[str(mod)] = {
+            "n": n_sub,
+            "mean_assign_dist": float(row.m) if row.m is not None else None,
+            "recall_probe": rung_recall,
+        }
+    base_rung = probe_baselines.get(str(PROBE_PARAMS["sample_mod"]), {})
     save_ivf_index(
         wh,
         cents,
         ivf_name,
         metadata={
-            "build_mean_assign_dist": baseline,
-            "build_recall_probe": build_recall,
+            # legacy keys = the mod-16 rung (pre-r8 readers and the
+            # explicit sample_mod=16 status path keep working)
+            "build_mean_assign_dist": base_rung.get("mean_assign_dist"),
+            "build_recall_probe": base_rung.get("recall_probe"),
             "probe_params": PROBE_PARAMS,
+            "probe_baselines": probe_baselines,
         },
     )
     save_lsh_model(wh, n_dims, name=lsh_name, n_tables=n_tables)

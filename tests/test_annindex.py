@@ -532,3 +532,76 @@ def test_read_serving_freshness_across_compaction(spark, emb, tmp_path):
         x == 0.0
         for x in view2.filter(F.col("vec_id") == 3).first().embedding
     )
+
+
+def test_choose_sample_mod_ladder():
+    """Auto mode picks the smallest rung whose sample fits the target —
+    the largest bounded-cost sample — and saturates at the ladder top."""
+    assert ai.choose_sample_mod(0, 100) == 16
+    assert ai.choose_sample_mod(16 * 100, 100) == 16
+    assert ai.choose_sample_mod(16 * 100 + 1, 100) == 64
+    assert ai.choose_sample_mod(64 * 100 + 1, 100) == 256
+    assert ai.choose_sample_mod(10**14, 100) == ai.PROBE_MOD_LADDER[-1]
+    with pytest.raises(ValueError):
+        ai.choose_sample_mod(5, 0)
+
+
+def test_probe_mod_ladder_samples_nest(spark, emb):
+    """Every rung divides the next, so with hash-mod sampling each
+    rung's sample is a strict subset of the previous — the property
+    that lets ONE build sample stamp every rung's baseline."""
+    prev = None
+    for mod in ai.PROBE_MOD_LADDER:
+        assert mod % ai.STATUS_SAMPLE_MOD == 0
+        ids = {r.vec_id for r in ai._sample(emb, "vec_id", mod).collect()}
+        if prev is not None:
+            assert ids <= prev
+        prev = ids
+
+
+def test_ann_status_auto_scales_sample_with_per_rung_baseline(
+    spark, emb, tmp_path
+):
+    """sample_mod='auto' (r7 verdict #4): status picks the ladder rung
+    targeting a fixed sample SIZE and compares against the baseline the
+    build stamped FOR THAT RUNG — so the distance ratio is exactly 1.0
+    on the untouched build corpus even when auto lands off the default
+    mod-16 rung (the comparability property the r7 sketch demanded)."""
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    sub = emb.select("vec_id", "embedding")
+    stored = ai.build_ann_index(wh, sub, n_lists=8, n_iter=2)
+    wh.overwrite_partitions(
+        stored.withColumn("batch_id", F.lit(-1)), "ann_serving", ["batch_id"]
+    )
+    ai.bind_serving(wh)
+
+    meta = wh.read_metadata(ai.IVF_TABLE)
+    baselines = meta["probe_baselines"]
+    # the build stamped the default rung plus at least one deeper one
+    assert "16" in baselines and "64" in baselines
+    assert baselines["16"]["mean_assign_dist"] == meta["build_mean_assign_dist"]
+    assert baselines["64"]["n"] < baselines["16"]["n"]
+
+    n = sub.count()
+    target = baselines["64"]["n"] + 1  # forces the mod-64 rung
+    assert ai.choose_sample_mod(n, target) == 64
+
+    st = ai.ann_status(wh, sample_mod="auto", target_sample=target)
+    assert st["sample_mod"] == 64
+    assert st["n_sampled"] == baselines["64"]["n"]
+    assert st["assign_dist_ratio"] == 1.0, st
+    assert st["recommendation"] == "ok", st
+
+    # explicit mod-16 keeps the legacy behavior bit-for-bit
+    st16 = ai.ann_status(wh, sample_mod=16)
+    assert st16["sample_mod"] == 16
+    assert st16["assign_dist_ratio"] == 1.0 and st16["recall_ratio"] == 1.0
+
+    # a rung is only comparable against ITS OWN stamp: the mod-64
+    # baseline differs from the mod-16 one (different sample), so
+    # cross-rung comparison would not read 1.0
+    if baselines["64"]["mean_assign_dist"] is not None:
+        assert (
+            baselines["64"]["mean_assign_dist"]
+            != baselines["16"]["mean_assign_dist"]
+        )

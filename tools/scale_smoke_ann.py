@@ -227,6 +227,14 @@ def main() -> None:
         out["status_sec"] = round(time.perf_counter() - t0, 3)
         out["status_recommendation"] = st["recommendation"]
         out["status_n_sampled"] = st["n_sampled"]
+        # auto mode (r7 verdict #4): fixed target sample SIZE — the
+        # rung rises with the corpus, so probe cost stays ~flat where
+        # the fixed-mod probe above grows linearly with it
+        t0 = time.perf_counter()
+        st_auto = ai.ann_status(wh, sample_mod="auto", target_sample=2048)
+        out["status_auto_sec"] = round(time.perf_counter() - t0, 3)
+        out["status_auto_mod"] = st_auto["sample_mod"]
+        out["status_auto_n_sampled"] = st_auto["n_sampled"]
 
         print(json.dumps(out))
     spark.stop()
