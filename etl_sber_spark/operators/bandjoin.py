@@ -53,6 +53,21 @@ def _non_null(cols: Sequence[str]) -> Column:
     return reduce(lambda a, b: a & b, (F.col(c).isNotNull() for c in cols))
 
 
+#: groups-per-key above which "auto" flips to binned mode — below the
+#: measured crossover (SCALE.md: a 2M-row key wins 4.4×, the pipeline
+#: smoke's 16k-row hot card loses to the 3× replication) there is a
+#: wide indifference band; 1M sits safely inside it.
+AUTO_BIN_THRESHOLD = 1_000_000
+
+
+def _max_key_group_count(grp: DataFrame, keys: Sequence[str]) -> int:
+    """Largest per-key distinct-group count — ONE aggregate whose
+    map-side combine reduces the shuffle to a row per (key, partition);
+    the probe job auto mode pays to pick the window partitioning."""
+    row = grp.groupBy(*keys).count().agg(F.max("count").alias("m")).first()
+    return int(row.m) if row.m is not None else 0
+
+
 def band_partner_groups(
     df: DataFrame,
     key_cols: Sequence[str],
@@ -60,7 +75,8 @@ def band_partner_groups(
     diff_col: str,
     tolerance_seconds: int = 3600,
     *,
-    time_bins: bool = False,
+    time_bins: bool | str = False,
+    auto_threshold: int = AUTO_BIN_THRESHOLD,
 ) -> DataFrame:
     """Distinct ``(key_cols, ts_col, diff_col)`` groups that have at
     least one band partner: another group sharing ``key_cols`` within
@@ -84,6 +100,15 @@ def band_partner_groups(
     (tests/test_bandjoin.py) and measured on a planted mega-hot card
     (SCALE.md). Default OFF: below millions-per-key the replication
     buys nothing.
+
+    ``time_bins="auto"`` (r8) makes the flip data-driven: one EAGER
+    probe job (the embedding_neardup precedent — a decision that picks
+    a plan must run before the plan) measures the max distinct-group
+    count per key and bins iff it reaches ``auto_threshold``. The probe
+    is an extra scan + a map-side-combined count (tiny shuffle); callers
+    on a known-cold keyspace pass ``False`` to skip it, known-hot
+    ``True``. Either outcome is row-identical — auto only moves the
+    window partitioning.
     """
     keys = list(key_cols)
     grp = (
@@ -91,6 +116,8 @@ def band_partner_groups(
         .select(*keys, ts_col, diff_col)
         .distinct()
     )
+    if time_bins == "auto":
+        time_bins = _max_key_group_count(grp, keys) >= auto_threshold
     us = F.unix_micros(F.col(ts_col))
     tol_us = tolerance_seconds * 1_000_000
     if time_bins:
@@ -147,16 +174,24 @@ def exists_band_partner(
     diff_col: str,
     tolerance_seconds: int = 3600,
     *,
-    time_bins: bool = False,
+    time_bins: bool | str = False,
+    auto_threshold: int = AUTO_BIN_THRESHOLD,
 ) -> DataFrame:
     """Rows of ``df`` (all columns preserved) whose ``(keys, ts, diff)``
     group has a band partner — the EXISTS form of the J9 band
     self-join. Rows with NULL key/ts/diff are dropped, matching what
     the inner join's predicate would do to them. ``time_bins`` is the
-    hot-key parallelism knob (see :func:`band_partner_groups`)."""
+    hot-key parallelism knob — ``True``/``False``/``"auto"`` (see
+    :func:`band_partner_groups`)."""
     keys = list(key_cols)
     qual = band_partner_groups(
-        df, keys, ts_col, diff_col, tolerance_seconds, time_bins=time_bins
+        df,
+        keys,
+        ts_col,
+        diff_col,
+        tolerance_seconds,
+        time_bins=time_bins,
+        auto_threshold=auto_threshold,
     )
     joined = df.join(qual, on=keys + [ts_col, diff_col], how="left_semi")
     # the name-list join moves the join keys first; restore df's order

@@ -239,7 +239,12 @@ def rule_invalid_contract(view: DataFrame) -> DataFrame:
     )
 
 
-def rule_city_hopping(view: DataFrame, *, faithful: bool = False) -> DataFrame:
+def rule_city_hopping(
+    view: DataFrame,
+    *,
+    faithful: bool = False,
+    time_bins: bool | str = False,
+) -> DataFrame:
     """Rule 3 (main.py:489-529): operations in different cities within one
     hour.
 
@@ -263,6 +268,12 @@ def rule_city_hopping(view: DataFrame, *, faithful: bool = False) -> DataFrame:
       over the duplicated join product, making lead() depend on the
       duplication factor — an accident of Oracle evaluation order, not a
       semantic).
+
+    ``time_bins`` passes through to the rewrite's hot-key parallelism
+    knob (operators/bandjoin.py): ``"auto"`` probes the max per-card
+    group count and bins only past the measured crossover — a no-op on
+    ordinary daily volumes (the 100× pipeline smoke's hot card is 16k
+    rows, far under threshold), row-identical either way.
     """
     if faithful:
         pairs = _hop_pairs_bandjoin(view)
@@ -280,6 +291,7 @@ def rule_city_hopping(view: DataFrame, *, faithful: bool = False) -> DataFrame:
                 ["card_num"],
                 "trans_date",
                 "terminal_city",
+                time_bins=time_bins,
             )
             .select(
                 "trans_date", "passport_num", "name", "phone", "terminal_city"

@@ -236,3 +236,95 @@ def test_time_binned_boundary_cases(spark):
     }
     assert base == want
     assert binned == want
+
+
+def test_auto_time_bins_decision_and_parity(spark):
+    """time_bins="auto" (r8): the probe flips binned mode iff the max
+    per-key distinct-group count reaches the threshold; both outcomes
+    are row-identical to the explicit modes, and the chosen PLAN is the
+    one the threshold dictates (binned mode is recognizable by its
+    Generate/explode of the neighbor-bin array)."""
+    e = _events(spark)
+    want = sorted(
+        map(
+            tuple,
+            band_partner_groups(e, ["user_id"], "ts", "event_type").collect(),
+        )
+    )
+
+    def run(threshold):
+        return band_partner_groups(
+            e,
+            ["user_id"],
+            "ts",
+            "event_type",
+            time_bins="auto",
+            auto_threshold=threshold,
+        )
+
+    # threshold far above any key -> the unbinned plan, same rows
+    cold = run(10**9)
+    assert "Generate" not in _plan(cold)
+    assert sorted(map(tuple, cold.collect())) == want
+
+    # threshold of 1 -> every key is "hot" -> the binned plan, same rows
+    hot = run(1)
+    assert "Generate" in _plan(hot)
+    assert sorted(map(tuple, hot.collect())) == want
+
+
+def test_auto_probe_counts_groups_not_rows(spark):
+    """The probe measures DISTINCT (key, ts, diff) groups — duplicated
+    source rows (the full-history multiplication) must not trip the
+    threshold."""
+    from etl_sber_spark.operators.bandjoin import _max_key_group_count
+
+    base = dt.datetime(2021, 3, 1, 12, 0)
+    rows = [("k", base + dt.timedelta(seconds=i), "X") for i in range(5)]
+    df = spark.createDataFrame(
+        rows * 40, "k string, ts timestamp, d string"  # 200 rows, 5 groups
+    )
+    grp = df.select("k", "ts", "d").distinct()
+    assert _max_key_group_count(grp, ["k"]) == 5
+
+
+def test_rule3_time_bins_passthrough_row_identical(spark):
+    """rule_city_hopping(time_bins=...) must not change the rule's
+    output on replayed reference data — auto stays unbinned at daily
+    volume, and forced binning is row-identical anyway."""
+    from .fixtures_bank import build_bank_tables
+    from etl_sber_spark.plans.fraud import data_view
+    from etl_sber_spark.sources.io import (
+        read_terminals_xlsx,
+        read_transactions_csv,
+    )
+    from etl_sber_spark.operators.scd import scd2_apply
+    from etl_sber_spark import schemas
+
+    ts = dt.datetime(2021, 3, 1, 23, 50)
+    tx = read_transactions_csv(
+        spark, "/root/reference/transactions_01032021.txt"
+    )
+    fact = tx.withColumn(
+        "create_date", F.lit(ts).cast("timestamp")
+    ).withColumn("load_date", F.to_date(F.lit(ts.date())))
+    hist = scd2_apply(
+        spark.createDataFrame([], schemas.TERMINALS_HIST),
+        read_terminals_xlsx(
+            spark, "/root/reference/terminals_01032021.xlsx"
+        ),
+        "terminal_id",
+        ["terminal_type", "terminal_city", "terminal_address"],
+        ts - dt.timedelta(hours=1),
+    )
+    bank = build_bank_tables(spark)
+    view = data_view(
+        bank["clients"], bank["accounts"], bank["cards"], fact, hist, ts
+    ).localCheckpoint()
+    base = sorted(map(tuple, rule_city_hopping(view).collect()))
+    assert base  # non-vacuous on the reference day
+    for mode in ("auto", True):
+        got = sorted(
+            map(tuple, rule_city_hopping(view, time_bins=mode).collect())
+        )
+        assert got == base, mode

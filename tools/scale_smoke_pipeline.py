@@ -301,11 +301,20 @@ def main() -> None:
             "rule3_faithful_bandjoin",
             lambda: fraud.rule_city_hopping(view, faithful=True).count(),
         )
+        # auto hot-key detection (r8): daily volumes sit far below the
+        # binning threshold, so auto must pick the SAME unbinned plan —
+        # equal rows, cost = rewrite + the probe aggregate
+        phase(
+            "rule3_exists_auto",
+            lambda: fraud.rule_city_hopping(view, time_bins="auto").count(),
+        )
         ab = {
             "exists_sec": results["rule3_exists_rewrite"]["sec"],
             "faithful_sec": results["rule3_faithful_bandjoin"]["sec"],
+            "auto_sec": results["rule3_exists_auto"]["sec"],
             "rows_equal": results["rule3_exists_rewrite"]["out"]
-            == results["rule3_faithful_bandjoin"]["out"],
+            == results["rule3_faithful_bandjoin"]["out"]
+            == results["rule3_exists_auto"]["out"],
         }
 
         print(
