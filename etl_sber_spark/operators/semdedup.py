@@ -106,6 +106,9 @@ def semantic_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     pin_input: bool = True,
+    *,
+    qvec_col: str | None = None,
+    qnorm_col: str | None = None,
 ) -> DataFrame:
     """(id_a < id_b, sim) for same-cluster pairs with rounded cosine ≥
     ``threshold``. Equi-join on centroid_id — Σ|cluster|² candidate
@@ -113,13 +116,56 @@ def semantic_pairs(
 
     ``pin_input=False`` when ``assigned`` is already pinned (semdedup's
     path) — re-pinning a projection of checkpointed blocks would store
-    the wide vector column twice for no replanning benefit."""
-    cand = assigned.select(
-        F.col(id_col), F.col(vec_col), F.col("centroid_id")
-    )
+    the wide vector column twice for no replanning benefit.
+
+    ``qvec_col`` (r8) scores from STORED int8 columns instead of the
+    float vector — the stored-SQ8 lesson the ANN families already
+    apply (operators/similarity.py): cosine's scales cancel, so the
+    pair similarity is one all-BIGINT fold per candidate and the float
+    column prunes off BOTH sides of the self-join (¼ the vector
+    bytes; q_scale isn't even read). ``qnorm_col`` names a stored
+    ``dot(qvec, qvec)`` (``quantize_embeddings(norm_col=…)``) making
+    the per-pair work a single cross-dot. Quantized cosine is the
+    recall trade tests/test_quantize.py pins — use it where the corpus
+    already stores the ANN serving layout (:func:`semdedup_serving`);
+    stored-vs-inline bit-parity pinned in tests/test_semdedup.py."""
+    if qnorm_col is not None and qvec_col is None:
+        raise ValueError(
+            "qnorm_col is the stored norm OF the stored qvec — pass "
+            "qvec_col as well"
+        )
+    if qvec_col is not None:
+        from .quantize import dot_int_expr
+
+        cols = [F.col(id_col), F.col(qvec_col), F.col("centroid_id")]
+        if qnorm_col is not None:
+            cols.append(F.col(qnorm_col))
+        cand = assigned.select(*cols)
+    else:
+        cand = assigned.select(
+            F.col(id_col), F.col(vec_col), F.col("centroid_id")
+        )
     if pin_input:
         cand = pin(cand)  # the self-join reads both sides
     a, b = cand.alias("a"), cand.alias("b")
+    if qvec_col is not None:
+        norm = (
+            (lambda s: F.col(f"{s}.{qnorm_col}"))
+            if qnorm_col is not None
+            else (
+                lambda s: dot_int_expr(
+                    F.col(f"{s}.{qvec_col}"), F.col(f"{s}.{qvec_col}")
+                )
+            )
+        )
+        num = dot_int_expr(
+            F.col(f"a.{qvec_col}"), F.col(f"b.{qvec_col}")
+        ).cast("double")
+        na = F.sqrt(norm("a").cast("double"))
+        nb = F.sqrt(norm("b").cast("double"))
+        sim = F.when((na > 0.0) & (nb > 0.0), num / (na * nb))
+    else:
+        sim = _safe_cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
     return (
         a.join(
             b,
@@ -129,10 +175,7 @@ def semantic_pairs(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.round(
-                _safe_cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")),
-                SIM_SCALE,
-            ).alias("sim"),
+            F.round(sim, SIM_SCALE).alias("sim"),
         )
         .filter(F.col("sim") >= threshold)
     )
@@ -197,12 +240,20 @@ def semdedup(
     )
     assigned = pin(semantic_assignments(embeddings, cents, id_col, vec_col))
     pairs = semantic_pairs(assigned, threshold, id_col, vec_col, pin_input=False)
+    return _annotate_groups(assigned, pairs, keep, id_col)
+
+
+def _annotate_groups(
+    assigned: DataFrame, pairs: DataFrame, keep: str, id_col: str
+) -> DataFrame:
+    """Shared tail of the float and stored-SQ8 paths: connected
+    components over the ≥-threshold pair graph, keeper election, flag
+    join back. Keeper election runs over the DUPLICATE rows only (comp
+    is dup-sized), not a corpus-wide window: join the membership in,
+    rank inside each component, then flag-join the (small) result
+    back. AQE picks broadcast for both joins when the dup set is
+    small and degrades to shuffle joins when it is not."""
     comp = connected_components(pairs, "id_a", "id_b")
-    # Keeper election runs over the DUPLICATE rows only (comp is
-    # dup-sized), not a corpus-wide window: join the membership in,
-    # rank inside each component, then flag-join the (small) result
-    # back. AQE picks broadcast for both joins when the dup set is
-    # small and degrades to shuffle joins when it is not.
     dup = assigned.join(
         comp.withColumnRenamed("node", id_col), id_col, "inner"
     )
@@ -224,3 +275,88 @@ def semdedup(
         F.coalesce(F.col("component"), F.col(id_col)).alias("sem_cluster"),
         F.coalesce(F.col("_kept"), F.lit(True)).alias("is_kept"),
     )
+
+
+def semdedup_serving(
+    serving: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.95,
+    keep: str = "farthest",
+    id_col: str = "vec_id",
+    *,
+    centroid_col: str = "centroid_id",
+    qvec_col: str = "qvec",
+    qnorm_col: str | None = "q_norm",
+) -> DataFrame:
+    """SemDeDup over the persisted ANN serving layout — the float
+    vector is NEVER read (r7 verdict #7).
+
+    A corpus that serves ANN search already stores, per vector, the
+    coarse cluster (``centroid_id``, the same k-means quantizer
+    SemDeDup's step 1 would train) and the SQ8 columns
+    (``ann_cli build --sq8``: qvec + q_norm). This entry point runs the
+    whole SemDeDup recipe from those columns: cluster = the STORED
+    assignment (no re-clustering — the frozen-quantizer contract of
+    operators/semindex.py), pair similarity = the all-integer quantized
+    cosine (one cross-dot per candidate, stored norms), keeper election
+    = quantized-space centroid similarity (deterministic; cosine's
+    scale-invariance makes the quantized ranking track the float one to
+    SQ8 error). Scan reads (id, centroid_id, qvec, q_norm) — the same
+    26.2 → 8.0 MB (3.3×) byte cut the stored-SQ8 search paths measured
+    (SCALE.md), applied to BOTH sides of the Σ|cluster|² self-join.
+
+    Output schema matches :func:`semdedup` (id, centroid_id,
+    centroid_sim, sem_cluster, is_kept); sims are the quantized
+    convention of operators/semindex.py, so verdicts are
+    bit-deterministic but not bit-equal to the float path (the
+    recall trade tests/test_quantize.py pins). Stored-vs-inline
+    bit-parity is pinned in tests/test_semdedup.py.
+    """
+    if keep not in ("farthest", "min_id"):
+        raise ValueError(f"keep must be 'farthest' or 'min_id', got {keep!r}")
+    need = [id_col, centroid_col, qvec_col] + (
+        [qnorm_col] if qnorm_col is not None else []
+    )
+    missing = [c for c in need if c not in serving.columns]
+    if missing:
+        raise ValueError(
+            f"serving frame lacks stored columns {missing} — build them "
+            "with materialize_ivf_assignments + quantize_embeddings("
+            "norm_col=…) (`ann_cli build --sq8`), or pass qnorm_col=None "
+            "to fold norms from qvec"
+        )
+    cent_rows = _centroid_rows(centroids)
+    if not cent_rows:
+        raise ValueError("centroids frame is empty")
+    cols = [F.col(c) for c in need]
+    assigned = spread(serving).select(*cols)
+    if centroid_col != "centroid_id":
+        assigned = assigned.withColumnRenamed(centroid_col, "centroid_id")
+    # quantized-space centroid similarity: stored int8 vector vs the
+    # centroid literal (float coords; the trainer's QUANT factor and
+    # the SQ8 scale both cancel in cosine)
+    cmap = F.map_from_arrays(
+        F.array(*[F.lit(cid) for cid, _ in cent_rows]),
+        F.array(*[F.lit(vec) for _, vec in cent_rows]),
+    )
+    assigned = pin(
+        assigned.withColumn(
+            "centroid_sim",
+            F.round(
+                _safe_cosine(
+                    F.col(qvec_col).cast("array<double>"),
+                    F.element_at(cmap, F.col("centroid_id")),
+                ),
+                SIM_SCALE,
+            ),
+        )
+    )
+    pairs = semantic_pairs(
+        assigned,
+        threshold,
+        id_col,
+        pin_input=False,
+        qvec_col=qvec_col,
+        qnorm_col=qnorm_col,
+    )
+    return _annotate_groups(assigned, pairs, keep, id_col)

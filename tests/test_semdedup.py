@@ -216,3 +216,143 @@ def test_auto_cluster_sizing(spark):
     auto = sorted(map(tuple, semdedup(e, n_clusters=None).collect()))
     explicit = sorted(map(tuple, semdedup(e, n_clusters=16).collect()))
     assert auto == explicit  # 200-vector fixture floors at 16
+
+
+def _serving_frame(spark, emb, cents):
+    """The ANN serving layout for a frame: stored centroid_id + SQ8
+    triple, the way `ann_cli build --sq8` lays it out."""
+    from etl_sber_spark.operators.annindex import materialize_ivf_assignments
+    from etl_sber_spark.operators.quantize import quantize_embeddings
+
+    return quantize_embeddings(
+        materialize_ivf_assignments(emb, cents),
+        keep_original=True,
+        norm_col="q_norm",
+    )
+
+
+def test_sq8_pairs_stored_vs_inline_parity(spark):
+    """semantic_pairs(qvec_col=…) scored from STORED int8 columns must
+    be bit-equal to the same quantized cosine computed from the floats
+    inline — storage is a refactoring of WHEN quantization happens,
+    never of what is computed (the ANN stored-SQ8 law, applied to the
+    SemDeDup pair stage)."""
+    from etl_sber_spark.operators.quantize import cosine_q_expr, quantize_cols
+    from etl_sber_spark.operators.similarity import SIM_SCALE
+
+    emb = _emb(spark).filter("vec_id < 300")
+    cents = kmeans_centroids(emb, 4, 2)
+    serving = _serving_frame(spark, emb, cents)
+
+    stored = semantic_pairs(
+        serving.withColumnRenamed("centroid_id", "centroid_id"),
+        0.2,
+        pin_input=False,
+        qvec_col="qvec",
+        qnorm_col="q_norm",
+    )
+    # independent inline construction: quantize in the test, join, score
+    scale, q = quantize_cols("embedding")
+    cand = serving.select("vec_id", "centroid_id", q.alias("_q"), scale.alias("_s"))
+    a, b = cand.alias("a"), cand.alias("b")
+    inline = (
+        a.join(
+            b,
+            (F.col("a.centroid_id") == F.col("b.centroid_id"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            F.round(
+                cosine_q_expr("a._q", "a._s", "b._q", "b._s"), SIM_SCALE
+            ).alias("sim"),
+        )
+        .filter(F.col("sim") >= 0.2)
+    )
+    got = sorted(map(tuple, stored.collect()))
+    want = sorted(map(tuple, inline.collect()))
+    assert got == want and got  # non-vacuous
+
+
+def test_sq8_pairs_norm_col_optional_and_validated(spark):
+    emb = _fixture(spark)
+    cents = kmeans_centroids(emb, 2, 2)
+    serving = _serving_frame(spark, emb, cents)
+    with_norm = sorted(
+        map(
+            tuple,
+            semantic_pairs(
+                serving, 0.999, pin_input=False,
+                qvec_col="qvec", qnorm_col="q_norm",
+            ).collect(),
+        )
+    )
+    folded = sorted(
+        map(
+            tuple,
+            semantic_pairs(
+                serving, 0.999, pin_input=False, qvec_col="qvec"
+            ).collect(),
+        )
+    )
+    assert with_norm == folded and with_norm
+    with pytest.raises(ValueError, match="qnorm_col"):
+        semantic_pairs(serving, 0.9, qnorm_col="q_norm")
+
+
+def test_semdedup_serving_never_reads_floats(spark):
+    """semdedup_serving on the serving columns ALONE (float vector
+    dropped) must equal the run with the float column present — the
+    operator's scan is float-free — and keep exactly one survivor per
+    group with the planted structure intact."""
+    from etl_sber_spark.operators.semdedup import semdedup_serving
+
+    emb = _fixture(spark)
+    cents = kmeans_centroids(emb, 2, 2)
+    serving = _serving_frame(spark, emb, cents)
+
+    full = semdedup_serving(serving, cents, threshold=0.999)
+    floatless = semdedup_serving(
+        serving.drop("embedding"), cents, threshold=0.999
+    )
+    rows_full = sorted(map(tuple, full.collect()))
+    rows_fl = sorted(map(tuple, floatless.collect()))
+    assert rows_full == rows_fl
+
+    by_id = {r.vec_id: r for r in full.collect()}
+    # exact scaled copies quantize to the same direction -> same groups
+    # the float path finds on this fixture
+    assert by_id[2].sem_cluster == by_id[3].sem_cluster
+    assert by_id[5].sem_cluster == by_id[6].sem_cluster
+    groups = {}
+    for r in by_id.values():
+        groups.setdefault(r.sem_cluster, []).append(r)
+    for g in groups.values():
+        assert sum(r.is_kept for r in g) == 1
+    # missing stored columns refuse loudly
+    with pytest.raises(ValueError, match="stored columns"):
+        semdedup_serving(serving.drop("q_norm"), cents)
+    ok = semdedup_serving(
+        serving.drop("q_norm"), cents, threshold=0.999, qnorm_col=None
+    )
+    assert sorted(map(tuple, ok.collect())) == rows_full
+
+
+def test_semdedup_serving_keeper_tracks_float_election(spark):
+    """On the real corpus, the quantized-space keeper election must
+    agree with the float path's on the overwhelming majority of
+    groups (SQ8 error can flip near-ties, nothing more)."""
+    from etl_sber_spark.operators.semdedup import semdedup_serving
+
+    emb = _emb(spark).filter("vec_id < 400")
+    cents = kmeans_centroids(emb, 4, 2)
+    serving = _serving_frame(spark, emb, cents)
+    q8 = {r.vec_id: r for r in semdedup_serving(serving, cents, 0.9).collect()}
+    fl = {
+        r.vec_id: r
+        for r in semdedup(emb, n_clusters=4, n_iter=2, threshold=0.9).collect()
+    }
+    assert set(q8) == set(fl)
+    agree = sum(q8[i].is_kept == fl[i].is_kept for i in q8)
+    assert agree / len(q8) >= 0.95, (agree, len(q8))
