@@ -178,6 +178,137 @@ def velocity_alerts(
     )
 
 
+#: sharded velocity state: one row per SHARD — parallel arrays of the
+#: shard's cards, each card's retained window (unix micros — nested
+#: timestamp arrays are avoided in state on purpose), and the card's
+#: last-activity wall clock for the per-card TTL prune.
+VELOCITY_SHARD_STATE = T.StructType(
+    [
+        T.StructField("cards", T.ArrayType(T.StringType())),
+        T.StructField("times_us", T.ArrayType(T.ArrayType(T.LongType()))),
+        T.StructField("last_seen", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def velocity_alerts_sharded(
+    typed_stream: DataFrame,
+    max_per_hour: int = 5,
+    idle_timeout_min: int = 360,
+    n_shards: int = 256,
+) -> DataFrame:
+    """:func:`velocity_alerts` with state keyed by ``hash(card) %
+    n_shards`` instead of by card — the high-cardinality throughput
+    shape (r8).
+
+    The per-card algebra is IDENTICAL (same two-sided ``(ts-1h, ts]``
+    window, same NaT filter, same newest-timestamp prune — alert rows
+    are row-equal, pinned in tests/test_velocity.py). What changes is
+    the state-store granularity: the streaming smoke measured the
+    per-key path at ~23 s/batch with 196k active cards/batch
+    (SCALE.md) — the cost is 196k Python function invocations + state
+    (de)serializations per batch, not the algebra. Sharding turns that
+    into ``n_shards`` invocations whose inner per-card loop runs over a
+    pandas groupby, and the state store holds ``n_shards`` rows.
+
+    The TTL trade: the per-card ProcessingTimeTimeout becomes (a) a
+    per-SHARD timer (a shard with no traffic at all for the TTL drops
+    whole) plus (b) an in-update per-card prune against each card's
+    last-activity wall clock — so an idle card's window is dropped on
+    its shard's next invocation rather than by its own timer. Total
+    state stays bounded by the active-card working set either way; the
+    source-stall undercount caveat of the per-key form carries over
+    unchanged. ``n_shards`` sizes parallelism: at least the cluster's
+    task slots, small enough that a shard's cards fit one Arrow batch.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    timeout_ms = idle_timeout_min * 60_000
+    hour_us = 3_600_000_000
+
+    def update(key, pdfs, state):
+        import time as _time
+
+        import pandas as _pd
+
+        empty = _pd.DataFrame(
+            {"card_num": [], "alert_ts": [], "n_last_hour": []}
+        )
+        if state.hasTimedOut:
+            state.remove()
+            yield empty
+            return
+        store: dict = {}
+        if state.exists:
+            cards, times_us, last_seen = state.get
+            store = {
+                c: [list(t), s]
+                for c, t, s in zip(cards, times_us, last_seen)
+            }
+        now = _time.time()
+        out_card, out_us, out_n = [], [], []
+        frames = [pdf for pdf in pdfs if len(pdf)]
+        if frames:
+            allpdf = _pd.concat(frames) if len(frames) > 1 else frames[0]
+            ts = _pd.to_datetime(allpdf["trans_date"])
+            keep = ~_pd.isna(ts)  # the NaT-wipe guard, vectorized
+            allpdf = _pd.DataFrame(
+                {
+                    "card_num": allpdf["card_num"][keep],
+                    # pandas datetime64[ns] -> unix micros
+                    "_us": ts[keep].astype("int64") // 1_000,
+                }
+            )
+            for card, grp in allpdf.groupby("card_num", sort=False):
+                entry = store.setdefault(card, [[], now])
+                recent = entry[0]
+                for us in sorted(grp["_us"].tolist()):
+                    cutoff = us - hour_us
+                    recent.append(us)
+                    n_window = sum(1 for t in recent if cutoff < t <= us)
+                    if n_window > max_per_hour:
+                        out_card.append(card)
+                        out_us.append(us)
+                        out_n.append(n_window)
+                horizon = max(recent) - hour_us
+                entry[0] = [t for t in recent if t > horizon]
+                entry[1] = now
+        # per-card TTL prune: the sharded analog of the per-key timer
+        ttl_s = timeout_ms / 1000.0
+        store = {c: v for c, v in store.items() if now - v[1] <= ttl_s}
+        if store:
+            state.update(
+                (
+                    list(store.keys()),
+                    [v[0] for v in store.values()],
+                    [v[1] for v in store.values()],
+                )
+            )
+            state.setTimeoutDuration(timeout_ms)
+        else:
+            state.remove()
+        yield _pd.DataFrame(
+            {
+                "card_num": out_card,
+                "alert_ts": _pd.to_datetime(_pd.Series(out_us), unit="us"),
+                "n_last_hour": out_n,
+            }
+        )
+
+    shard = (F.crc32(F.col("card_num")) % n_shards).alias("_shard")
+    return (
+        typed_stream.select("*", shard)
+        .groupBy("_shard")
+        .applyInPandasWithState(
+            update,
+            outputStructType=VELOCITY_SCHEMA,
+            stateStructType=VELOCITY_SHARD_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )
+
+
 def card_running_totals(
     typed_stream: DataFrame, idle_timeout_hours: int = 24
 ) -> DataFrame:

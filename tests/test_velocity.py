@@ -3,8 +3,22 @@ state carried across micro-batches."""
 
 from __future__ import annotations
 
+import pytest
+
 from etl_sber_spark.streaming.inbox import stream_transactions
 from etl_sber_spark.streaming.rollup import velocity_alerts
+
+
+@pytest.fixture(autouse=True)
+def _no_empty_batches(spark):
+    """ProcessingTimeTimeout state keeps an availableNow query alive
+    firing EMPTY micro-batches until the 6h timers expire, so every
+    awaitTermination(180) here used to burn its full 180 s. Nothing in
+    this module asserts timer-expiry behavior — drain and stop."""
+    old = spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    yield
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", old)
 
 HEADER = (
     "transaction_id;transaction_date;amount;card_num;oper_type;"
@@ -142,3 +156,102 @@ def test_late_event_does_not_count_future_transactions(spark, tmp_path):
     )
     q.awaitTermination(180)
     assert spark.sql("SELECT * FROM velocity_late").count() == 0
+
+
+def _run_stream(spark, tmp_path, build, name):
+    import os
+    import time
+
+    inbox = tmp_path / f"inbox_{name}"
+    ck = tmp_path / f"ck_{name}"
+    inbox.mkdir()
+    burst = "9999 0000"
+    quiet = "1111 2222"
+    _file(
+        inbox / "b1.txt",
+        [(f"2021-03-01 10:0{m}:00", burst) for m in range(4)]
+        + [("2021-03-01 10:05:00", quiet)],
+    )
+    _file(
+        inbox / "b2.txt",
+        [
+            ("2021-03-01 10:30:00", burst),
+            ("2021-03-01 10:40:00", burst),
+            ("2021-03-01 14:00:00", burst),
+            ("", burst),  # NaT guard must hold in both forms
+        ],
+    )
+    now = time.time()
+    os.utime(inbox / "b1.txt", (now - 60, now - 60))
+    os.utime(inbox / "b2.txt", (now, now))
+    typed = stream_transactions(spark, str(inbox), max_files_per_trigger=1)
+    q = (
+        build(typed)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", str(ck))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return sorted(
+        (r.card_num, str(r.alert_ts), r.n_last_hour)
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    )
+
+
+def test_sharded_velocity_row_equal_to_per_key(spark, tmp_path):
+    """velocity_alerts_sharded is the same algebra at shard-state
+    granularity — alert rows must be identical across batches,
+    including the cross-batch state carry and the NaT guard
+    (n_shards=2 forces both cards through shared shard groups)."""
+    from etl_sber_spark.streaming.rollup import velocity_alerts_sharded
+
+    per_key = _run_stream(
+        spark, tmp_path, lambda t: velocity_alerts(t, max_per_hour=5),
+        "vel_pk",
+    )
+    sharded = _run_stream(
+        spark,
+        tmp_path,
+        lambda t: velocity_alerts_sharded(t, max_per_hour=5, n_shards=2),
+        "vel_sh",
+    )
+    assert per_key == sharded
+    assert len(per_key) == 1 and per_key[0][2] == 6  # the known alert
+
+
+def test_sharded_velocity_many_cards_one_shard(spark, tmp_path):
+    """Many cards hashing into ONE shard stay independent: bursts on
+    two cards alert separately, a quiet card never does."""
+    import os
+    import time
+
+    from etl_sber_spark.streaming.rollup import velocity_alerts_sharded
+
+    inbox = tmp_path / "inbox1s"
+    inbox.mkdir()
+    a, b, quiet = "4000 0001", "4000 0002", "4000 0003"
+    rows = []
+    for card in (a, b):
+        rows += [(f"2021-03-01 09:{m:02d}:00", card) for m in range(6)]
+    rows += [("2021-03-01 09:00:00", quiet)]
+    _file(inbox / "one.txt", rows)
+    q = (
+        velocity_alerts_sharded(
+            stream_transactions(spark, str(inbox)), max_per_hour=5,
+            n_shards=1,
+        )
+        .writeStream.format("memory")
+        .queryName("vel_one_shard")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck1s"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    alerts = spark.sql("SELECT * FROM vel_one_shard").collect()
+    assert {r.card_num for r in alerts} == {a, b}
+    for r in alerts:
+        assert r.n_last_hour == 6 and str(r.alert_ts) == "2021-03-01 09:05:00"

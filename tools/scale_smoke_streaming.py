@@ -310,6 +310,32 @@ def main() -> None:
         )
         print(f"[velocity_state] {out['phases']['velocity_state']}", file=sys.stderr)
 
+        # 3b. sharded velocity (r8): same algebra, state keyed by
+        # hash(card) % 256 — per-batch cost should drop from
+        # O(active cards) Python invocations to O(shards)
+        from etl_sber_spark.streaming.rollup import velocity_alerts_sharded
+
+        t0 = time.perf_counter()
+        q = (
+            velocity_alerts_sharded(
+                stream_transactions(spark, inbox, max_files_per_trigger=1),
+                max_per_hour=5,
+            )
+            .writeStream.format("noop")
+            .outputMode("update")
+            .option("checkpointLocation", os.path.join(tmp, "ck_vel_sh"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        drain(q)
+        out["phases"]["velocity_sharded"] = batch_stats(
+            q, time.perf_counter() - t0
+        )
+        print(
+            f"[velocity_sharded] {out['phases']['velocity_sharded']}",
+            file=sys.stderr,
+        )
+
         # 4. watermarked windowed agg: state = open windows, not input --
         t0 = time.perf_counter()
         q = (
