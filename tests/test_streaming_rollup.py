@@ -4,7 +4,21 @@ from __future__ import annotations
 
 import shutil
 
+import pytest
 from pyspark.sql import functions as F
+
+
+@pytest.fixture(autouse=True)
+def _no_empty_batches(spark):
+    """card_running_totals' ProcessingTimeTimeout state keeps the
+    availableNow query alive firing EMPTY micro-batches until the 24h
+    timers expire, so its awaitTermination(180) burned the full 180 s
+    (measured: this 2-test module took 194 s, ~14 s of it real work).
+    Nothing here asserts timer expiry — drain and stop."""
+    old = spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    yield
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", old)
 
 from etl_sber_spark.streaming.inbox import stream_transactions
 from etl_sber_spark.streaming.rollup import card_running_totals, hourly_rollup
