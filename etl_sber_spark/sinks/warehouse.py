@@ -411,7 +411,15 @@ def warehouse_manifest(wh: Warehouse, *, count_rows: bool = True):
         versions = wh.versions(name)
         if versions:
             layout = "versioned"
-            current = versions[-1]
+            # the CURRENT pointer, not the highest retained dir: a crash
+            # between the version write and the atomic flip leaves an
+            # orphan v_{n+1} no reader serves, and the manifest reports
+            # what readers SEE (same law as the ANN binding stamps —
+            # r7 ADVICE); fall back to the highest dir only if the
+            # pointer file is missing entirely (pre-pointer layouts)
+            current = wh.current_version(name)
+            if current is None:
+                current = versions[-1]
             scan_dir = os.path.join(d, f"v_{current}")
         else:
             current = None

@@ -326,3 +326,24 @@ def test_warehouse_manifest_inventories_all_layouts(spark, tmp_path):
     assert {t: cheap[t].n_bytes for t in cheap} == {
         t: m[t].n_bytes for t in m
     }
+
+
+def test_manifest_reports_served_version_not_orphan(spark, tmp_path):
+    """warehouse_manifest's current_version must track the CURRENT
+    pointer, like every other version comparison (r7 ADVICE, extended
+    r8): after a simulated crash leaves an orphan v_3, the manifest
+    reports v_2 — the version readers actually serve — and sizes THAT
+    directory, not the orphan."""
+    import os
+
+    from etl_sber_spark.sinks.warehouse import Warehouse, warehouse_manifest
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    wh.overwrite_versioned(spark.range(1).toDF("k"), "t")
+    wh.overwrite_versioned(spark.range(2).toDF("k"), "t")
+    spark.range(500).toDF("k").write.parquet(
+        os.path.join(str(tmp_path / "wh"), "t", "v_3")
+    )
+    m = {r.table: r for r in warehouse_manifest(wh).collect()}
+    assert m["t"].current_version == 2
+    assert m["t"].n_rows == 2  # the served snapshot, not the orphan's 500
