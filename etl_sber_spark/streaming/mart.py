@@ -47,6 +47,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
+from ..operators.materialize import pin
 from ..operators.scd import scd2_current
 from ..pipeline import T_HIST
 from ..plans.fraud import enrich_transactions
@@ -100,6 +101,12 @@ def stream_enriched_transactions(
         trm = scd2_current(hist, ts).select(
             "terminal_id", "terminal_type", "terminal_city"
         )
+        # pin the batch: it feeds the enrichment, the unmatched
+        # anti-join, and (on retry batches) the pending anti-join —
+        # unpinned, every one of those actions re-parses the batch's
+        # CSV files (the streaming smoke's engine metrics showed the
+        # source scanned 3x per batch — r8)
+        batch_df = pin(batch_df)
         # Retry loop for dim-less rows (round-4 review finding #2): the
         # enrichment is a chain of INNER joins, so a transaction whose
         # terminal/card/account/client has not reached the warehouse yet
@@ -137,12 +144,17 @@ def stream_enriched_transactions(
             batch_df = batch_df.unionByName(
                 pending.dropDuplicates(["trans_id"])
             )
-        enriched = enrich_transactions(
-            batch_df,
-            trm,
-            bank_tables["clients"],
-            bank_tables["accounts"],
-            bank_tables["cards"],
+        # pinned: the 4-way join otherwise evaluates once for the
+        # T_LIVE write, once inside the unmatched anti-join, and once
+        # for the harness's emptiness probe
+        enriched = pin(
+            enrich_transactions(
+                batch_df,
+                trm,
+                bank_tables["clients"],
+                bank_tables["accounts"],
+                bank_tables["cards"],
+            )
         )
         unmatched = batch_df.join(
             enriched.select("trans_id"), "trans_id", "left_anti"

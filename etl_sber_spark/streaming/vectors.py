@@ -132,6 +132,11 @@ def stream_vector_ingest(
             out = quantize_embeddings(
                 out, vec_col, keep_original=True, norm_col="q_norm"
             )
+        # NOT pinned (r8 measured): the harness's emptiness probe is a
+        # limit-1 partial evaluation, so the write is this frame's only
+        # full action — a checkpoint would add batch-sized IO without
+        # removing any duplicate work (projections have no join to
+        # dedupe; contrast streaming/mart.py's pinned enrichment)
         return {serving_table: out}
 
     return run_idempotent_increments(
