@@ -96,6 +96,19 @@ def test_build_ingest_search_lifecycle(spark, sf_dir, tmp_path):
     r = _run(tmp_path, "status", "--warehouse", wh_dir)
     assert r["recommendation"] == "ok", r
     assert r["binding_ok"] and r["frac_reassigned"] == 0.0
+    # auto sampling end-to-end through the CLI (r8): the tiny target
+    # forces a deeper ladder rung; the run stays healthy because the
+    # build stamped a baseline for every rung
+    r = _run(
+        tmp_path,
+        "status", "--warehouse", wh_dir,
+        "--sample-mod", "auto", "--target-sample", "8",
+    )
+    assert r["recommendation"] == "ok", r
+    # the target bounds the EXPECTED sample (n/mod), not the exact
+    # hash draw — assert the rung rose and the sample shrank
+    # accordingly (default rung draws ~n/16 ≈ 30+ here)
+    assert r["sample_mod"] > 16 and r["n_sampled"] < 20
 
     # compact to the list-partitioned read layout; search is unchanged
     r = _run(tmp_path, "compact", "--warehouse", wh_dir)
