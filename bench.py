@@ -313,6 +313,42 @@ def _ann_split_bench(spark, sf_dir: str) -> dict[str, float]:
         lsh_dims = ai.load_lsh_model(wh).n_dims
         stored_ivf = spark.read.parquet(f"{tmp}/emb_ivf")
         stored_lsh = spark.read.parquet(f"{tmp}/emb_lsh")
+
+        # SemDeDup float vs stored-SQ8 (r8): the pair stage + grouping
+        # over the same stored serving columns — the byte/fold win
+        # SCALE.md measures at 100k, tracked here at sf scale
+        from etl_sber_spark.operators.quantize import quantize_embeddings
+        from etl_sber_spark.operators.semdedup import (
+            semdedup_serving,
+            semantic_pairs,
+        )
+
+        quantize_embeddings(
+            stored_ivf, keep_original=True, norm_col="q_norm"
+        ).write.mode("overwrite").parquet(f"{tmp}/emb_serving")
+        serving = spark.read.parquet(f"{tmp}/emb_serving")
+        for key, build in (
+            (
+                "semdedup_pairs_float",
+                lambda: semantic_pairs(serving, 0.95),
+            ),
+            (
+                "semdedup_pairs_sq8",
+                lambda: semantic_pairs(
+                    serving, 0.95, qvec_col="qvec", qnorm_col="q_norm"
+                ),
+            ),
+            (
+                "semdedup_serving_full",
+                lambda: semdedup_serving(
+                    serving.drop("embedding"), loaded, threshold=0.95
+                ),
+            ),
+        ):
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            build().write.format("noop").mode("overwrite").save()
+            res[key] = round(time.perf_counter() - t0, 3)
         queries = emb.filter(F.col("vec_id") < 5)
         for key, build in (
             (
