@@ -130,7 +130,10 @@ def _proc_stat_jiffies() -> tuple[int, int]:
             parts = f.readline().split()
         vals = [int(x) for x in parts[1:]]
         steal = vals[7] if len(vals) > 7 else 0
-        return steal, sum(vals)
+        # fields 9/10 (guest, guest_nice) are already accounted inside
+        # user/nice — summing them would double-count guest time and
+        # bias steal_pct low exactly when contention is guest-heavy
+        return steal, sum(vals[:8])
     except Exception:
         return 0, 0
 

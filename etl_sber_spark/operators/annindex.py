@@ -722,7 +722,14 @@ def ann_status(
         batches_behind = max(0, int(mx) - int(meta["max_batch_id"])) if mx is not None else 0
 
     if sample_mod == "auto":
-        mod = choose_sample_mod(raw.count(), target_sample)
+        # size the rung from the latest-wins corpus, not the raw row
+        # count: a churned pre-compaction table (each vector re-ingested
+        # N times — the exact state this monitor watches) would
+        # otherwise pick a rung N× too deep and probe a sample N×
+        # smaller than the target (r8 review). One distinct-count of the
+        # id column — probe-cadence cost.
+        n_corpus = raw.select("vec_id").distinct().count()
+        mod = choose_sample_mod(n_corpus, target_sample)
     else:
         mod = int(sample_mod)
 
@@ -787,7 +794,16 @@ def ann_status(
             )
         )
     else:
-        baseline = ivf_meta.get("build_mean_assign_dist")
+        # legacy (pre-r8) artifact: its baselines were probed at the
+        # stamped sample_mod — a DIFFERENT rung's sample is a different
+        # (and possibly tiny) population, whose variance alone could
+        # push the ratio past threshold and trigger a spurious retrain
+        # (r8 review). Gate the DISTANCE baseline on the mod matching,
+        # not just the recall one.
+        mods_match = stamped.get("sample_mod") == mod
+        baseline = (
+            ivf_meta.get("build_mean_assign_dist") if mods_match else None
+        )
         build_recall = ivf_meta.get("build_recall_probe")
         comparable = stamped == {
             "sample_mod": mod,

@@ -117,6 +117,11 @@ def band_partner_groups(
         .distinct()
     )
     if time_bins == "auto":
+        # pin before probing: the probe job materializes the distinct
+        # groups anyway, and without the pin the returned plan would
+        # recompute that corpus-wide distinct from scratch — the
+        # dominant scan+shuffle paid twice (r8 review)
+        grp = grp.localCheckpoint(eager=False)
         time_bins = _max_key_group_count(grp, keys) >= auto_threshold
     us = F.unix_micros(F.col(ts_col))
     tol_us = tolerance_seconds * 1_000_000

@@ -113,16 +113,30 @@ def dot_int_expr(qa: Column | str, qb: Column | str) -> Column:
 
 
 def cosine_q_expr(
-    qa: Column | str, sa: Column | str, qb: Column | str, sb: Column | str
+    qa: Column | str,
+    sa: Column | str | None,
+    qb: Column | str,
+    sb: Column | str | None,
+    *,
+    qa_norm: Column | str | None = None,
+    qb_norm: Column | str | None = None,
 ) -> Column:
     """Approximate cosine from quantized vectors.
 
     The scales cancel in cosine, so this is the all-integer
     ``dot/(|qa|*|qb|)`` — no float accumulation at all; NULL when either
-    vector is all-zero (0/0), matching exact cosine."""
+    vector is all-zero (0/0), matching exact cosine. ``sa``/``sb`` are
+    accepted for call-site symmetry with the (qvec, scale) pairs the
+    quantizer emits and are unused (the cancellation IS the point).
+    ``qa_norm``/``qb_norm`` (r8) name stored ``dot(q, q)`` columns
+    (``quantize_embeddings(norm_col=…)``), replacing the per-row
+    self-dots with one stored read — the single definition of the
+    guarded quotient every stored-SQ8 scorer shares."""
     num = dot_int_expr(qa, qb).cast("double")
-    na = F.sqrt(dot_int_expr(qa, qa).cast("double"))
-    nb = F.sqrt(dot_int_expr(qb, qb).cast("double"))
+    na_dot = _c(qa_norm) if qa_norm is not None else dot_int_expr(qa, qa)
+    nb_dot = _c(qb_norm) if qb_norm is not None else dot_int_expr(qb, qb)
+    na = F.sqrt(na_dot.cast("double"))
+    nb = F.sqrt(nb_dot.cast("double"))
     return F.when((na > 0.0) & (nb > 0.0), num / (na * nb))
 
 

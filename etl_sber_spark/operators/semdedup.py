@@ -66,6 +66,25 @@ def _safe_cosine(a: Column, b: Column) -> Column:
     return cosine_similarity(a, b)
 
 
+def _centroid_sim_expr(vec: Column, cent_rows) -> Column:
+    """Rounded cosine between ``vec`` and the row's assigned centroid
+    (``centroid_id`` looked up in the driver-side literal map) — the
+    ONE definition of centroid similarity both the float path
+    (:func:`semantic_assignments`) and the stored-SQ8 path
+    (:func:`semdedup_serving`) rank keepers by. A stale ``centroid_id``
+    absent from the map yields NULL (element_at miss), which sorts
+    first in the 'farthest' election — surfacing, not hiding, a
+    drifted assignment."""
+    cmap = F.map_from_arrays(
+        F.array(*[F.lit(cid) for cid, _ in cent_rows]),
+        F.array(*[F.lit(vec_) for _, vec_ in cent_rows]),
+    )
+    return F.round(
+        _safe_cosine(vec, F.element_at(cmap, F.col("centroid_id"))),
+        SIM_SCALE,
+    )
+
+
 def semantic_assignments(
     embeddings: DataFrame,
     centroids: DataFrame,
@@ -81,10 +100,6 @@ def semantic_assignments(
     SIM_SCALE like every similarity this package emits.
     """
     cent_rows = _centroid_rows(centroids)
-    cmap = F.map_from_arrays(
-        F.array(*[F.lit(cid) for cid, _ in cent_rows]),
-        F.array(*[F.lit(vec) for _, vec in cent_rows]),
-    )
     return spread(embeddings).select(
         F.col(id_col),
         F.col(vec_col),
@@ -92,11 +107,7 @@ def semantic_assignments(
             "centroid_id"
         ),
     ).withColumn(
-        "centroid_sim",
-        F.round(
-            _safe_cosine(F.col(vec_col), F.element_at(cmap, F.col("centroid_id"))),
-            SIM_SCALE,
-        ),
+        "centroid_sim", _centroid_sim_expr(F.col(vec_col), cent_rows)
     )
 
 
@@ -135,8 +146,6 @@ def semantic_pairs(
             "qvec_col as well"
         )
     if qvec_col is not None:
-        from .quantize import dot_int_expr
-
         cols = [F.col(id_col), F.col(qvec_col), F.col("centroid_id")]
         if qnorm_col is not None:
             cols.append(F.col(qnorm_col))
@@ -149,21 +158,20 @@ def semantic_pairs(
         cand = pin(cand)  # the self-join reads both sides
     a, b = cand.alias("a"), cand.alias("b")
     if qvec_col is not None:
-        norm = (
-            (lambda s: F.col(f"{s}.{qnorm_col}"))
-            if qnorm_col is not None
-            else (
-                lambda s: dot_int_expr(
-                    F.col(f"{s}.{qvec_col}"), F.col(f"{s}.{qvec_col}")
-                )
+        from .quantize import cosine_q_expr
+
+        norms = (
+            dict(
+                qa_norm=F.col(f"a.{qnorm_col}"),
+                qb_norm=F.col(f"b.{qnorm_col}"),
             )
+            if qnorm_col is not None
+            else {}
         )
-        num = dot_int_expr(
-            F.col(f"a.{qvec_col}"), F.col(f"b.{qvec_col}")
-        ).cast("double")
-        na = F.sqrt(norm("a").cast("double"))
-        nb = F.sqrt(norm("b").cast("double"))
-        sim = F.when((na > 0.0) & (nb > 0.0), num / (na * nb))
+        sim = cosine_q_expr(
+            F.col(f"a.{qvec_col}"), None, F.col(f"b.{qvec_col}"), None,
+            **norms,
+        )
     else:
         sim = _safe_cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
     return (
@@ -335,19 +343,11 @@ def semdedup_serving(
     # quantized-space centroid similarity: stored int8 vector vs the
     # centroid literal (float coords; the trainer's QUANT factor and
     # the SQ8 scale both cancel in cosine)
-    cmap = F.map_from_arrays(
-        F.array(*[F.lit(cid) for cid, _ in cent_rows]),
-        F.array(*[F.lit(vec) for _, vec in cent_rows]),
-    )
     assigned = pin(
         assigned.withColumn(
             "centroid_sim",
-            F.round(
-                _safe_cosine(
-                    F.col(qvec_col).cast("array<double>"),
-                    F.element_at(cmap, F.col("centroid_id")),
-                ),
-                SIM_SCALE,
+            _centroid_sim_expr(
+                F.col(qvec_col).cast("array<double>"), cent_rows
             ),
         )
     )

@@ -276,6 +276,12 @@ def rule_city_hopping(
     rows, far under threshold), row-identical either way.
     """
     if faithful:
+        if time_bins is not False:
+            raise ValueError(
+                "time_bins tunes the EXISTS rewrite; the faithful band "
+                "join has no binned mode — drop faithful=True or the "
+                "time_bins argument"
+            )
         pairs = _hop_pairs_bandjoin(view)
     else:
         pairs = (

@@ -259,7 +259,18 @@ def velocity_alerts_sharded(
                     "_us": ts[keep].astype("int64") // 1_000,
                 }
             )
-            for card, grp in allpdf.groupby("card_num", sort=False):
+            # dropna=False: Spark's groupBy keys NULL card_nums like any
+            # other group, and pandas' default groupby silently DROPS
+            # None keys — the row-equality contract with the per-key
+            # form would break on malformed-card rows (r8 review)
+            for card, grp in allpdf.groupby(
+                "card_num", sort=False, dropna=False
+            ):
+                if isinstance(card, float):
+                    # pandas reports the NULL group's key as float NaN;
+                    # normalize to None so the state row stays an
+                    # array<string> null and round-trips across batches
+                    card = None
                 entry = store.setdefault(card, [[], now])
                 recent = entry[0]
                 for us in sorted(grp["_us"].tolist()):

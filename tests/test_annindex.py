@@ -605,3 +605,71 @@ def test_ann_status_auto_scales_sample_with_per_rung_baseline(
             baselines["64"]["mean_assign_dist"]
             != baselines["16"]["mean_assign_dist"]
         )
+
+
+def test_auto_rung_sized_by_corpus_not_raw_rows(spark, emb, tmp_path):
+    """A churned serving table (every vector re-ingested across many
+    batches) must pick the SAME rung as its compacted form: the rung is
+    sized from the latest-wins corpus, not the raw row count — raw
+    sizing probed a sample N× under target on N×-churned tables (r8
+    review)."""
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    sub = emb.select("vec_id", "embedding")
+    stored = ai.build_ann_index(wh, sub, n_lists=8, n_iter=2)
+    wh.overwrite_partitions(
+        stored.withColumn("batch_id", F.lit(-1)), "ann_serving", ["batch_id"]
+    )
+    # churn: re-append the SAME vectors as 4 streamed batches -> raw
+    # rows = 5x corpus
+    for b in range(4):
+        wh.overwrite_partitions(
+            stored.withColumn("batch_id", F.lit(b)), "ann_serving",
+            ["batch_id"],
+        )
+    ai.bind_serving(wh)
+    n = sub.count()
+    baselines = wh.read_metadata(ai.IVF_TABLE)["probe_baselines"]
+    target = baselines["64"]["n"] + 1  # rung 64 for the true corpus...
+    assert ai.choose_sample_mod(n, target) == 64
+    assert ai.choose_sample_mod(5 * n, target) == 256  # ...not raw rows
+    st = ai.ann_status(wh, sample_mod="auto", target_sample=target)
+    assert st["sample_mod"] == 64
+    assert st["n_sampled"] == baselines["64"]["n"]
+    assert st["assign_dist_ratio"] == 1.0 and st["recommendation"] == "ok"
+
+
+def test_auto_off_rung_without_stamp_reports_no_ratio(spark, emb, tmp_path):
+    """Against a pre-r8 artifact (no per-rung stamps), an auto-chosen
+    rung that differs from the stamped mod must report ratio None, not
+    a cross-rung quotient — a tiny off-rung sample's variance alone
+    could otherwise trip a spurious retrain (r8 review)."""
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    sub = emb.select("vec_id", "embedding")
+    cents = ai.train_ivf_index(sub, n_lists=8, n_iter=2)
+    # legacy-shaped artifact: baseline + params, NO probe_baselines
+    ai.save_ivf_index(
+        wh,
+        cents,
+        metadata={
+            "build_mean_assign_dist": 1.0,
+            "build_recall_probe": 1.0,
+            "probe_params": ai.PROBE_PARAMS,
+        },
+    )
+    ai.save_lsh_model(wh, 64)
+    wh.overwrite_partitions(
+        ai.materialize_lsh_buckets(
+            ai.materialize_ivf_assignments(sub, cents), 64
+        ).withColumn("batch_id", F.lit(-1)),
+        "ann_serving",
+        ["batch_id"],
+    )
+    ai.bind_serving(wh)
+    st = ai.ann_status(wh, sample_mod="auto", target_sample=8)
+    assert st["sample_mod"] > 16  # off the stamped rung
+    assert st["assign_dist_ratio"] is None
+    assert st["recall_ratio"] is None
+    assert st["recommendation"] == "ok", st
+    # the stamped rung still compares
+    st16 = ai.ann_status(wh, sample_mod=16)
+    assert st16["assign_dist_ratio"] is not None

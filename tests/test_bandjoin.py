@@ -328,3 +328,19 @@ def test_rule3_time_bins_passthrough_row_identical(spark):
             map(tuple, rule_city_hopping(view, time_bins=mode).collect())
         )
         assert got == base, mode
+
+
+def test_faithful_rejects_time_bins(spark):
+    """The hot-key knob tunes the EXISTS rewrite; silently ignoring it
+    on the faithful path would hand a caller the untuned plan with no
+    signal (r8 review)."""
+    import pytest
+
+    view = spark.createDataFrame(
+        [], "card_num string, terminal_city string, trans_date timestamp, "
+        "passport_num string, name string, phone string",
+    )
+    with pytest.raises(ValueError, match="faithful"):
+        rule_city_hopping(view, faithful=True, time_bins="auto")
+    with pytest.raises(ValueError, match="faithful"):
+        rule_city_hopping(view, faithful=True, time_bins=True)

@@ -170,7 +170,12 @@ def _run_stream(spark, tmp_path, build, name):
     _file(
         inbox / "b1.txt",
         [(f"2021-03-01 10:0{m}:00", burst) for m in range(4)]
-        + [("2021-03-01 10:05:00", quiet)],
+        + [("2021-03-01 10:05:00", quiet)]
+        # a NULL-card burst (empty CSV field -> NULL): Spark's groupBy
+        # keys NULL like any group, so the per-key form alerts on the
+        # 6th row — the sharded form must not silently drop the NULL
+        # group (pandas dropna default — r8 review)
+        + [(f"2021-03-01 11:0{m}:00", "") for m in range(6)],
     )
     _file(
         inbox / "b2.txt",
@@ -196,8 +201,9 @@ def _run_stream(spark, tmp_path, build, name):
     )
     q.awaitTermination(180)
     return sorted(
-        (r.card_num, str(r.alert_ts), r.n_last_hour)
-        for r in spark.sql(f"SELECT * FROM {name}").collect()
+        ((r.card_num, str(r.alert_ts), r.n_last_hour)
+         for r in spark.sql(f"SELECT * FROM {name}").collect()),
+        key=lambda t: (t[0] is None, t[0] or "", t[1], t[2]),
     )
 
 
@@ -219,7 +225,10 @@ def test_sharded_velocity_row_equal_to_per_key(spark, tmp_path):
         "vel_sh",
     )
     assert per_key == sharded
-    assert len(per_key) == 1 and per_key[0][2] == 6  # the known alert
+    # the burst-card alert AND the NULL-card alert, in both forms
+    assert len(per_key) == 2
+    assert (None, "2021-03-01 11:05:00", 6) in per_key
+    assert ("9999 0000", "2021-03-01 10:40:00", 6) in per_key
 
 
 def test_sharded_velocity_many_cards_one_shard(spark, tmp_path):
