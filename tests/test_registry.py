@@ -86,7 +86,9 @@ def test_bench_ann_split_helper_runs(spark):
 
     res = bench._ann_split_bench(spark, "/root/testdata/sf0.001")
     assert set(res) == {
-        "ivf_train", "ivf_assign", "lsh_bucket", "ivf_search", "lsh_search"
+        "ivf_train", "ivf_assign", "lsh_bucket", "ivf_search", "lsh_search",
+        # r8: the SemDeDup float-vs-stored-SQ8 split
+        "semdedup_pairs_float", "semdedup_pairs_sq8", "semdedup_serving_full",
     }
     assert all(v > 0 for v in res.values())
 
