@@ -235,6 +235,18 @@ def load_lsh_model(
             f"LSH model {name!r} table_ids are not contiguous from 0: "
             f"{tables}"
         )
+    if n_planes != N_PLANES:
+        # the per-table check below recomputes the formula AT THE
+        # STORED width, so an N_PLANES tuning bump would pass it while
+        # bucket_expr hashes queries at the NEW width — every stored
+        # bucket silently stops colliding, the exact failure this
+        # guard documents as impossible (r8 review)
+        raise ValueError(
+            f"stored LSH model {name!r} has {n_planes} planes per table "
+            f"but the running code hashes {N_PLANES} — query buckets "
+            "would never match the stored columns; rebuild the bucket "
+            "columns (or pin the library version that wrote them)"
+        )
     for t in tables:
         stored = [signs for tt, _, signs in rows if tt == t]
         if stored != _plane_signs(n_dims, n_planes, t):
@@ -453,6 +465,7 @@ def read_serving(
     serving_table: str = "ann_serving",
     ivf_name: str = IVF_TABLE,
     lsh_name: str = LSH_TABLE,
+    id_col: str = "vec_id",
 ) -> DataFrame:
     """The canonical serving-table read for queries: the compacted
     list-partitioned layout when it exists, TOPPED UP with any batches
@@ -460,7 +473,11 @@ def read_serving(
     ``cluster_serving_table`` is purely a read-layout optimization,
     never a freshness cliff; without a compacted table, the raw
     batch-partitioned appends with the same latest-wins rule. Always
-    returns serving-schema rows without ``batch_id``.
+    returns serving-schema rows without ``batch_id``; a batch-less
+    table (manually assembled — the layout cluster_serving_table and
+    ann_status already accept) is returned as-is, and ``id_col``
+    mirrors cluster_serving_table's for non-default id columns (r8
+    review: the write half was parameterized, the read half was not).
 
     Staleness guards (r6 ADVICE — both REFUSE instead of serving
     silently-wrong assignments):
@@ -475,7 +492,12 @@ def read_serving(
     _check_binding(wh, serving_table, ivf_name, lsh_name, context="search")
     out = f"{serving_table}_by_list"
 
-    def _latest_wins(rows: DataFrame, id_col: str = "vec_id") -> DataFrame:
+    def _latest_wins(rows: DataFrame) -> DataFrame:
+        # batch-less tables (manually assembled — the same layout
+        # cluster_serving_table and ann_status already accept) have no
+        # supersession to resolve: taken as-is (r8 review)
+        if "batch_id" not in rows.columns:
+            return rows
         w = Window.partitionBy(id_col).orderBy(F.col("batch_id").desc())
         return (
             rows.withColumn("_rn", F.row_number().over(w))
@@ -509,13 +531,16 @@ def read_serving(
         if not wh.has_data(wm_table):
             return clustered
         wm = int(wh.read(wm_table).first().max_batch_id)
-    fresh = wh.read(serving_table).filter(F.col("batch_id") > int(wm))
+    raw = wh.read(serving_table)
+    if "batch_id" not in raw.columns:
+        return clustered  # batch-less raw: nothing streams past a wm
+    fresh = raw.filter(F.col("batch_id") > int(wm))
     # fresh is increment-sized: dedup IT with the window, then replace
     # any superseded clustered rows via a (broadcastable) anti-join —
     # never a corpus-wide window, and the clustered scan stays prunable
     fresh_latest = _latest_wins(fresh).select(*clustered.columns)
     return clustered.join(
-        fresh_latest.select("vec_id"), "vec_id", "left_anti"
+        fresh_latest.select(id_col), id_col, "left_anti"
     ).unionByName(fresh_latest)
 
 

@@ -618,7 +618,7 @@ def cosine_topk_ivf(
         ).alias("centroid_id"),
     )
     if qvec_col is not None:
-        from .quantize import dot_int_expr, quantize_cols
+        from .quantize import cosine_q_expr, dot_int_expr, quantize_cols
 
         # quantize the QUERY side once, in the (tiny, broadcast) query
         # projection — referencing quantize_cols(q_vec) inside sim_expr
@@ -634,21 +634,31 @@ def cosine_topk_ivf(
             if qnorm_col is not None
             else dot_int_expr(F.col(f"e.{qvec_col}"), F.col(f"e.{qvec_col}"))
         )
-        # same algebra as quantize.cosine_q_expr (scales cancel), with
-        # both norms hoisted: candidate's stored at ingest (qnorm_col),
-        # query's computed once above — bit-equal results either way
-        num = dot_int_expr(
-            F.col(f"e.{qvec_col}"), F.col("q._qq")
-        ).cast("double")
-        na = F.sqrt(cand_norm.cast("double"))
-        nb = F.sqrt(F.col("q._qn").cast("double"))
-        sim_expr = F.when((na > 0.0) & (nb > 0.0), num / (na * nb))
+        # quantize.cosine_q_expr IS the one definition of the guarded
+        # quotient (scales cancel), with both norms hoisted: the
+        # candidate's stored at ingest (qnorm_col), the query's
+        # computed once above — bit-equal results either way
+        sim_expr = cosine_q_expr(
+            F.col(f"e.{qvec_col}"), None, F.col("q._qq"), None,
+            qa_norm=cand_norm, qb_norm=F.col("q._qn"),
+        )
     elif quantized:
-        from .quantize import cosine_q_expr, quantize_cols
+        from .quantize import cosine_q_expr, dot_int_expr, quantize_cols
 
-        e_scale, e_q = quantize_cols(F.col(f"e.{vec_col}"))
-        q_scale, q_q = quantize_cols(F.col("q_vec"))
-        sim_expr = cosine_q_expr(e_q, e_scale, q_q, q_scale)
+        # inline-quantized scoring: the candidate side must quantize
+        # per row (nothing is stored), but the QUERY side hoists into
+        # the broadcast projection exactly like the stored-SQ8 branch —
+        # re-running its transform + self-norm fold per joined row was
+        # the same measured hazard (r8 review)
+        _, q_q = quantize_cols(F.col("q_vec"))
+        q = q.withColumn("_qq", q_q)
+        q = q.withColumn(
+            "_qn", dot_int_expr(F.col("_qq"), F.col("_qq"))
+        )
+        _, e_q = quantize_cols(F.col(f"e.{vec_col}"))
+        sim_expr = cosine_q_expr(
+            e_q, None, F.col("q._qq"), None, qb_norm=F.col("q._qn")
+        )
     else:
         sim_expr = cosine_similarity(F.col("q_vec"), F.col(f"e.{vec_col}"))
     scored = (
@@ -951,8 +961,9 @@ def cosine_topk_lsh(
         # ONCE in the broadcast projection (per-joined-row lambda
         # re-evaluation is the measured 10× hazard), candidates score
         # from the stored int8 columns — with qnorm_col, one integer
-        # fold per row and the float column prunes off the scan
-        from .quantize import dot_int_expr, quantize_cols
+        # fold per row and the float column prunes off the scan;
+        # quantize.cosine_q_expr is the one guarded-quotient definition
+        from .quantize import cosine_q_expr, dot_int_expr, quantize_cols
 
         _, q_q = quantize_cols(F.col("q_vec"))
         q = q.withColumn("_qq", q_q)
@@ -962,12 +973,10 @@ def cosine_topk_lsh(
             if qnorm_col is not None
             else dot_int_expr(F.col(f"e.{qvec_col}"), F.col(f"e.{qvec_col}"))
         )
-        num = dot_int_expr(
-            F.col(f"e.{qvec_col}"), F.col("q._qq")
-        ).cast("double")
-        na = F.sqrt(cand_norm.cast("double"))
-        nb = F.sqrt(F.col("q._qn").cast("double"))
-        sim_expr = F.when((na > 0.0) & (nb > 0.0), num / (na * nb))
+        sim_expr = cosine_q_expr(
+            F.col(f"e.{qvec_col}"), None, F.col("q._qq"), None,
+            qa_norm=cand_norm, qb_norm=F.col("q._qn"),
+        )
     else:
         sim_expr = cosine_similarity(F.col("q_vec"), F.col(f"e.{vec_col}"))
     scored = (

@@ -673,3 +673,70 @@ def test_auto_off_rung_without_stamp_reports_no_ratio(spark, emb, tmp_path):
     # the stamped rung still compares
     st16 = ai.ann_status(wh, sample_mod=16)
     assert st16["assign_dist_ratio"] is not None
+
+
+def test_plane_count_change_is_refused(spark, tmp_path):
+    """An N_PLANES tuning bump must REFUSE at load, not silently zero
+    recall: the per-table formula check recomputes at the STORED width,
+    so without the explicit width check a narrower stored model loads
+    cleanly while bucket_expr hashes queries at the new width and no
+    stored bucket ever collides again (r8 review)."""
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    ai.save_lsh_model(wh, 64, n_planes=4)  # stands in for an old model
+    with pytest.raises(ValueError, match="planes per table"):
+        ai.load_lsh_model(wh)
+    # the current width round-trips
+    ai.save_lsh_model(wh, 64)
+    assert ai.load_lsh_model(wh).n_planes == sim.N_PLANES
+
+
+def test_read_serving_batchless_table(spark, emb, tmp_path):
+    """read_serving on a manually assembled (batch-less) serving table
+    returns the rows as-is — the layout cluster_serving_table and
+    ann_status already accept must not crash the canonical read path
+    (r8 review)."""
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    sub = emb.filter(F.col("vec_id") < 100).select("vec_id", "embedding")
+    stored = ai.build_ann_index(wh, sub, n_lists=4, n_iter=1)
+    stored.write.parquet(str(tmp_path / "wh" / "ann_serving"))
+    ai.bind_serving(wh)
+    got = ai.read_serving(wh)
+    assert got.count() == sub.count()
+    assert "batch_id" not in got.columns
+
+
+def test_serving_lifecycle_with_custom_id_col(spark, emb, tmp_path):
+    """cluster_serving_table(id_col=...) and read_serving(id_col=...)
+    are the two halves of one lifecycle — a doc_id-keyed serving table
+    must compact AND read back, including the post-watermark top-up
+    (r8 review: the write half was parameterized, the read half
+    hardcoded vec_id)."""
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    sub = emb.filter(F.col("vec_id") < 120).select(
+        F.col("vec_id").alias("doc_id"), "embedding"
+    )
+    stored = ai.build_ann_index(wh, sub, n_lists=4, n_iter=1, id_col="doc_id")
+    wh.overwrite_partitions(
+        stored.withColumn("batch_id", F.lit(-1)), "ann_serving", ["batch_id"]
+    )
+    ai.bind_serving(wh)
+    out = ai.cluster_serving_table(wh, id_col="doc_id")
+    assert wh.read(out).count() == sub.count()
+    # stream one batch past the watermark: a re-sent id (supersedes the
+    # compacted row) plus a new one
+    cents = ai.load_ivf_index(wh)
+    model = ai.load_lsh_model(wh)
+    late = ai.materialize_lsh_buckets(
+        ai.materialize_ivf_assignments(
+            emb.filter(F.col("vec_id").isin([0, 400])).select(
+                F.col("vec_id").alias("doc_id"), "embedding"
+            ),
+            cents,
+            id_col="doc_id",
+        ),
+        model.n_dims,
+    ).withColumn("batch_id", F.lit(0))
+    wh.overwrite_partitions(late, "ann_serving", ["batch_id"])
+    got = ai.read_serving(wh, id_col="doc_id")
+    assert got.count() == sub.count() + 1  # id 0 superseded, 500 added
+    assert got.filter(F.col("doc_id") == 400).count() == 1
