@@ -41,8 +41,19 @@ from ..operators.materialize import pin
 
 
 def shard_expr(id_col: str, n_shards: int, seed: int = 0):
-    """Deterministic shard id in [0, n_shards) from the row id."""
-    return F.pmod(hash64(F.col(id_col).cast("string"), seed), F.lit(n_shards))
+    """Deterministic shard id in [0, n_shards) from the row id.
+
+    A NULL id hashes to NULL — unguarded, those rows would land in
+    parquet's ``__HIVE_DEFAULT_PARTITION__`` while the manifest's
+    0..n-1 shard loop never counts them: rows on disk a trainer
+    iterating the documented shard range never reads (r8 review —
+    silent row loss on a "successful" export). NULL ids shard to 0
+    deterministically instead; id hygiene is curation's job, delivery
+    never drops."""
+    return F.coalesce(
+        F.pmod(hash64(F.col(id_col).cast("string"), seed), F.lit(n_shards)),
+        F.lit(0),
+    )
 
 
 def _write_manifest(df: DataFrame, path: str, filename: str, manifest: dict) -> None:

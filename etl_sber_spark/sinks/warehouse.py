@@ -440,7 +440,16 @@ def warehouse_manifest(wh: Warehouse, *, count_rows: bool = True):
                     continue
                 n_files += 1
                 n_bytes += os.path.getsize(os.path.join(base, f))
-        n_rows = wh.read(name).count() if count_rows else None
+        # has_data, not exists: a committed-empty table (zero-row write
+        # -> _SUCCESS only) EXISTS by design but holds no parquet
+        # footer, and read() would kill the whole manifest with
+        # UNABLE_TO_INFER_SCHEMA (r8 review — the has_data docstring
+        # names this exact crash)
+        n_rows = (
+            (wh.read(name).count() if wh.has_data(name) else 0)
+            if count_rows
+            else None
+        )
         rows.append(
             (name, layout, current, len(versions), n_files, n_bytes, n_rows)
         )

@@ -115,6 +115,12 @@ def stream_crawl_increments(
                 .distinct()
                 .withColumn("_in_index", F.lit(True))
             )
+            # re-pinned after the join: the POST-join frame feeds the
+            # pages write, the keepers write, and the harness's
+            # emptiness probes — unpinned, the index read + distinct +
+            # join re-execute per consumer every batch, and the index
+            # grows with the corpus (r8 review; the mart pins its
+            # analogous multi-consumer join for the same reason)
             annotated = (
                 annotated.join(index_urls, "url_canon", "left")
                 .withColumn(
@@ -125,6 +131,7 @@ def stream_crawl_increments(
                     ),
                 )
                 .drop("_in_index")
+                .localCheckpoint(eager=True)
             )
         keepers = annotated.filter(F.col("drop_reason").isNull())
         out = {

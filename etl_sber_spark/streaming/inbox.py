@@ -132,7 +132,19 @@ def load_transactions_available_now(
     def apply_batch(batch_df, batch_id: int) -> None:
         import os as _os
 
-        b = batch_df.dropDuplicates(["trans_id"])
+        # NULL trans_ids are NOT duplicates of each other:
+        # dropDuplicates uses group-by semantics where NULLs compare
+        # equal, so N missing-id rows would collapse to one loaded row —
+        # silent record loss the strict (dedup_ids=False) path does not
+        # have. NULL keys pass through unchanged, consistent with the
+        # anti-join below (a NULL key never matches left_anti) — key
+        # hygiene stays a downstream quality gate, not a load-time drop
+        # (r8 review).
+        b = batch_df.filter(F.col("trans_id").isNull()).unionByName(
+            batch_df.filter(F.col("trans_id").isNotNull()).dropDuplicates(
+                ["trans_id"]
+            )
+        )
         entries = _os.listdir(out_dir) if _os.path.isdir(out_dir) else []
         # committed data only: a crashed write leaves _temporary, which
         # is not readable parquet

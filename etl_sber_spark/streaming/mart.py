@@ -65,7 +65,7 @@ def stream_enriched_transactions(
     inbox: str,
     wh: Warehouse,
     checkpoint_dir: str,
-    bank_tables: dict[str, DataFrame],
+    bank_tables,
     *,
     as_of: dt.datetime | None = None,
     processing_time: str | None = None,
@@ -78,6 +78,20 @@ def stream_enriched_transactions(
     each batch sees the dim version open at its own processing moment.
     Default trigger is availableNow (drain-then-stop, the cron twin);
     ``processing_time`` makes it resident.
+
+    ``bank_tables`` is either a ``{clients, accounts, cards}`` dict of
+    DataFrames or a ZERO-ARG CALLABLE returning one, invoked inside
+    every micro-batch. The distinction matters on a resident stream: a
+    DataFrame dict is bound ONCE at stream start — for parquet-backed
+    frames the file listing is cached at DataFrame creation, so rows
+    appended to those dims later are invisible for the stream's
+    lifetime, and a transaction parked in ``rep_live_pending`` waiting
+    on a late card/account/client would be retried against the stale
+    listing forever (r8 review; the module docstring's T_HIST staleness
+    argument applies to all four dims). Pass a callable (e.g.
+    ``lambda: {k: wh.read(k) for k in ...}``) to give the other three
+    dims the same at-processing-time freshness T_HIST already has;
+    plain dicts remain right for genuinely static fixture dims.
     """
     stream = stream_transactions(
         spark, inbox, max_files_per_trigger=max_files_per_trigger
@@ -144,6 +158,10 @@ def stream_enriched_transactions(
             batch_df = batch_df.unionByName(
                 pending.dropDuplicates(["trans_id"])
             )
+        # a callable provider re-resolves the dims INSIDE the batch —
+        # fresh file listings per micro-batch, the same
+        # at-processing-time law the T_HIST re-read above follows
+        tables = bank_tables() if callable(bank_tables) else bank_tables
         # pinned: the 4-way join otherwise evaluates once for the
         # T_LIVE write, once inside the unmatched anti-join, and once
         # for the harness's emptiness probe
@@ -151,9 +169,9 @@ def stream_enriched_transactions(
             enrich_transactions(
                 batch_df,
                 trm,
-                bank_tables["clients"],
-                bank_tables["accounts"],
-                bank_tables["cards"],
+                tables["clients"],
+                tables["accounts"],
+                tables["cards"],
             )
         )
         unmatched = batch_df.join(

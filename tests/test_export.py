@@ -221,3 +221,41 @@ def test_export_packed_manifest_respects_path_scheme(spark, tmp_path):
     manifest = export_packed(bins, "file:" + str(local_dir), budget=64, n_files=2)
     on_disk = json.load(open(local_dir / "_manifest.json"))
     assert on_disk == manifest
+
+
+def test_export_null_ids_counted_not_lost(spark, tmp_path):
+    """NULL doc_ids hash to NULL; unguarded they landed in parquet's
+    default partition while the manifest's 0..n-1 shard loop never
+    counted them — rows on disk a trainer iterating the documented
+    shard range never reads (r8 review). They shard to 0 and count."""
+    rows = [(1, "a"), (2, "b"), (None, "orphan"), (None, "orphan2")]
+    d = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = str(tmp_path / "corpus")
+    manifest = export_jsonl(d, out, n_shards=2)
+    assert manifest["n_rows"] == 4
+    assert sum(s["n_rows"] for s in manifest["shards"]) == 4
+    back = spark.read.json(out)
+    assert back.count() == 4
+    assert not os.path.isdir(
+        os.path.join(out, "shard=__HIVE_DEFAULT_PARTITION__")
+    )
+
+
+def test_manifest_survives_committed_empty_table(spark, tmp_path):
+    """warehouse_manifest on a warehouse holding a committed-empty
+    table (zero-row partitioned write -> _SUCCESS only): exists() is
+    True by design, read() would raise UNABLE_TO_INFER_SCHEMA — the
+    manifest must report n_rows 0, not die for every table (r8
+    review)."""
+    from etl_sber_spark.sinks.warehouse import Warehouse, warehouse_manifest
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    wh.overwrite_versioned(spark.range(3).toDF("k"), "dim")
+    # the committed-empty state exists() documents: _SUCCESS, no footer
+    d = os.path.join(str(tmp_path / "wh"), "t_empty")
+    os.makedirs(d)
+    open(os.path.join(d, "_SUCCESS"), "w").close()
+    assert wh.exists("t_empty") and not wh.has_data("t_empty")
+    m = {r.table: r for r in warehouse_manifest(wh).collect()}
+    assert m["dim"].n_rows == 3
+    assert m["t_empty"].n_rows == 0

@@ -132,3 +132,36 @@ def test_dedup_ids_loads_late_files(spark, tmp_path):
     df = spark.read.parquet(out)
     # the late NON-duplicate row loaded; the re-ship landed exactly once
     assert sorted(r.trans_id for r in df.collect()) == ["1", "10", "11"]
+
+
+def test_dedup_ids_does_not_collapse_null_ids(spark, tmp_path):
+    """dedup_ids mode: NULL trans_ids are not duplicates of each other.
+    dropDuplicates' group-by semantics treat NULLs as equal, so N
+    missing-id rows used to collapse to ONE loaded row — silent record
+    loss the strict path does not have (r8 review). NULL-key rows load
+    like any other; key hygiene stays a downstream gate."""
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    header = (
+        "transaction_id;transaction_date;amount;card_num;oper_type;"
+        "oper_result;terminal\n"
+    )
+    (inbox / "transactions_n.txt").write_text(
+        header
+        + ";2021-03-01 10:00:00;1,00;c1;PAYMENT;SUCCESS;P1\n"  # NULL id
+        + ";2021-03-01 11:00:00;2,00;c2;PAYMENT;SUCCESS;P1\n"  # NULL id
+        + "9;2021-03-01 12:00:00;3,00;c3;PAYMENT;SUCCESS;P1\n"
+        + "9;2021-03-01 12:00:00;3,00;c3;PAYMENT;SUCCESS;P1\n"  # true dup
+    )
+    q = load_transactions_available_now(
+        spark,
+        str(inbox),
+        str(tmp_path / "out"),
+        str(tmp_path / "ck"),
+        dt.datetime(2021, 3, 1, 23, 50),
+        dedup_ids=True,
+    )
+    q.awaitTermination(120)
+    df = spark.read.parquet(str(tmp_path / "out"))
+    assert df.count() == 3  # 2 null-id rows + the deduped id 9
+    assert df.filter("trans_id IS NULL").count() == 2

@@ -378,3 +378,88 @@ def test_pending_row_redelivered_in_same_batch_enriches_once(
     live = wh.read(T_LIVE)
     assert live.groupBy("trans_id").count().filter("count > 1").count() == 0
     assert live.count() == n_day1
+
+
+def test_bank_dims_provider_rebinds_per_batch(spark, tmp_path):
+    """A callable bank_tables provider is re-invoked inside every
+    micro-batch, so a transaction parked on a missing CARD drains once
+    the provider serves the late dim — within ONE stream invocation.
+    With a plain dict the dims are bound at stream start and the parked
+    row would retry against the stale frame forever (r8 review)."""
+    import datetime as dt
+    import os
+    import time
+
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    ckpt = str(tmp_path / "ckpt")
+
+    card_a, card_b = "4000 0000 0000 0001", "4000 0000 0000 0002"
+    terminals = spark.createDataFrame(
+        [("T0001", "POS", "Москва", "street 1")],
+        "terminal_id string, terminal_type string, terminal_city string, "
+        "terminal_address string",
+    )
+    wh.overwrite_versioned(
+        scd2_apply(
+            spark.createDataFrame([], schemas.TERMINALS_HIST),
+            terminals, "terminal_id", TERMINAL_ATTRS,
+            dt.datetime(2021, 3, 1, 0, 0),
+        ),
+        T_HIST,
+    )
+    far = dt.date(2030, 1, 1)
+    clients = spark.createDataFrame(
+        [("CL1", "L1", "F1", "M1", "0001 000001", far, "+71"),
+         ("CL2", "L2", "F2", "M2", "0002 000002", far, "+72")],
+        "client_id string, last_name string, first_name string, "
+        "patronymic string, passport_num string, passport_valid_to date, "
+        "phone string",
+    )
+    accounts = spark.createDataFrame(
+        [("ACC1", far, "CL1"), ("ACC2", far, "CL2")],
+        "account string, valid_to date, client string",
+    )
+    cards_full = spark.createDataFrame(
+        [(card_a, "ACC1"), (card_b, "ACC2")], "card_num string, account string"
+    )
+    cards_partial = cards_full.filter(F.col("card_num") != card_a)
+
+    calls = []
+
+    def provider():
+        calls.append(1)
+        return {
+            "clients": clients,
+            "accounts": accounts,
+            # first batch: card A's dim row has not landed yet
+            "cards": cards_partial if len(calls) == 1 else cards_full,
+        }
+
+    header = (
+        "transaction_id;transaction_date;amount;card_num;oper_type;"
+        "oper_result;terminal\n"
+    )
+    (inbox / "b1.txt").write_text(
+        header
+        + f"1;2021-03-01 10:00:00;10,00;{card_a};PAYMENT;SUCCESS;T0001\n"
+        + f"2;2021-03-01 10:01:00;10,00;{card_b};PAYMENT;SUCCESS;T0001\n"
+    )
+    (inbox / "b2.txt").write_text(
+        header
+        + f"3;2021-03-01 10:02:00;10,00;{card_b};PAYMENT;SUCCESS;T0001\n"
+    )
+    now = time.time()
+    os.utime(inbox / "b1.txt", (now - 60, now - 60))
+    os.utime(inbox / "b2.txt", (now, now))
+
+    q = stream_enriched_transactions(
+        spark, str(inbox), wh, ckpt, provider,
+        as_of=dt.datetime(2021, 3, 1, 12, 0), max_files_per_trigger=1,
+    )
+    q.awaitTermination()
+    assert len(calls) >= 2  # the provider really rebound per batch
+    live = wh.read(T_LIVE)
+    assert live.count() == 3  # card A's parked row drained in batch 2
+    assert live.groupBy("trans_id").count().filter("count > 1").count() == 0
