@@ -84,15 +84,22 @@ def repetition_stats(
             F.when(F.col("g").isNull(), 0).otherwise(F.col("c"))
         ).alias("_top"),
     )
+    from .normalize import portable_round
+
+    # portable_round, not engine round(): these shares are exactly the
+    # small-denominator rationals (1/3, k/n ties) on which Spark's and
+    # DuckDB's round() diverge — the contract the docstring claims and
+    # F.round did not deliver (r8 review; normalize.portable_round's
+    # docstring records the round-4 flake this prevents)
     n_tot = F.col("n_ngrams")
     return out.select(
         id_col,
         "n_ngrams",
         "n_distinct_ngrams",
-        F.round(
+        portable_round(
             F.when(n_tot > 0, F.col("_top") / n_tot).otherwise(F.lit(0.0)), 6
         ).alias("top_ngram_share"),
-        F.round(
+        portable_round(
             F.when(
                 n_tot > 0, (n_tot - F.col("n_distinct_ngrams")) / n_tot
             ).otherwise(F.lit(0.0)),

@@ -109,9 +109,13 @@ def has_noindex(col: Column | str) -> Column:
     # noindex must sit INSIDE the content attribute's own value (match
     # the quoted span, or the unquoted token, as a unit) — a bare
     # [^>]* scan would run past the closing quote and false-positive on
-    # `content="all" data-note="noindex"`
+    # `content="all" data-note="noindex"`. The attribute NAMES anchor
+    # on a preceding whitespace/quote, not \b: '-' is a non-word char,
+    # so \bname/\bcontent also matched inside data-name/data-content
+    # and silently dropped pages the publisher never opted out (r8
+    # review — the same attr-name anchor _ATTR_UNIT already carries).
     content_noindex = (
-        r"(?is)\bcontent\s*=\s*"
+        r"(?is)[\s\"']content\s*=\s*"
         r"(\"[^\"]*\bnoindex\b[^\"]*\""
         r"|'[^']*\bnoindex\b[^']*'"
         r"|[^\s\"'>]*\bnoindex\b[^\s\"'>]*)"
@@ -120,7 +124,7 @@ def has_noindex(col: Column | str) -> Column:
         F.exists(
             metas,
             lambda tag: tag.rlike(
-                r"(?is)\bname\s*=\s*[\"']?\s*(robots|googlebot)\b"
+                r"(?is)[\s\"']name\s*=\s*[\"']?\s*(robots|googlebot)\b"
             )
             & tag.rlike(content_noindex),
         ),

@@ -50,13 +50,35 @@ def _empty(spark: SparkSession, schema) -> DataFrame:
 def load_terminals(
     wh: Warehouse, stg: DataFrame, processing_ts: dt.datetime
 ) -> None:
-    """Pipeline T (main.py:556-565): snapshot → SCD2 apply → swap."""
+    """Pipeline T (main.py:556-565): snapshot → SCD2 apply → swap.
+
+    Refuses a load that would write INVERTED intervals
+    (effective_to < effective_from): replaying a CORRECTED snapshot at
+    its original processing_ts closes the version opened at that very
+    ts with ts−1s — a permanently corrupt history row that the
+    full-history mart joins would then multiply (r8 review). Equal-day
+    corrections are fine at any LATER processing_ts; only the
+    same-instant changed-content replay is refused. The check is one
+    dim-sized filter before the atomic swap — nothing is written on
+    refusal."""
     hist = (
         wh.read(T_HIST)
         if wh.has_data(T_HIST)
         else _empty(wh.spark, schemas.TERMINALS_HIST)
     )
     nxt = scd2_apply(hist, stg, "terminal_id", TERMINAL_ATTRS, processing_ts)
+    nxt = nxt.localCheckpoint(eager=False)  # checked, then written
+    n_inverted = nxt.filter(
+        F.col("effective_to") < F.col("effective_from")
+    ).count()
+    if n_inverted:
+        raise ValueError(
+            f"terminals load at {processing_ts} would write {n_inverted} "
+            "inverted SCD2 interval(s) (effective_to < effective_from) — "
+            "this is a changed-content snapshot replayed at its original "
+            "processing_ts; rerun the correction with a later "
+            "processing_ts"
+        )
     wh.overwrite_versioned(nxt, T_HIST)
 
 
@@ -230,6 +252,23 @@ def _load_inbox_files(
     (ADVICE round 4). A file dated STRICTLY behind the newest
     ``effective_from`` is quarantined; an equal-day re-delivery still
     loads (scd2_apply's replay no-op / same-day correction).
+
+    Two r8 hardenings of that guard:
+
+    - ONE terminals snapshot loads per call — the newest-dated one; the
+      rest quarantine as superseded. All files in one call share one
+      processing_ts, so applying several snapshots produces either no
+      extra history (identical content) or INVERTED intervals (the
+      second apply closes versions the first just opened at the same
+      ts); and scan_inbox's name order would even apply them
+      newest-first (DDMMYYYY sorts April before late March). A
+      multi-day catch-up that wants true per-day history is
+      ``run_backfill`` — which assigns each day its own ts and calls
+      this loop per day.
+    - an UNDATED terminals file (no parseable _DDMMYYYY suffix) is
+      quarantined, not loaded: ``fdate is None`` used to skip the
+      comparison entirely, letting a renamed old snapshot bypass the
+      forward-only rule the guard exists for.
     """
     stale_cut: dt.date | None = None
     if any(k == "terminals" for k, _ in files) and wh.has_data(T_HIST):
@@ -240,10 +279,33 @@ def _load_inbox_files(
         )
         if latest is not None:
             stale_cut = latest.date()
+    dated = [
+        p for k, p in files
+        if k == "terminals" and src.file_date(p) is not None
+    ]
+    keep = max(dated, key=lambda p: (src.file_date(p), p)) if dated else None
     for kind, path in files:
         if kind == "terminals":
             fdate = src.file_date(path)
-            if stale_cut is not None and fdate is not None and fdate < stale_cut:
+            if fdate is None:
+                moved = src.quarantine_file(path)
+                print(
+                    f"[load] SKIP undated terminals file {path}: no "
+                    "parseable _DDMMYYYY date in the name, so the "
+                    "forward-only guard cannot vouch for it — "
+                    f"quarantined to {moved}"
+                )
+                continue
+            if path != keep:
+                moved = src.quarantine_file(path)
+                print(
+                    f"[load] SKIP terminals snapshot {path}: superseded "
+                    f"by {keep} in the same run (one snapshot per "
+                    "processing_ts; per-day history is run_backfill's "
+                    f"job) — quarantined to {moved}"
+                )
+                continue
+            if stale_cut is not None and fdate < stale_cut:
                 moved = src.quarantine_file(path)
                 print(
                     f"[load] SKIP stale terminals snapshot {path}: file "

@@ -57,6 +57,7 @@ def data_view(
     *,
     faithful_full_history: bool = False,
     prune_partitions: bool = True,
+    broadcast_dims: bool = True,
 ) -> DataFrame:
     """The denormalized transaction view (main.py:392-421).
 
@@ -98,7 +99,10 @@ def data_view(
         else scd2_current(terminals_hist, processing_ts)
     ).select("terminal_id", "terminal_type", "terminal_city")
 
-    return enrich_transactions(fact_today, trm, clients, accounts, cards)
+    return enrich_transactions(
+        fact_today, trm, clients, accounts, cards,
+        broadcast_dims=broadcast_dims,
+    )
 
 
 def enrich_transactions(
@@ -107,29 +111,41 @@ def enrich_transactions(
     clients: DataFrame,
     accounts: DataFrame,
     cards: DataFrame,
+    *,
+    broadcast_dims: bool = True,
 ) -> DataFrame:
     """The denormalization join chain shared by the nightly
     :func:`data_view` and the live stream (streaming/mart.py) — ONE
     definition, so the batch and streaming enrichments cannot drift.
     ``trm`` arrives pre-filtered/projected (as-of semantics are the
     caller's: the nightly view pins ``processing_ts``, the stream uses
-    the dim version current at each micro-batch)."""
+    the dim version current at each micro-batch).
+
+    ``broadcast_dims=True`` (default) HINTS all four dim joins:
+    ``F.broadcast`` is unconditional, honored regardless of size, and
+    right for the reference's bank dims (thousands of rows). A
+    deployment whose dims outgrow executor memory passes ``False`` —
+    the joins then degrade per AQE/statistics to shuffle equi-joins
+    instead of dying on a broadcast OOM (r8 review: data_view's
+    "degrade when not small" promise previously had no way to happen
+    through the forced hints)."""
+    hint = F.broadcast if broadcast_dims else (lambda df: df)
     return (
         transactions.alias("trs")
         .join(
-            F.broadcast(cards.alias("crd")),
+            hint(cards.alias("crd")),
             F.trim(F.col("crd.card_num")) == F.col("trs.card_num"),
         )
         .join(
-            F.broadcast(accounts.alias("acc")),
+            hint(accounts.alias("acc")),
             F.col("acc.account") == F.col("crd.account"),
         )
         .join(
-            F.broadcast(clients.alias("cl")),
+            hint(clients.alias("cl")),
             F.col("cl.client_id") == F.col("acc.client"),
         )
         .join(
-            F.broadcast(trm.alias("trm")),
+            hint(trm.alias("trm")),
             F.col("trs.terminal") == F.col("trm.terminal_id"),
         )
         .select(
@@ -165,6 +181,16 @@ def rule_blacklisted_passport(
     transactions whose passport is (blacklisted with entry_dt <= trans
     day) OR expired (passport_valid_to < trans day). Two linear arms, no
     BNLJ.
+
+    Empty-blacklist quirk, faithfully kept (r8 review): in the
+    reference shape an EXPIRED-passport row reaches the output through
+    the OR condition matching it against ANY blacklist row — with an
+    empty blacklist the left join yields only NULL ``bl`` columns and
+    the IS NOT NULL filter empties the whole rule, expired passports
+    included. The canonical expired arm therefore carries a
+    one-broadcast-row existence gate on the blacklist, so both modes
+    stay row-identical on a day-1 run before any passport file ships
+    (pinned in tests/test_fraud_parity.py).
 
     ``faithful=True`` reproduces the reference shape literally: left
     join with the OR condition (Spark plans the OR-arm side as a
@@ -213,6 +239,12 @@ def rule_blacklisted_passport(
     )
     arm_expired = view.filter(
         F.col("passport_valid_to") < F.to_date("trans_date")
+    ).join(
+        # the empty-blacklist existence gate (docstring): rows survive
+        # iff the blacklist holds ANY row — one broadcast 0/1-row side
+        F.broadcast(blacklist.limit(1)),
+        F.lit(True),
+        "left_semi",
     )
     return (
         arm_blacklisted.unionByName(arm_expired)

@@ -79,12 +79,27 @@ _BANDS_CTE = (
     + "\n    )"
 )
 
+#: per-bucket pair emission with the operator's hot-bucket star cap
+#: replicated in SQL (r8 review): buckets past DEFAULT_MAX_BUCKET emit
+#: (anchor=min id, member) STAR rows instead of the clique — exactly
+#: dd.lsh_candidate_pairs' guard, so the oracle stays hash-identical at
+#: ANY bucket size instead of silently diverging the moment a fixture
+#: bucket crosses the cap. (With a.doc_id < b.doc_id, the star rows are
+#: precisely those where a IS the bucket anchor.)
+_CAPPED_PAIR_JOIN = f"""
+        FROM (SELECT band, band_key, doc_id,
+                     COUNT(*) OVER (PARTITION BY band, band_key) AS bsize,
+                     MIN(doc_id) OVER (PARTITION BY band, band_key) AS anchor
+              FROM bands) a
+        JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+                    AND a.doc_id < b.doc_id
+        WHERE a.bsize <= {dd.DEFAULT_MAX_BUCKET} OR a.doc_id = a.anchor
+"""
+
 _LSH_PAIRS_SQL = f"""
     WITH {_BANDS_CTE}
     SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared_bands
-    FROM bands a
-    JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
-                AND a.doc_id < b.doc_id
+    {_CAPPED_PAIR_JOIN}
     GROUP BY a.doc_id, b.doc_id
 """
 
@@ -198,9 +213,7 @@ def q_lsh_candidates(spark, sf_dir):
     WITH {_BANDS_CTE},
     pairs AS (
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM bands a
-        JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
-                    AND a.doc_id < b.doc_id
+        {_CAPPED_PAIR_JOIN}
     ),
     hs AS (
         SELECT doc_id, {_HASH64.format(expr='s')} AS sh64 FROM sh
@@ -264,9 +277,10 @@ _ROLL_TERMS = " + ".join(
 )
 def q_rolling_hash(spark, sf_dir):
     """Rolling-hash document fingerprinting (operators/dedup.py): a
-    Rabin-style polynomial fingerprint per {w}-word window, one md5 per
+    Rabin-style polynomial fingerprint per _ROLL_W-word window (the
+    module constant the oracle SQL is generated from), one md5 per
     token + integer arithmetic — the sub-document dedup primitive
-    (winnow or join fingerprints downstream).""".format(w=_ROLL_W)
+    (winnow or join fingerprints downstream)."""
     d = load_table(spark, sf_dir, "documents")
     return dd.rolling_fingerprints(d)
 
@@ -353,7 +367,7 @@ def q_doc_overlap(spark, sf_dir):
     measured 1.60 → 0.95 s same-session at sf0.1, same hash). The group key is the
     fingerprint (hash-uniform buckets), so cost is Σ|bucket|², never
     corpus²; the document-frequency guard drops boilerplate
-    fingerprints (df > {max_doc_freq}) so no bucket can go quadratic at
+    fingerprints past the default document-frequency cap, so no bucket can go quadratic at
     100 TB — the cap semantics themselves are hash-graded (same HAVING
     in the oracle)."""
     d = load_table(spark, sf_dir, "documents")
@@ -1042,9 +1056,7 @@ _CURATE_SQL = f"""
     {_CURATE_BANDS},
     pairs AS (
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM bands a
-        JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
-                    AND a.doc_id < b.doc_id
+        {_CAPPED_PAIR_JOIN}
     ),
     hs AS (
         SELECT doc_id, {_HASH64.format(expr='s')} AS sh64 FROM sh

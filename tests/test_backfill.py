@@ -19,7 +19,7 @@ from etl_sber_spark.pipeline import (
     run_backfill,
 )
 from etl_sber_spark.sinks.warehouse import Warehouse
-from etl_sber_spark.sources.io import file_date
+from etl_sber_spark.sources.io import file_date, read_terminals_xlsx
 
 from .fixtures_bank import build_bank_tables
 
@@ -265,3 +265,104 @@ def test_cli_backfill_validation():
         parse_args(base + ["--date", "2021-03-05", "--until", "2021-03-01"])
     ok = parse_args(base + ["--date", "2021-03-01", "--until", "2021-03-05"])
     assert ok.until_parsed == dt.date(2021, 3, 5)
+
+
+def test_outage_inbox_applies_newest_snapshot_only(spark, tmp_path):
+    """run_day on an inbox holding TWO terminals snapshots (outage
+    catch-up): all files share one processing_ts, so only the
+    newest-dated snapshot loads — the older quarantines as superseded.
+    Name order would have applied April BEFORE late March ('0' < '2'),
+    and a second same-ts apply writes inverted SCD2 intervals (r8
+    review). Per-day history is run_backfill's job."""
+    import os
+
+    from etl_sber_spark.pipeline import run_day
+
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    # older snapshot dated 25/03, newer dated 01/04 — lexicographically
+    # REVERSED ('terminals_0104...' < 'terminals_2503...')
+    shutil.copy(
+        f"{REF}/terminals_01032021.xlsx", inbox / "terminals_25032021.xlsx"
+    )
+    shutil.copy(
+        f"{REF}/terminals_02032021.xlsx", inbox / "terminals_01042021.xlsx"
+    )
+    shutil.copy(
+        f"{REF}/transactions_01032021.txt", inbox / "transactions_01032021.txt"
+    )
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    ts = dt.datetime(2021, 4, 1, 23, 50)
+    run_day(spark, str(inbox), wh.root, build_bank_tables(spark), ts)
+
+    hist = wh.read(T_HIST)
+    # exactly the newer snapshot's state, one version per terminal, no
+    # inverted intervals
+    n_day2 = read_terminals_xlsx(
+        spark, f"{REF}/terminals_02032021.xlsx"
+    ).count()
+    assert hist.count() == n_day2
+    assert (
+        hist.filter(F.col("effective_to") < F.col("effective_from")).count()
+        == 0
+    )
+    assert os.listdir(inbox / "Rejected") == ["terminals_25032021.xlsx"]
+
+
+def test_undated_terminals_file_is_quarantined(spark, tmp_path):
+    """A terminals file without a parseable _DDMMYYYY date used to skip
+    the forward-only comparison entirely and load unconditionally — a
+    renamed old snapshot could silently resurrect stale attributes (r8
+    review). It quarantines instead."""
+    import os
+
+    from etl_sber_spark.pipeline import run_day
+
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    shutil.copy(f"{REF}/terminals_01032021.xlsx", inbox / "terminals_old.xlsx")
+    shutil.copy(
+        f"{REF}/transactions_01032021.txt", inbox / "transactions_01032021.txt"
+    )
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    run_day(
+        spark, str(inbox), wh.root, build_bank_tables(spark),
+        dt.datetime(2021, 3, 1, 23, 50),
+    )
+    assert not wh.has_data(T_HIST)  # nothing loaded
+    assert os.listdir(inbox / "Rejected") == ["terminals_old.xlsx"]
+
+
+def test_changed_content_replay_at_original_ts_refused(spark, tmp_path):
+    """load_terminals refuses a CHANGED snapshot replayed at its
+    original processing_ts: the close-out would write effective_to =
+    ts−1s under versions opened AT ts — permanently inverted intervals
+    the full-history mart would multiply (r8 review). The same
+    correction at a later ts loads cleanly."""
+    from etl_sber_spark.pipeline import load_terminals
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    ts = dt.datetime(2021, 3, 1, 23, 50)
+    snap1 = read_terminals_xlsx(spark, f"{REF}/terminals_01032021.xlsx")
+    load_terminals(wh, snap1, ts)
+    # identical replay at the same ts: the documented no-op, still fine
+    load_terminals(wh, snap1, ts)
+    snap2 = read_terminals_xlsx(spark, f"{REF}/terminals_02032021.xlsx")
+    import pytest
+
+    with pytest.raises(ValueError, match="inverted"):
+        load_terminals(wh, snap2, ts)
+    # history untouched by the refused load
+    assert (
+        wh.read(T_HIST)
+        .filter(F.col("effective_to") < F.col("effective_from"))
+        .count()
+        == 0
+    )
+    load_terminals(wh, snap2, ts + dt.timedelta(hours=1))
+    assert (
+        wh.read(T_HIST)
+        .filter(F.col("effective_to") < F.col("effective_from"))
+        .count()
+        == 0
+    )

@@ -136,3 +136,34 @@ def test_data_view_faithful_multiplies_after_day2(spark, day1_warehouse, tmp_pat
         F.col("terminal").isin("P6934", "A8966")
     ).count()
     assert n_faith - n_can == n_changed
+
+
+def test_rule1_modes_agree_on_empty_blacklist(spark, day1_warehouse):
+    """The reference's OR-left-join admits EXPIRED-passport rows only by
+    matching them against some blacklist row, so an empty blacklist
+    empties the whole rule — expired passports included. The canonical
+    rewrite must reproduce that, not helpfully emit the expired arm
+    anyway (r8 review)."""
+    from pyspark.sql import functions as F
+
+    wh, bank = day1_warehouse
+    view = data_view(
+        bank["clients"],
+        bank["accounts"],
+        bank["cards"],
+        wh.read(T_FACT),
+        wh.read(T_HIST),
+        dt.datetime(2021, 3, 1, 23, 50),
+    ).localCheckpoint()
+    empty_bl = spark.createDataFrame([], "passport_num string, entry_dt date")
+    canonical = rule_blacklisted_passport(view, empty_bl)
+    faithful = rule_blacklisted_passport(view, empty_bl, faithful=True)
+    assert canonical.count() == 0
+    assert faithful.count() == 0
+    # and the view genuinely holds expired-passport rows the gate hides
+    assert (
+        view.filter(
+            F.col("passport_valid_to") < F.to_date("trans_date")
+        ).count()
+        > 0
+    )

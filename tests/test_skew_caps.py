@@ -471,3 +471,60 @@ def test_phash_guard_noop_on_organic_hashes(spark):
         map(tuple, phash_near_duplicates(df, max_bucket=None).collect())
     )
     assert guarded == reference
+
+
+def test_capped_pair_sql_matches_operator_star(spark):
+    """The graded oracles replicate the hot-bucket star cap IN SQL
+    (plans/llm_queries.py _CAPPED_PAIR_JOIN, r8 review: the clique-join
+    oracle would silently diverge from the capped operator on any
+    bucket past the cap). Pin the SQL ALGEBRA against the operator at a
+    tiny cap over a mixed corpus: one 6-doc planted clique (over cap)
+    plus organic sub-cap buckets."""
+    import duckdb
+
+    from etl_sber_spark.operators.dedup import signature_bands
+
+    docs = spark.range(6).select(
+        F.col("id").cast("long").alias("doc_id"), F.lit(_BOILER).alias("text")
+    ).unionByName(
+        spark.createDataFrame(
+            [(100, "one unique little document about rivers and stars"),
+             (101, "one unique little document about rivers and stones"),
+             (102, "entirely different text with no shared shingles at all "
+                   "whatsoever in this corpus")],
+            "doc_id long, text string",
+        )
+    )
+    sigs = minhash_signatures(docs).localCheckpoint()
+    cap = 3
+    want = sorted(
+        map(tuple, lsh_candidate_pairs(sigs, max_bucket=cap).collect())
+    )
+    bands_pd = signature_bands(sigs, "doc_id").toPandas()
+    con = duckdb.connect()
+    con.register("bands", bands_pd)
+    got = sorted(
+        map(
+            tuple,
+            con.sql(
+                f"""
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               COUNT(*) AS n_shared_bands
+        FROM (SELECT band, band_key, doc_id,
+                     COUNT(*) OVER (PARTITION BY band, band_key) AS bsize,
+                     MIN(doc_id) OVER (PARTITION BY band, band_key) AS anchor
+              FROM bands) a
+        JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+                    AND a.doc_id < b.doc_id
+        WHERE a.bsize <= {cap} OR a.doc_id = a.anchor
+        GROUP BY 1, 2
+        """
+            ).fetchall(),
+        )
+    )
+    assert got == want and got
+    # non-vacuous: the clique really exceeded the cap (stars emitted)
+    assert not any(
+        ia != 0 and ia < 6 and ib < 6 for ia, ib, _ in want
+    ), want
+

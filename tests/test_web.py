@@ -213,3 +213,33 @@ def test_normalize_url_idempotent(spark):
 def test_stacked_www_strips_in_one_pass(spark):
     got = _one(spark, normalize_url(F.col("v")), "https://www.www.example.com/x")
     assert got == "https://example.com/x"
+
+
+def test_noindex_attr_names_anchor_not_word_boundary(spark):
+    """data-name=/data-content= must not satisfy the name=/content=
+    probes: '-' is a non-word character, so the old \\b anchors matched
+    INSIDE those attribute names and a page like
+    <meta data-name="robots" data-content="noindex-note" content="all">
+    was silently dropped though the publisher never opted out (r8
+    review)."""
+    from pyspark.sql import functions as F
+
+    from etl_sber_spark.functions.web import has_noindex
+
+    rows = [
+        # data-name is not name=; no robots meta at all
+        ('<meta data-name="robots" content="noindex">', False),
+        # real name= but noindex only inside data-content
+        ('<meta name="robots" data-content="noindex-note" content="all">',
+         False),
+        # the real directive still detects, any attr order/quoting
+        ('<meta content="noindex" name=robots>', True),
+        ("<meta name='googlebot' content='noindex, nofollow'>", True),
+    ]
+    df = spark.createDataFrame(
+        [(i, h, want) for i, (h, want) in enumerate(rows)],
+        "i int, html string, want boolean",
+    )
+    got = df.withColumn("got", has_noindex("html"))
+    bad = got.filter(F.col("got") != F.col("want"))
+    assert bad.count() == 0, [tuple(r) for r in bad.collect()]
