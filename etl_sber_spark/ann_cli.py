@@ -132,9 +132,22 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     st.add_argument("--recall-queries", type=int, default=8)
     st.add_argument("--n-probe", type=int, default=2)
 
+    def _id_list(v: str) -> list[int]:
+        try:
+            return [int(x) for x in v.split(",") if x.strip()]
+        except ValueError:
+            raise argparse.ArgumentTypeError(
+                f"--query-ids must be comma-separated integers, got {v!r}"
+            )
+
     s = sub.add_parser("search", help="top-k neighbors for serving-table vectors")
     s.add_argument("--warehouse", required=True)
-    s.add_argument("--query-ids", required=True, help="comma-separated vec_ids")
+    s.add_argument(
+        "--query-ids",
+        required=True,
+        type=_id_list,
+        help="comma-separated vec_ids",
+    )
     s.add_argument("--k", type=int, default=10)
     s.add_argument(
         "--method",
@@ -180,6 +193,19 @@ def main(argv: list[str] | None = None) -> int:
     wh = Warehouse(spark, args.warehouse)
 
     if args.cmd == "build":
+        # refuse BEFORE training: a batch-less serving table (manually
+        # assembled — the read paths accept it) cannot be re-assigned
+        # per batch partition, and crashing mid-rebuild would flip the
+        # artifacts while leaving the table refused by every
+        # version-bound read (r8 review)
+        if wh.has_data(SERVING) and "batch_id" not in wh.read(SERVING).columns:
+            raise SystemExit(
+                f"serving table {SERVING!r} has no batch_id column (a "
+                "manually assembled layout) — `build` rewrites serving "
+                "rows per batch partition and cannot re-assign it; drop "
+                "the table (or re-create it batch-partitioned) before "
+                "rebuilding"
+            )
         emb = spark.read.parquet(args.embeddings)
         # Re-assign any already-streamed batches FIRST, against what
         # will become the new artifacts — a retrain makes every stored
@@ -241,7 +267,10 @@ def main(argv: list[str] | None = None) -> int:
             "n_lists": ai.load_ivf_index(wh).count(),
             "ivf_version": binding["ivf_version"],
             "lsh_version": binding["lsh_version"],
-            "n_tables": ai.load_lsh_model(wh).n_tables,
+            # the width just built — re-loading the model here would
+            # redo the full driver-side plane verification purely for
+            # the summary line (r8 review)
+            "n_tables": args.n_tables,
         }
     elif args.cmd == "ingest":
         from .streaming.vectors import stream_vector_ingest
@@ -255,11 +284,22 @@ def main(argv: list[str] | None = None) -> int:
             max_files_per_trigger=args.max_files_per_trigger,
         )
         q.awaitTermination()
-        serving = wh.read(SERVING)
-        out = {
-            "serving_total": serving.count(),
-            "streamed_total": serving.filter(F.col("batch_id") >= 0).count(),
-        }
+        # a healthy no-op run (empty inbox, nothing bootstrapped yet)
+        # must report zeros, not crash reading an absent table (r8
+        # review — the corpus/crawl CLIs already guard this pattern)
+        if wh.has_data(SERVING):
+            serving = wh.read(SERVING)
+            streamed = (
+                serving.filter(F.col("batch_id") >= 0).count()
+                if "batch_id" in serving.columns
+                else 0
+            )
+            out = {
+                "serving_total": serving.count(),
+                "streamed_total": streamed,
+            }
+        else:
+            out = {"serving_total": 0, "streamed_total": 0}
     elif args.cmd == "status":
         out = ai.ann_status(
             wh,
@@ -280,11 +320,16 @@ def main(argv: list[str] | None = None) -> int:
             .count(),
         }
     else:  # search
-        ids = [int(x) for x in args.query_ids.split(",") if x.strip()]
+        ids = args.query_ids
         serving = ai.read_serving(wh, SERVING)
         queries = serving.filter(F.col("vec_id").isin(ids)).select(
             "vec_id", "embedding"
         )
+        # an id absent from the serving table would otherwise just
+        # vanish from the output — indistinguishable from "no
+        # neighbors" (r8 review); surface it explicitly
+        found = {r.vec_id for r in queries.select("vec_id").collect()}
+        missing = sorted(set(ids) - found)
         if args.method == "ivf":
             res = sim.cosine_topk_ivf(
                 serving,
@@ -339,6 +384,7 @@ def main(argv: list[str] | None = None) -> int:
         out = {
             "method": args.method,
             "k": args.k,
+            "missing_ids": missing,
             "results": [
                 {
                     "query_id": r.query_id,

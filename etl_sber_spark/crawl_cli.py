@@ -88,8 +88,7 @@ def main(argv: list[str] | None = None) -> int:
     )
     q.awaitTermination()
 
-    def _count(table: str) -> int:
-        return wh.read(table).count() if wh.has_data(table) else 0
+    _count = wh.count_or_zero
 
     funnel: dict[str, int] = {}
     kept = 0

@@ -435,6 +435,13 @@ def run_backfill(
             faithful_full_history=faithful_full_history,
             idempotent=True,
         )
-        out.append((day, report))
+        # pin while this day's inputs are still live: a zero-mart day's
+        # report is the raw build plan whose lineage reads the SCD2
+        # version directory CURRENT NOW — two later terminals loads in
+        # this same range and the retention sweep deletes it, so a
+        # caller counting the returned frames after the range completes
+        # would crash on a path that no longer exists (r8 review). The
+        # mart report is event-sized; the checkpoint is cheap.
+        out.append((day, report.localCheckpoint()))
         day += dt.timedelta(days=1)
     return out

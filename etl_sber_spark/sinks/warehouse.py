@@ -58,6 +58,13 @@ class Warehouse:
             for e in os.listdir(d)
         )
 
+    def count_or_zero(self, name: str) -> int:
+        """``read(name).count()`` when the table holds readable data,
+        else 0 — the read-or-zero every CLI summary needs (previously
+        copy-pasted per CLI; one definition so the emptiness semantics
+        cannot drift — r8 review)."""
+        return self.read(name).count() if self.has_data(name) else 0
+
     def has_data(self, name: str) -> bool:
         """exists() AND ``read()`` can infer a schema. A zero-row
         partitioned write commits only ``_SUCCESS`` — the table exists

