@@ -49,6 +49,14 @@ similarity search (operators/annindex.py, streaming/vectors.py):
     (ok / recompact / retrain / rebuild). The retrain trigger for the
     maintenance cron.
 
+``restamp``
+    Derive per-rung probe baselines for an EXISTING artifact from the
+    current serving corpus (``annindex.restamp_probe_baselines``) —
+    the upgrade path that gives a pre-r8 index ``status --sample-mod
+    auto`` comparability without a retrain. Metadata-only: no version
+    bump, so serving bindings and compacted layouts stay valid; the
+    drift reference re-anchors to the corpus as of the restamp.
+
 Example::
 
     python -m etl_sber_spark.ann_cli build \
@@ -131,6 +139,16 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     st.add_argument("--target-sample", type=int, default=4096)
     st.add_argument("--recall-queries", type=int, default=8)
     st.add_argument("--n-probe", type=int, default=2)
+
+    rs = sub.add_parser(
+        "restamp",
+        help="derive per-rung probe baselines for an EXISTING artifact "
+        "from the current serving corpus — gives a pre-r8 index "
+        "`status --sample-mod auto` comparability without a retrain. "
+        "Metadata-only (no version bump, bindings stay valid); the "
+        "drift reference re-anchors to the corpus as of the restamp",
+    )
+    rs.add_argument("--warehouse", required=True)
 
     def _id_list(v: str) -> list[int]:
         try:
@@ -309,6 +327,16 @@ def main(argv: list[str] | None = None) -> int:
             recall_queries=args.recall_queries,
             n_probe=args.n_probe,
         )
+    elif args.cmd == "restamp":
+        meta = ai.restamp_probe_baselines(wh, SERVING)
+        out = {
+            "restamped": True,
+            "rungs": sorted(
+                (meta.get("probe_baselines") or {}).keys(), key=int
+            ),
+            "build_mean_assign_dist": meta.get("build_mean_assign_dist"),
+            "build_recall_probe": meta.get("build_recall_probe"),
+        }
     elif args.cmd == "compact":
         out_table = ai.cluster_serving_table(wh, SERVING)
         out = {
@@ -322,8 +350,14 @@ def main(argv: list[str] | None = None) -> int:
     else:  # search
         ids = args.query_ids
         serving = ai.read_serving(wh, SERVING)
-        queries = serving.filter(F.col("vec_id").isin(ids)).select(
-            "vec_id", "embedding"
+        # pin the (tiny: len(ids) rows) query frame: the missing-ids
+        # collect below plus the search itself would otherwise each
+        # re-evaluate the corpus-wide latest-wins serving window just
+        # to re-derive these few rows (r8 advice)
+        queries = (
+            serving.filter(F.col("vec_id").isin(ids))
+            .select("vec_id", "embedding")
+            .localCheckpoint(eager=True)
         )
         # an id absent from the serving table would otherwise just
         # vanish from the output — indistinguishable from "no

@@ -68,6 +68,33 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
         default=0.5,
         help="minimum classifier score to keep a document (default 0.5)",
     )
+    p.add_argument(
+        "--centroids-table",
+        default=None,
+        help="versioned warehouse table holding the frozen k-means "
+        "quantizer (operators/annindex.py save_ivf_index — the same "
+        "artifact IVF search uses); when set, each increment adds the "
+        "SEMANTIC dedup stage: lexical keepers are embedded, deduped "
+        "against the persisted quantized embedding index, and "
+        "survivors' index rows appended",
+    )
+    p.add_argument(
+        "--semantic-threshold",
+        type=float,
+        default=0.95,
+        help="quantized-cosine drop threshold for the semantic stage "
+        "(default 0.95; only with --centroids-table)",
+    )
+    p.add_argument(
+        "--bootstrap-serving-table",
+        default=None,
+        help="one-time seed: adapt this ANN serving table "
+        "(`ann_cli build --sq8` layout, in THIS warehouse) into the "
+        "semantic index before draining the inbox, so the first "
+        "increment already dedupes against the standing ANN corpus — "
+        "no re-embedding pass. Idempotent (fixed bootstrap "
+        "partition); requires --centroids-table",
+    )
     return p.parse_args(argv)
 
 
@@ -87,6 +114,33 @@ def main(argv: list[str] | None = None) -> int:
         from .operators.classifier import load_classifier
 
         weights = load_classifier(wh, args.classifier_table)
+    centroids = None
+    if args.centroids_table:
+        from .operators.annindex import load_ivf_index
+
+        centroids = load_ivf_index(wh, args.centroids_table)
+    if args.bootstrap_serving_table:
+        if centroids is None:
+            raise SystemExit(
+                "--bootstrap-serving-table requires --centroids-table "
+                "(the semantic stage that would consume the seeded "
+                "index is otherwise off)"
+            )
+        from .operators.semindex import bootstrap_semantic_index
+
+        seeded = bootstrap_semantic_index(
+            wh,
+            args.bootstrap_serving_table,
+            id_col="vec_id",
+            index_id_col="doc_id",
+        )
+        print(
+            json.dumps(
+                {"bootstrap_serving_table": args.bootstrap_serving_table,
+                 "semantic_index_seeded": seeded}
+            ),
+            file=sys.stderr,
+        )
     q = stream_corpus_increments(
         spark,
         args.inbox,
@@ -97,6 +151,8 @@ def main(argv: list[str] | None = None) -> int:
         max_files_per_trigger=args.max_files_per_trigger,
         classifier_weights=weights,
         classifier_threshold=args.classifier_threshold,
+        centroids=centroids,
+        semantic_threshold=args.semantic_threshold,
     )
     q.awaitTermination()
 
@@ -120,6 +176,7 @@ def main(argv: list[str] | None = None) -> int:
                 "kept_total": kept,
                 "dropped_total": dropped,
                 "index_size": _count("minhash_index"),
+                "semantic_index_size": _count("semantic_index"),
                 "quarantined_total": _count("corpus_quarantine"),
             }
         )

@@ -110,12 +110,15 @@ def has_noindex(col: Column | str) -> Column:
     # the quoted span, or the unquoted token, as a unit) — a bare
     # [^>]* scan would run past the closing quote and false-positive on
     # `content="all" data-note="noindex"`. The attribute NAMES anchor
-    # on a preceding whitespace/quote, not \b: '-' is a non-word char,
-    # so \bname/\bcontent also matched inside data-name/data-content
-    # and silently dropped pages the publisher never opted out (r8
-    # review — the same attr-name anchor _ATTR_UNIT already carries).
+    # on a preceding whitespace/quote/slash, not \b: '-' is a non-word
+    # char, so \bname/\bcontent also matched inside data-name/
+    # data-content and silently dropped pages the publisher never opted
+    # out (r8 review — the same attr-name anchor _ATTR_UNIT already
+    # carries). '/' is in the class because HTML5 parsers treat a
+    # slash between attributes as a separator (<meta name="robots"/
+    # content="noindex">), which the old \b matched (r8 advice).
     content_noindex = (
-        r"(?is)[\s\"']content\s*=\s*"
+        r"(?is)[\s\"'/]content\s*=\s*"
         r"(\"[^\"]*\bnoindex\b[^\"]*\""
         r"|'[^']*\bnoindex\b[^']*'"
         r"|[^\s\"'>]*\bnoindex\b[^\s\"'>]*)"
@@ -124,7 +127,7 @@ def has_noindex(col: Column | str) -> Column:
         F.exists(
             metas,
             lambda tag: tag.rlike(
-                r"(?is)[\s\"']name\s*=\s*[\"']?\s*(robots|googlebot)\b"
+                r"(?is)[\s\"'/]name\s*=\s*[\"']?\s*(robots|googlebot)\b"
             )
             & tag.rlike(content_noindex),
         ),

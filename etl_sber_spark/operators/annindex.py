@@ -886,6 +886,114 @@ def ann_status(
     }
 
 
+def _probe_baselines(
+    embeddings: DataFrame,
+    cents: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict[str, dict]:
+    """One baseline per :data:`PROBE_MOD_LADDER` rung (r7 verdict #4):
+    ann_status's auto mode picks the rung whose sample fits a fixed
+    target SIZE, and a ratio is only drift-vs-baseline when both sides
+    probed the same rung. Rungs nest (PROBE_MOD_LADDER doc), so every
+    sub-sample is a filter of the one checkpointed mod-16 sample —
+    each extra rung costs sub-sample-sized jobs, shrinking 4× per
+    step. Stops once a rung's sample is empty: deeper rungs are empty
+    too, and a corpus that small never auto-selects them. Shared by
+    the build stamp and the r9 restamp — one probe procedure, never
+    two drifting copies."""
+    from .similarity import nearest_centroid_dist_expr
+
+    cent_rows = _centroid_rows(cents)
+    sample = _sample(
+        spread(embeddings).select(F.col(id_col), F.col(vec_col)),
+        id_col,
+        PROBE_PARAMS["sample_mod"],
+    ).localCheckpoint(eager=False)
+    baselines: dict[str, dict] = {}
+    for mod in PROBE_MOD_LADDER:
+        sub = _sample(sample, id_col, mod)
+        row = sub.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg(
+                nearest_centroid_dist_expr(quantize_vec_sql(vec_col), cent_rows)
+            ).alias("m"),
+        ).first()
+        n_sub = int(row.n)
+        if n_sub == 0:
+            break
+        rung_recall = None
+        if n_sub > PROBE_PARAMS["recall_queries"]:
+            rung_recall = _recall_probe(
+                sub,
+                cents,
+                PROBE_PARAMS["recall_queries"],
+                PROBE_PARAMS["recall_k"],
+                PROBE_PARAMS["n_probe"],
+                id_col,
+                vec_col,
+            )
+        baselines[str(mod)] = {
+            "n": n_sub,
+            "mean_assign_dist": float(row.m) if row.m is not None else None,
+            "recall_probe": rung_recall,
+        }
+    return baselines
+
+
+def restamp_probe_baselines(
+    wh,
+    serving_table: str = "ann_serving",
+    ivf_name: str = IVF_TABLE,
+    lsh_name: str = LSH_TABLE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Derive per-rung probe baselines for an EXISTING artifact from
+    the current serving corpus — the upgrade path that gives a pre-r8
+    index ``ann_status(sample_mod="auto")`` comparability WITHOUT a
+    full retrain (r8 verdict #4: the legacy mod-16 fallback is gated
+    correctly but permanently degraded on old artifacts).
+
+    Metadata-only: the centroids are untouched and no version is
+    published (``Warehouse.update_metadata`` merges in place) — a
+    version bump would turn every serving binding and compacted-layout
+    stamp stale for a retrain that never happened. Refuses when the
+    serving columns are already stale vs CURRENT artifacts (restamping
+    would launder a real rebuild signal); refuses when the serving
+    table lacks the float ``vec_col`` (the probes measure
+    original-space distance and recall — a stored-SQ8-only table has
+    nothing to probe, and SQ8 reconstructions would bake quantization
+    error into every future ratio).
+
+    Semantics caveat, stated plainly: the new baselines measure the
+    corpus AS OF the restamp, not as of the original build — drift
+    accumulated between build and restamp re-anchors to ratio 1.0.
+    Run it immediately after upgrading, or accept the re-anchor.
+    Returns the merged artifact metadata."""
+    corpus = read_serving(wh, serving_table, ivf_name, lsh_name, id_col)
+    if vec_col not in corpus.columns:
+        raise ValueError(
+            f"serving table {serving_table!r} has no float {vec_col!r} "
+            "column — the probe baselines measure original-space "
+            "distance/recall and cannot be derived from SQ8 columns "
+            "alone; rebuild with the float vector retained"
+        )
+    cents = load_ivf_index(wh, ivf_name)
+    baselines = _probe_baselines(corpus, cents, id_col, vec_col)
+    base_rung = baselines.get(str(PROBE_PARAMS["sample_mod"]), {})
+    return wh.update_metadata(
+        ivf_name,
+        {
+            "build_mean_assign_dist": base_rung.get("mean_assign_dist"),
+            "build_recall_probe": base_rung.get("recall_probe"),
+            "probe_params": PROBE_PARAMS,
+            "probe_baselines": baselines,
+            "restamped": True,
+        },
+    )
+
+
 # ---------------------------------------------------------------------------
 # Convenience: one-call build for a corpus snapshot
 # ---------------------------------------------------------------------------
@@ -925,52 +1033,7 @@ def build_ann_index(
     # probe run with the SAME deterministic procedure status replays
     # (the ratio isolates drift from corpus hardness). Both jobs are
     # sample-sized, absorbed by the build.
-    from .similarity import nearest_centroid_dist_expr
-
-    cent_rows = _centroid_rows(cents)
-    sample = _sample(
-        spread(embeddings).select(
-            F.col(id_col), F.col(vec_col)
-        ),
-        id_col,
-        PROBE_PARAMS["sample_mod"],
-    ).localCheckpoint(eager=False)
-    # One baseline per ladder rung (r7 verdict #4): ann_status's auto
-    # mode picks the rung whose sample fits a fixed target SIZE, and a
-    # ratio is only drift-vs-baseline when both sides probed the same
-    # rung. Rungs nest (PROBE_MOD_LADDER doc), so every sub-sample is a
-    # filter of the one checkpointed mod-16 sample — each extra rung
-    # costs sub-sample-sized jobs, shrinking 4× per step. Stop once a
-    # rung's sample is empty: deeper rungs are empty too, and a corpus
-    # that small never auto-selects them.
-    probe_baselines: dict[str, dict] = {}
-    for mod in PROBE_MOD_LADDER:
-        sub = _sample(sample, id_col, mod)
-        row = sub.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.avg(
-                nearest_centroid_dist_expr(quantize_vec_sql(vec_col), cent_rows)
-            ).alias("m"),
-        ).first()
-        n_sub = int(row.n)
-        if n_sub == 0:
-            break
-        rung_recall = None
-        if n_sub > PROBE_PARAMS["recall_queries"]:
-            rung_recall = _recall_probe(
-                sub,
-                cents,
-                PROBE_PARAMS["recall_queries"],
-                PROBE_PARAMS["recall_k"],
-                PROBE_PARAMS["n_probe"],
-                id_col,
-                vec_col,
-            )
-        probe_baselines[str(mod)] = {
-            "n": n_sub,
-            "mean_assign_dist": float(row.m) if row.m is not None else None,
-            "recall_probe": rung_recall,
-        }
+    probe_baselines = _probe_baselines(embeddings, cents, id_col, vec_col)
     base_rung = probe_baselines.get(str(PROBE_PARAMS["sample_mod"]), {})
     save_ivf_index(
         wh,

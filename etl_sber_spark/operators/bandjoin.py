@@ -110,6 +110,13 @@ def band_partner_groups(
     ``True``. Either outcome is row-identical — auto only moves the
     window partitioning.
     """
+    if isinstance(time_bins, str) and time_bins != "auto":
+        # any other string ("Auto", "off", a typo) would fall through
+        # to `if time_bins:` and silently enable binned mode (r8 advice)
+        raise ValueError(
+            "time_bins must be True, False, or 'auto'; got "
+            f"{time_bins!r}"
+        )
     keys = list(key_cols)
     grp = (
         df.filter(_non_null(keys + [ts_col, diff_col]))

@@ -64,6 +64,7 @@ def curate_corpus(
     semantic_threshold: float = 0.95,
     semantic_clusters: int = 16,
     semantic_keep: str = "farthest",
+    semantic_centroids: DataFrame | None = None,
     materialize_annotations: bool = True,
     classifier_weights: list[float] | None = None,
     classifier_threshold: float = 0.5,
@@ -128,6 +129,21 @@ def curate_corpus(
     coverage is the caller's contract. ``semantic_keep`` passes through
     to :func:`..semdedup.semdedup` ("farthest" per the paper, or
     "min_id" to match the lexical convention).
+
+    ``semantic_centroids`` (r9) switches the stage to the STORED-SQ8
+    serving path: pass the frozen k-means frame (``load_ivf_index``)
+    and ``embeddings`` is then the ANN SERVING layout — ``emb_id_col``
+    + ``centroid_id`` + ``qvec`` (+ ``q_norm`` when stored;
+    ``ann_cli build --sq8``) — and the stage runs
+    :func:`..semdedup.semdedup_serving`: stored cluster assignment (no
+    re-clustering — the frozen-quantizer contract), all-integer pair
+    cosine, quantized keeper election. The float vector column is
+    NEVER read (it may be absent entirely), so the composed 100 TB
+    curation flow re-uses the ¼-width serving bytes the ANN stack
+    already pays for. ``semantic_clusters`` is ignored on this path
+    (the stored assignment IS the clustering); verdicts track the
+    float path to SQ8 error — near-``semantic_threshold`` pairs can
+    flip (the documented recall trade tests/test_quantize.py pins).
 
     NOTE: with ``embeddings`` the call executes EAGERLY — k-means is
     an iterative driver-coordinated loop, so the lexical pipeline
@@ -260,8 +276,19 @@ def curate_corpus(
 
     sem_drops = None
     if embeddings is not None:
-        from .semdedup import semdedup
-
+        if semantic_centroids is not None:
+            missing = [
+                c for c in ("centroid_id", "qvec") if c not in embeddings.columns
+            ]
+            if missing:
+                raise ValueError(
+                    "semantic_centroids= selects the stored-SQ8 serving "
+                    f"path, but `embeddings` lacks {missing} — pass the "
+                    "ANN serving layout (materialize_ivf_assignments + "
+                    "quantize_embeddings(norm_col=…); `ann_cli build "
+                    "--sq8`), or drop semantic_centroids to cluster "
+                    "float vectors here"
+                )
         lex_survivor_ids = survivors.join(
             near_drops,
             survivors[id_col] == near_drops["_drop_id"],
@@ -277,7 +304,26 @@ def curate_corpus(
         # k-means seeder (review finding)
         if emb_surv.isEmpty():
             sem_drops = None
+        elif semantic_centroids is not None:
+            from .semdedup import semdedup_serving
+
+            sem_drops = pin(
+                semdedup_serving(
+                    emb_surv,
+                    semantic_centroids,
+                    threshold=semantic_threshold,
+                    keep=semantic_keep,
+                    id_col=emb_id_col,
+                    qnorm_col=(
+                        "q_norm" if "q_norm" in emb_surv.columns else None
+                    ),
+                )
+                .filter(~F.col("is_kept"))
+                .select(F.col(emb_id_col).alias("_drop_id"))
+            )
         else:
+            from .semdedup import semdedup
+
             sem_drops = pin(
                 semdedup(
                     emb_surv,

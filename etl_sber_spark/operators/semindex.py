@@ -228,3 +228,83 @@ def semantic_increment(
         "left_anti",
     )
     return annotated, keepers
+
+
+def serving_as_semantic_index(
+    serving: DataFrame, id_col: str = "vec_id"
+) -> DataFrame:
+    """Adapt the ANN serving layout to the semantic-index schema —
+    a standing ANN corpus (``ann_cli build --sq8``: ``centroid_id`` +
+    ``q_scale`` + ``qvec`` per vector) already IS this index under a
+    column rename, so corpus maintenance can consume it directly
+    instead of re-embedding and re-quantizing the corpus (r9: the
+    composed curation flow re-uses the serving bytes the ANN stack
+    pays for). One projection, zero shuffles.
+
+    Zero vectors are filtered exactly as :func:`build_semantic_index`
+    does — an all-zero ``qvec`` can never match anything (NULL
+    quantized cosine) and would only bloat its cluster's candidate
+    join forever. Extra serving columns (``q_norm``, ``lsh_bucket``,
+    ``batch_id``…) are dropped; the frozen-quantizer contract carries
+    over unchanged because one saved artifact (``save_ivf_index``)
+    produced both layouts' assignments.
+    """
+    need = [id_col, "centroid_id", "q_scale", "qvec"]
+    missing = [c for c in need if c not in serving.columns]
+    if missing:
+        raise ValueError(
+            f"serving frame lacks {missing} — build the stored-SQ8 "
+            "layout with materialize_ivf_assignments + "
+            "quantize_embeddings (`ann_cli build --sq8`)"
+        )
+    return serving.filter(
+        F.exists(F.col("qvec"), lambda x: x != F.lit(0).cast("smallint"))
+    ).select(
+        F.col(id_col),
+        F.col("centroid_id").alias("cluster_id"),
+        F.col("q_scale"),
+        F.col("qvec"),
+    )
+
+
+#: the bootstrap partition id for index rows imported from an ANN
+#: serving table: stream batch ids are ≥ 0, so ``read_index_excluding``
+#: never hides bootstrap rows from a real batch, and re-running the
+#: bootstrap overwrites (not duplicates) the same partition.
+BOOTSTRAP_BATCH_ID = -1
+
+
+def bootstrap_semantic_index(
+    wh,
+    serving_table: str = "ann_serving",
+    semantic_index_table: str = "semantic_index",
+    id_col: str = "vec_id",
+    index_id_col: str | None = None,
+) -> int:
+    """Seed the incremental-curation semantic index from a persisted
+    ANN serving table: latest-wins serving read (with the staleness
+    guards of ``annindex.read_serving`` — a retrained quantizer
+    REFUSES here rather than seeding stale assignments), adapted via
+    :func:`serving_as_semantic_index`, written as the
+    ``batch_id = -1`` partition of ``semantic_index_table``. Returns
+    the number of index rows written. Idempotent: re-running
+    overwrites the same partition.
+
+    After this, ``stream_corpus_increments(centroids=load_ivf_index(
+    wh_ann))`` dedupes every new crawl against the full ANN corpus
+    from batch one — no re-embedding pass over the standing corpus.
+    """
+    from .annindex import read_serving
+
+    rows = serving_as_semantic_index(
+        read_serving(wh, serving_table, id_col=id_col), id_col
+    )
+    if index_id_col is not None and index_id_col != id_col:
+        # the consuming stream's id convention (the corpus loop keys on
+        # doc_id; ANN serving on vec_id)
+        rows = rows.withColumnRenamed(id_col, index_id_col)
+    rows = rows.withColumn("batch_id", F.lit(BOOTSTRAP_BATCH_ID))
+    wh.overwrite_partitions(rows, semantic_index_table, ["batch_id"])
+    return wh.read(semantic_index_table).filter(
+        F.col("batch_id") == BOOTSTRAP_BATCH_ID
+    ).count()

@@ -365,6 +365,49 @@ class Warehouse:
             if e.startswith("v_") and e not in retained:
                 shutil.rmtree(os.path.join(d, e), ignore_errors=True)
 
+    def update_metadata(
+        self, name: str, extra: dict, version: int | None = None
+    ) -> dict:
+        """Merge ``extra`` into a retained version's ``_meta.json`` IN
+        PLACE (atomic tmp+rename), WITHOUT a version bump. Reserved for
+        metadata-only ENRICHMENT of an artifact whose data rows are
+        unchanged — the ann restamp (r9): deriving per-rung probe
+        baselines for a pre-r8 quantizer must not publish a v_{n+1},
+        because every serving binding and compacted layout stamped
+        against the CURRENT version would turn stale for a retrain
+        that never happened. Any DATA change must go through
+        :meth:`overwrite_versioned`. Returns the merged dict."""
+        import json
+
+        d = self._dir(name)
+        if version is not None:
+            vdir = os.path.join(d, f"v_{version}")
+        else:
+            cur = os.path.join(d, "CURRENT")
+            if not os.path.exists(cur):
+                raise ValueError(
+                    f"no CURRENT version for table {name!r} — nothing "
+                    "to stamp metadata onto"
+                )
+            with open(cur) as f:
+                vdir = os.path.join(d, f.read().strip())
+        if not os.path.isdir(vdir):
+            raise ValueError(
+                f"version directory {vdir!r} does not exist for "
+                f"table {name!r}"
+            )
+        meta_path = os.path.join(vdir, "_meta.json")
+        merged = {}
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                merged = json.load(f)
+        merged.update(extra)
+        tmp = meta_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(merged, f)
+        os.replace(tmp, meta_path)
+        return merged
+
     def read_metadata(self, name: str, version: int | None = None) -> dict | None:
         """The ``metadata`` dict a versioned write published with its
         version (``None`` when absent). Resolves CURRENT like

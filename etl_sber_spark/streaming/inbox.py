@@ -99,8 +99,17 @@ def load_transactions_available_now(
     loads late data normally and only suppresses true re-ships.
     Duplicates re-shipped later than the horizon do land twice — the
     same bound the watermark had, without the data loss. Crash-replay
-    stays exactly-once: a replayed batch's rows are already in the
-    fact, so the anti-join removes them.
+    stays exactly-once for rows WITH a ``trans_id``: a replayed batch's
+    rows are already in the fact, so the anti-join removes them.
+    NULL-``trans_id`` rows are the documented exception (r8 review
+    chose pass-through over silent collapse): a NULL key matches
+    neither dropDuplicates' group nor the left_anti probe, so a
+    crash-replayed batch — or a re-shipped file inside the horizon —
+    appends its NULL-id rows a second time. At-least-once for keyless
+    rows, exactly-once for keyed ones; key hygiene (and any replay
+    cleanup) stays a downstream quality gate, which is why they land in
+    the fact rather than a quarantine table that loaders would forget
+    to union back.
 
     Mode is per-directory: ``dedup_ids=False`` writes through Spark's
     transactional file sink (``_spark_metadata`` log). Readers of such

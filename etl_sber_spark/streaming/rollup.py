@@ -191,11 +191,22 @@ VELOCITY_SHARD_STATE = T.StructType(
 )
 
 
+#: auto shard sizing: shards per task slot. One shard per slot would
+#: fill the cluster but leave hash imbalance (the largest shard gates
+#: the stage); 8× smooths the balance while keeping each shard's card
+#: set well under one Arrow batch at the measured working sets
+#: (196k cards / 256 shards ≈ 770 cards/invocation, SCALE.md).
+SHARDS_PER_SLOT = 8
+#: auto floor: below this, per-invocation Python overhead is already
+#: negligible and fewer shards only concentrate skew.
+MIN_AUTO_SHARDS = 64
+
+
 def velocity_alerts_sharded(
     typed_stream: DataFrame,
     max_per_hour: int = 5,
     idle_timeout_min: int = 360,
-    n_shards: int = 256,
+    n_shards: int | str = 256,
 ) -> DataFrame:
     """:func:`velocity_alerts` with state keyed by ``hash(card) %
     n_shards`` instead of by card — the high-cardinality throughput
@@ -220,8 +231,29 @@ def velocity_alerts_sharded(
     source-stall undercount caveat of the per-key form carries over
     unchanged. ``n_shards`` sizes parallelism: at least the cluster's
     task slots, small enough that a shard's cards fit one Arrow batch.
+
+    ``n_shards="auto"`` (r9, the last manual scale knob in streaming)
+    computes that sizing rule instead of trusting the caller:
+    ``max(MIN_AUTO_SHARDS, SHARDS_PER_SLOT × defaultParallelism)`` —
+    sized from the CLUSTER, not the data, because a stream has no
+    batch to probe before the plan exists (unlike the band join's
+    eager auto probe); the key-count side of the rule is safe by
+    construction since more-cards-per-shard only grows the pandas
+    groupby, whose per-card cost the smoke measured flat. On the
+    local[32] smoke box auto resolves to 256 — exactly the measured
+    default. The shard count is baked into the plan at build time;
+    like any state-key change it must stay FIXED across restarts of
+    one checkpointed query (state rows are keyed by shard id).
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
+
+    if isinstance(n_shards, str):
+        if n_shards != "auto":
+            raise ValueError(
+                f"n_shards must be an int or 'auto'; got {n_shards!r}"
+            )
+        slots = typed_stream.sparkSession.sparkContext.defaultParallelism
+        n_shards = max(MIN_AUTO_SHARDS, SHARDS_PER_SLOT * slots)
 
     timeout_ms = idle_timeout_min * 60_000
     hour_us = 3_600_000_000

@@ -414,3 +414,70 @@ def test_search_reports_missing_ids_and_validates_input(spark, sf_dir, tmp_path)
     )
     assert r["missing_ids"] == [99999]
     assert r["results"] and all(x["query_id"] == 0 for x in r["results"])
+
+
+def test_restamp_gives_legacy_artifact_auto_baselines(spark, sf_dir, tmp_path):
+    """r9: `restamp` derives per-rung probe baselines on an EXISTING
+    artifact (no retrain, no version bump — bindings stay valid), so a
+    pre-r8 artifact's `status --sample-mod auto` gains a comparable
+    rung stamp: on the unchanged build corpus the assign-dist ratio is
+    exactly 1.0."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    base = emb.filter("vec_id < 400").select("vec_id", "embedding")
+    base_path = str(tmp_path / "snap.parquet")
+    base.write.parquet(base_path)
+    wh_dir = str(tmp_path / "wh")
+    _run(
+        tmp_path,
+        "build", "--embeddings", base_path, "--warehouse", wh_dir,
+        "--n-lists", "4", "--n-iter", "1",
+    )
+
+    # doctor the artifact metadata down to the r7-era shape: legacy
+    # mod-16 keys only, no per-rung probe_baselines
+    d = Path(wh_dir) / "ann_ivf_centroids"
+    cur = (d / "CURRENT").read_text().strip()
+    mp = d / cur / "_meta.json"
+    meta = json.loads(mp.read_text())
+    assert "probe_baselines" in meta  # the r8 build stamps rungs
+    mp.write_text(json.dumps({
+        "build_mean_assign_dist": meta["build_mean_assign_dist"],
+        "build_recall_probe": meta["build_recall_probe"],
+        "probe_params": {
+            "sample_mod": 16, "recall_queries": 8,
+            "recall_k": 3, "n_probe": 2,
+        },
+    }))
+
+    # auto picks the mod-64 rung (400/16 > 8 ≥ 400/64); the legacy
+    # artifact has no stamp for it, so the ratio is gated OFF
+    before = _run(
+        tmp_path,
+        "status", "--warehouse", wh_dir,
+        "--sample-mod", "auto", "--target-sample", "8",
+    )
+    assert before["sample_mod"] == 64
+    assert before["assign_dist_ratio"] is None
+    assert before["build_mean_assign_dist"] is None
+
+    ivf_v_before = before["ivf_version"]
+    r = _run(tmp_path, "restamp", "--warehouse", wh_dir)
+    assert r["restamped"] and "64" in r["rungs"]
+
+    after = _run(
+        tmp_path,
+        "status", "--warehouse", wh_dir,
+        "--sample-mod", "auto", "--target-sample", "8",
+    )
+    assert after["sample_mod"] == 64
+    # unchanged corpus + same deterministic probe => exact re-anchor
+    assert after["assign_dist_ratio"] == 1.0
+    assert after["recommendation"] == "ok"
+    # metadata-only: no version bump, so the serving binding (and any
+    # compacted layout) stays valid
+    assert after["ivf_version"] == ivf_v_before
+    s = _run(
+        tmp_path,
+        "search", "--warehouse", wh_dir, "--query-ids", "0", "--k", "3",
+    )
+    assert s["results"]

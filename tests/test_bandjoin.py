@@ -344,3 +344,21 @@ def test_faithful_rejects_time_bins(spark):
         rule_city_hopping(view, faithful=True, time_bins="auto")
     with pytest.raises(ValueError, match="faithful"):
         rule_city_hopping(view, faithful=True, time_bins=True)
+
+
+def test_band_partner_groups_rejects_unknown_string_knob(spark):
+    """Only the exact string 'auto' is a valid time_bins string; any
+    other ('Auto', 'off', a typo) used to fall through `if time_bins:`
+    and silently enable binned mode (r8 advice)."""
+    import pytest
+
+    from etl_sber_spark.operators.bandjoin import band_partner_groups
+
+    df = spark.createDataFrame(
+        [], "k string, ts timestamp, d string"
+    )
+    for bad in ("Auto", "off", "yes", ""):
+        with pytest.raises(ValueError, match="time_bins"):
+            band_partner_groups(
+                df, ["k"], "ts", "d", time_bins=bad
+            )

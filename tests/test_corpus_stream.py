@@ -287,3 +287,101 @@ def test_stream_semantic_stage_dedupes_lexical_survivors(spark, tmp_path):
     assert sorted(
         r.doc_id for r in wh.read("semantic_index").collect()
     ) == [1, 2, 12]
+
+
+def test_bootstrap_semantic_index_from_ann_serving(spark, tmp_path):
+    """r9: a standing ANN serving table (stored centroid_id + SQ8
+    columns) seeds the semantic index directly — no re-embedding pass —
+    and the FIRST stream batch already dedupes against it
+    (index_semantic_dup), with the bootstrap partition surviving
+    read_index_excluding for every real batch id."""
+    from etl_sber_spark.operators.annindex import materialize_ivf_assignments
+    from etl_sber_spark.operators.quantize import quantize_embeddings
+    from etl_sber_spark.operators.semindex import (
+        BOOTSTRAP_BATCH_ID,
+        bootstrap_semantic_index,
+    )
+    from etl_sber_spark.operators.similarity import kmeans_centroids
+
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    ckpt = str(tmp_path / "ckpt")
+
+    # the standing ANN corpus: apple + banana topics, served as
+    # centroid_id + SQ8 (float column dropped — the serving layout)
+    corpus = spark.createDataFrame(
+        [
+            (101, _topic_encoder(["apple"])[0]),
+            (102, _topic_encoder(["banana"])[0]),
+            (103, _topic_encoder(["cherry"])[0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    cents = kmeans_centroids(corpus, k=2).localCheckpoint(eager=True)
+    serving = quantize_embeddings(
+        materialize_ivf_assignments(corpus, cents), keep_original=False
+    )
+    wh.append(serving, "ann_serving")
+
+    seeded = bootstrap_semantic_index(
+        wh, "ann_serving", id_col="vec_id", index_id_col="doc_id"
+    )
+    assert seeded == 3
+    idx = wh.read("semantic_index")
+    assert idx.count() == 3
+    assert {r.batch_id for r in idx.collect()} == {BOOTSTRAP_BATCH_ID}
+    assert sorted(r.doc_id for r in idx.collect()) == [101, 102, 103]
+
+    # re-running the bootstrap overwrites, never duplicates
+    assert bootstrap_semantic_index(
+        wh, "ann_serving", id_col="vec_id", index_id_col="doc_id"
+    ) == 3
+    assert wh.read("semantic_index").count() == 3
+
+    # first stream batch: doc 1 re-visits the apple topic -> dropped vs
+    # the BOOTSTRAPPED index; doc 2 is a new topic and survives
+    _write_jsonl(
+        inbox / "b1.jsonl",
+        [
+            {"doc_id": 1, "text": "apple pie with cinnamon and sugar",
+             "lang": "en", "source": "a"},
+            {"doc_id": 2, "text": "durian custard with sticky rice",
+             "lang": "en", "source": "a"},
+        ],
+    )
+    q = stream_corpus_increments(
+        spark,
+        str(inbox),
+        wh,
+        ckpt,
+        centroids=cents,
+        semantic_threshold=0.999,
+        encoder=_topic_encoder,
+    )
+    q.awaitTermination(120)
+    got = {r.doc_id: r.drop_reason for r in wh.read("curated_docs").collect()}
+    assert got == {1: "index_semantic_dup", 2: None}
+    # only the keeper joined both indexes
+    assert sorted(r.doc_id for r in wh.read("minhash_index").collect()) == [2]
+    assert sorted(
+        r.doc_id for r in wh.read("semantic_index").collect()
+    ) == [2, 101, 102, 103]
+
+
+def test_corpus_cli_semantic_flags_parse():
+    from etl_sber_spark.corpus_cli import parse_args
+
+    a = parse_args(
+        [
+            "--inbox", "x", "--warehouse", "y",
+            "--centroids-table", "ann_ivf_centroids",
+            "--semantic-threshold", "0.97",
+            "--bootstrap-serving-table", "ann_serving",
+        ]
+    )
+    assert a.centroids_table == "ann_ivf_centroids"
+    assert a.semantic_threshold == 0.97
+    assert a.bootstrap_serving_table == "ann_serving"
+    d = parse_args(["--inbox", "x", "--warehouse", "y"])
+    assert d.centroids_table is None and d.bootstrap_serving_table is None

@@ -327,3 +327,111 @@ def test_unmaterialized_annotations_identical(spark):
         map(tuple, curate_corpus(d, materialize_annotations=False).collect())
     )
     assert a == b
+
+
+def _semantic_fixture(spark):
+    """Docs where {2,3} are the semantic pair (same direction, lexically
+    distinct), 4 is an exact lexical dup of 2, 5 has no embedding."""
+    docs = spark.createDataFrame(
+        [
+            (1, "another unrelated document about something else entirely"),
+            (2, "the quick brown fox jumps over the lazy dog"),
+            (3, "completely different words but same meaning vector"),
+            (4, "the quick brown fox jumps over the lazy dog"),
+            (5, "no embedding for this one but plenty of words"),
+        ],
+        "doc_id int, text string",
+    )
+    emb = spark.createDataFrame(
+        [
+            (1, [0.0, 1.0, 0.0, 0.0]),
+            (2, [1.0, 0.0, 0.0, 0.0]),
+            (3, [2.0, 0.002, 0.0, 0.0]),
+            (4, [1.0, 0.0, 0.0, 0.0]),
+        ],
+        "vec_id int, embedding array<float>",
+    )
+    return docs, emb
+
+
+def test_semantic_stage_serving_layout(spark):
+    """semantic_centroids= (r9): the stage runs off the ANN serving
+    layout with the float vector column DROPPED — the composed 100 TB
+    curation flow never reads float embeddings — and its drop
+    accounting matches the float path on this fixture (vectors far from
+    the 0.999 threshold boundary, so SQ8 error cannot flip a verdict).
+    """
+    from etl_sber_spark.operators.annindex import materialize_ivf_assignments
+    from etl_sber_spark.operators.quantize import quantize_embeddings
+    from etl_sber_spark.operators.similarity import kmeans_centroids
+
+    docs, emb = _semantic_fixture(spark)
+    cents = kmeans_centroids(emb, 2, 3)
+    serving = quantize_embeddings(
+        materialize_ivf_assignments(emb, cents),
+        keep_original=False,
+        norm_col="q_norm",
+    )
+    assert "embedding" not in serving.columns  # float-free input
+
+    kw = dict(min_tokens=3, min_quality=0.0, semantic_threshold=0.999)
+    got = {
+        r.doc_id: r.drop_reason
+        for r in curate_corpus(
+            docs, embeddings=serving, semantic_centroids=cents, **kw
+        ).collect()
+    }
+    want = {
+        r.doc_id: r.drop_reason
+        for r in curate_corpus(
+            docs, embeddings=emb, semantic_clusters=2, **kw
+        ).collect()
+    }
+    assert got == want
+    assert got[4] == "exact_dup" and got[1] is None and got[5] is None
+    assert sorted([str(got[2]), str(got[3])]) == ["None", "semantic_dup"]
+
+    # q_norm-less serving layout folds norms from qvec — same verdicts
+    got_nonorm = {
+        r.doc_id: r.drop_reason
+        for r in curate_corpus(
+            docs,
+            embeddings=serving.drop("q_norm"),
+            semantic_centroids=cents,
+            **kw,
+        ).collect()
+    }
+    assert got_nonorm == want
+
+    # min_id keeper convention passes through the serving path
+    got_min = {
+        r.doc_id: r.drop_reason
+        for r in curate_corpus(
+            docs,
+            embeddings=serving,
+            semantic_centroids=cents,
+            semantic_keep="min_id",
+            **kw,
+        ).collect()
+    }
+    assert got_min[2] is None and got_min[3] == "semantic_dup"
+
+
+def test_semantic_serving_layout_validated(spark):
+    """Passing semantic_centroids with a FLOAT embeddings frame (no
+    stored serving columns) must refuse loudly, not cluster floats
+    against the wrong contract."""
+    import pytest
+
+    docs, emb = _semantic_fixture(spark)
+    from etl_sber_spark.operators.similarity import kmeans_centroids
+
+    cents = kmeans_centroids(emb, 2, 3)
+    with pytest.raises(ValueError, match="serving"):
+        curate_corpus(
+            docs,
+            min_tokens=3,
+            min_quality=0.0,
+            embeddings=emb,
+            semantic_centroids=cents,
+        )

@@ -264,3 +264,39 @@ def test_sharded_velocity_many_cards_one_shard(spark, tmp_path):
     assert {r.card_num for r in alerts} == {a, b}
     for r in alerts:
         assert r.n_last_hour == 6 and str(r.alert_ts) == "2021-03-01 09:05:00"
+
+
+def test_sharded_velocity_auto_shards(spark, tmp_path):
+    """n_shards="auto" (r9): sizes shards from the cluster's task slots
+    (8×, floored at 64), is row-equal to the per-key form, and rejects
+    any other string instead of silently degrading."""
+    import pytest
+
+    from etl_sber_spark.streaming.rollup import (
+        MIN_AUTO_SHARDS,
+        SHARDS_PER_SLOT,
+        velocity_alerts_sharded,
+    )
+
+    slots = spark.sparkContext.defaultParallelism
+    expect = max(MIN_AUTO_SHARDS, SHARDS_PER_SLOT * slots)
+    assert expect >= slots  # never fewer shards than task slots
+
+    with pytest.raises(ValueError, match="n_shards"):
+        velocity_alerts_sharded(
+            spark.readStream.format("rate").load(), n_shards="Auto"
+        )
+
+    per_key = _run_stream(
+        spark, tmp_path, lambda t: velocity_alerts(t, max_per_hour=5),
+        "vel_pk_auto",
+    )
+    auto = _run_stream(
+        spark,
+        tmp_path,
+        lambda t: velocity_alerts_sharded(
+            t, max_per_hour=5, n_shards="auto"
+        ),
+        "vel_sh_auto",
+    )
+    assert per_key == auto and len(auto) == 2

@@ -243,3 +243,27 @@ def test_noindex_attr_names_anchor_not_word_boundary(spark):
     got = df.withColumn("got", has_noindex("html"))
     bad = got.filter(F.col("got") != F.col("want"))
     assert bad.count() == 0, [tuple(r) for r in bad.collect()]
+
+
+def test_noindex_slash_separated_attributes(spark):
+    """HTML5 parsers accept '/' as an attribute separator, so
+    <meta name="robots"/content="noindex"> carries a real directive;
+    the r8 [\\s"'] anchor class missed it (r8 advice: include '/')."""
+    from pyspark.sql import functions as F
+
+    from etl_sber_spark.functions.web import has_noindex
+
+    rows = [
+        ('<meta name="robots"/content="noindex">', True),
+        ('<meta/name=robots content="noindex">', True),
+        # the data-content guard must survive the wider anchor class
+        ('<meta name="robots" content="all" data-content="noindex">',
+         False),
+    ]
+    df = spark.createDataFrame(
+        [(i, h, want) for i, (h, want) in enumerate(rows)],
+        "i int, html string, want boolean",
+    )
+    got = df.withColumn("got", has_noindex("html"))
+    bad = got.filter(F.col("got") != F.col("want"))
+    assert bad.count() == 0, [tuple(r) for r in bad.collect()]
