@@ -131,14 +131,25 @@ def materialize_ivf_assignments(
     centroids: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    *,
+    cent_rows=None,
 ) -> DataFrame:
     """The ingest-time step: every input column plus ``centroid_id``
     (nearest centroid in the quantized training space — the same
     literal-matrix argmin projection the inline path uses, zero joins,
     zero shuffles). Write the result as the stored embedding table; at
     100 TB partition/cluster it BY ``centroid_id`` so an n_probe query
-    prunes to its probed lists at the file level."""
-    cent_rows = _centroid_rows(centroids)
+    prunes to its probed lists at the file level.
+
+    ``cent_rows`` (r9): pass pre-collected ``_centroid_rows(centroids)``
+    to skip the driver-side collect — a per-call Spark job over the
+    artifact parquet that a micro-batch stream would otherwise pay on
+    EVERY trigger (the vector-ingest profiler measured ~1.6 s/batch of
+    plan-build, tools/profile_vector_ingest.py). The frozen-quantizer
+    contract makes the hoist sound: the artifact cannot change
+    mid-stream."""
+    if cent_rows is None:
+        cent_rows = _centroid_rows(centroids)
     return spread(embeddings).withColumn(
         "centroid_id",
         nearest_centroids_expr(quantize_vec_sql(vec_col), cent_rows, 1)[0],

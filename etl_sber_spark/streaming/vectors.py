@@ -115,10 +115,21 @@ def stream_vector_ingest(
         .json(inbox)
     )
 
+    # hoisted out of the per-batch transform (r9, profiled in
+    # tools/profile_vector_ingest.py): collecting the centroid frame is
+    # a Spark job over the artifact parquet, and inside transform it
+    # ran on EVERY micro-batch (~1.6 s/batch of plan-build at 64
+    # lists). The frozen-quantizer contract makes the hoist sound — the
+    # artifact cannot change mid-stream, and a drifted artifact already
+    # refuses at start above.
+    from ..operators.annindex import _centroid_rows
+
+    cent_rows = _centroid_rows(centroids)
+
     def transform(batch_df: DataFrame, batch_id: int) -> dict[str, DataFrame]:
         out = materialize_lsh_buckets(
             materialize_ivf_assignments(
-                batch_df, centroids, id_col, vec_col
+                batch_df, centroids, id_col, vec_col, cent_rows=cent_rows
             ),
             model.n_dims,
             vec_col,

@@ -1,0 +1,294 @@
+#!/usr/bin/env python3
+"""End-to-end corpus dress rehearsal (VERDICT r8 #6): the measured
+pieces composed ONCE, as a real training-data flow —
+
+  crawl_ingest   stream_crawl_increments over a synthetic raw-page
+                 JSONL inbox (HTML extract, URL canon + dedup vs the
+                 persisted index)
+  serving_build  embed the kept pages (deterministic stub encoder),
+                 train the frozen quantizer, materialize the ANN
+                 serving layout (centroid_id + SQ8, float DROPPED)
+  curate         curate_corpus with the r9 SERVING-LAYOUT semantic
+                 stage (semantic_centroids=) — lexical gates + exact +
+                 near-dup + SemDeDup, float vectors never read
+  pack           pack_documents / materialize_bins over the keepers
+                 (concat-and-split, budget-token bins)
+  export         export_packed: sharded parquet + manifest — the
+                 trainer handoff
+
+Per-phase wall + REAL shuffle bytes (Spark REST status API), the same
+discipline as scale_smoke_pipeline.py, so the composed totals can be
+reconciled against the per-operator SCALE.md rows.
+
+Replica mix per source document (replica 0 keeps the original
+id/text): k 1..3 exact copies (exact-dedup gate), k 4..6 near-dups
+(one marker token; minhash/LSH/Jaccard gate), k >= 7 semantic
+variants — marker-PREFIXED text that survives every lexical gate but
+embeds identically under the tail-keyed stub encoder (the embedding
+depends on the text's last 48 chars, which the prefix never touches),
+so the serving-layout SemDeDup stage has real work at every factor
+>= 8. Deterministic throughout — no RNG.
+
+Usage:  python tools/scale_smoke_corpus_e2e.py [factor] [sf_dir]
+        (defaults: 10 /root/testdata/sf0.1)
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+os.environ.setdefault("SPARK_GRAFT_UI", "true")
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+from tools.scale_smoke_corpus import shuffle_totals  # noqa: E402
+
+N_FILES = 8
+PACK_BUDGET = 2048
+
+
+def main() -> None:
+    factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+
+    from pyspark.sql import functions as F
+
+    from etl_sber_spark.operators.annindex import save_ivf_index
+    from etl_sber_spark.operators.curate import curate_corpus
+    from etl_sber_spark.operators.inference import embed_texts
+    from etl_sber_spark.operators.packing import materialize_bins
+    from etl_sber_spark.operators.quantize import quantize_embeddings
+    from etl_sber_spark.operators.similarity import kmeans_centroids
+    from etl_sber_spark.operators.semdedup import VECS_PER_CLUSTER
+    from etl_sber_spark.session import get_spark
+    from etl_sber_spark.sinks.export import export_packed
+    from etl_sber_spark.sinks.warehouse import Warehouse
+    from etl_sber_spark.streaming.crawl import stream_crawl_increments
+    from etl_sber_spark.operators.annindex import materialize_ivf_assignments
+
+    spark = get_spark("corpus-e2e")
+    tmp = tempfile.mkdtemp(prefix="corpus_e2e_")
+    results: dict[str, dict] = {}
+
+    def phase(name, fn):
+        w0, r0 = shuffle_totals(spark)
+        t0 = time.perf_counter()
+        out = fn()
+        dt = time.perf_counter() - t0
+        w1, r1 = shuffle_totals(spark)
+        results[name] = {
+            "sec": round(dt, 2),
+            "shuffle_write_mb": round((w1 - w0) / 1e6, 1),
+            "shuffle_read_mb": round((r1 - r0) / 1e6, 1),
+            "out": out,
+        }
+        print(f"[{name}] {results[name]}", file=sys.stderr)
+
+    try:
+        # -- synthesize the raw-page inbox (setup, not a phase) --------
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "text"
+        )
+        pages = (
+            d.select(
+                "*",
+                F.explode(F.sequence(F.lit(0), F.lit(factor - 1))).alias("k"),
+            )
+            .select(
+                (F.col("doc_id") + F.col("k") * F.lit(10_000_000)).alias(
+                    "doc_id"
+                ),
+                F.concat(
+                    F.lit("https://site"),
+                    F.pmod(F.col("doc_id"), F.lit(997)),
+                    F.lit(".example.com/p/"),
+                    F.col("doc_id") + F.col("k") * F.lit(10_000_000),
+                ).alias("url"),
+                F.concat(
+                    F.lit("<html><head><title>t</title></head><body><p>"),
+                    F.when(F.col("k") <= 3, F.col("text"))
+                    .when(
+                        F.col("k") <= 6,
+                        F.concat(F.col("text"), F.lit(" rep"), F.col("k")),
+                    )
+                    .otherwise(
+                        F.concat(F.lit("variant"), F.col("k"), F.lit(" "),
+                                 F.col("text"))
+                    ),
+                    F.lit("</p></body></html>"),
+                ).alias("html"),
+            )
+        )
+        inbox = os.path.join(tmp, "inbox")
+        os.makedirs(inbox)
+        with tempfile.TemporaryDirectory() as stg:
+            for i in range(N_FILES):
+                part = pages.filter(
+                    F.pmod(F.col("doc_id"), F.lit(N_FILES)) == i
+                ).coalesce(1)
+                part.write.mode("overwrite").json(stg)
+                f = glob.glob(os.path.join(stg, "part-*"))[0]
+                shutil.move(f, os.path.join(inbox, f"crawl_{i:02d}.jsonl"))
+        n_pages = pages.count()
+
+        wh = Warehouse(spark, os.path.join(tmp, "wh"))
+
+        # -- 1. crawl ingest ------------------------------------------
+        def crawl():
+            q = stream_crawl_increments(
+                spark, inbox, wh, os.path.join(tmp, "ck_crawl"),
+                max_files_per_trigger=1,
+            )
+            q.awaitTermination()
+            kept = wh.read("crawl_pages").filter(
+                F.col("drop_reason").isNull()
+            )
+            return {
+                "pages_in": n_pages,
+                "pages_kept": kept.count(),
+                "url_index": wh.read("url_index").count(),
+            }
+
+        phase("crawl_ingest", crawl)
+
+        docs = (
+            wh.read("crawl_pages")
+            .filter(F.col("drop_reason").isNull())
+            .select("doc_id", "text")
+            .localCheckpoint()  # freeze: 3 downstream consumers
+        )
+        n_docs = docs.count()
+
+        # -- 2. serving-layout build ----------------------------------
+        def tail_encoder(texts):
+            # deterministic stub keyed on the LAST 48 chars: the
+            # semantic-variant replicas (marker PREFIX) embed exactly
+            # like their source doc while staying lexically distinct —
+            # self-contained (executor workers have no repo on sys.path)
+            import hashlib
+
+            out = []
+            for t in texts:
+                if t is None:
+                    out.append(None)
+                    continue
+                d = hashlib.md5(t[-48:].encode()).digest()
+                out.append([float(b) + 1.0 for b in d])
+            return out
+
+        def build_serving():
+            emb = embed_texts(docs, id_col="doc_id", encoder=tail_encoder)
+            k = max(16, -(-n_docs // VECS_PER_CLUSTER))
+            # the 100 TB discipline: train Lloyd iterations on the
+            # deterministic hash sample (~50k vectors) — assignment
+            # below still covers every row (the one unavoidable n·k
+            # projection)
+            train_mod = max(1, n_docs // 50_000)
+            cents = kmeans_centroids(
+                emb, k, 2, "doc_id", "embedding", train_mod=train_mod
+            ).localCheckpoint()
+            save_ivf_index(wh, cents)
+            serving = quantize_embeddings(
+                materialize_ivf_assignments(emb, cents, "doc_id"),
+                keep_original=False,
+                norm_col="q_norm",
+            ).localCheckpoint()
+            return {
+                "n_vectors": serving.count(),
+                "n_clusters": k,
+                "float_free": "embedding" not in serving.columns,
+            }, cents, serving
+
+        w0, r0 = shuffle_totals(spark)
+        t0 = time.perf_counter()
+        out, cents, serving = build_serving()
+        results["serving_build"] = {
+            "sec": round(time.perf_counter() - t0, 2),
+            "shuffle_write_mb": round(
+                (shuffle_totals(spark)[0] - w0) / 1e6, 1
+            ),
+            "shuffle_read_mb": round(
+                (shuffle_totals(spark)[1] - r0) / 1e6, 1
+            ),
+            "out": out,
+        }
+        print(f"[serving_build] {results['serving_build']}", file=sys.stderr)
+
+        # -- 3. curate with the serving-layout semantic stage ---------
+        curated_holder = {}
+
+        def curate():
+            curated = curate_corpus(
+                docs,
+                embeddings=serving,
+                emb_id_col="doc_id",
+                semantic_centroids=cents,
+                semantic_threshold=0.99,
+            ).localCheckpoint()
+            curated_holder["df"] = curated
+            return {
+                r["drop_reason"]: r["count"]
+                for r in curated.groupBy("drop_reason").count().collect()
+            }
+
+        phase("curate", curate)
+        keepers = curated_holder["df"].filter(
+            F.col("drop_reason").isNull()
+        ).select("doc_id", "text")
+
+        # -- 4. pack --------------------------------------------------
+        bins_holder = {}
+
+        def pack():
+            bins = materialize_bins(
+                keepers, budget=PACK_BUDGET
+            ).localCheckpoint()
+            bins_holder["df"] = bins
+            return {"n_bins": bins.count()}
+
+        phase("pack", pack)
+
+        # -- 5. sharded export + manifest -----------------------------
+        def export():
+            m = export_packed(
+                bins_holder["df"],
+                os.path.join(tmp, "export"),
+                budget=PACK_BUDGET,
+            )
+            return {
+                "n_bins": m["n_bins"],
+                "n_tokens": m["n_tokens"],
+                "n_files": m["n_files"],
+            }
+
+        phase("export", export)
+
+        print(
+            json.dumps(
+                {
+                    "factor": factor,
+                    "sf_dir": sf_dir,
+                    "n_pages": n_pages,
+                    "n_docs_curated_input": n_docs,
+                    "total_sec": round(
+                        sum(p["sec"] for p in results.values()), 2
+                    ),
+                    "phases": results,
+                }
+            )
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()
