@@ -118,6 +118,14 @@ def main(argv: list[str] | None = None) -> int:
     if args.centroids_table:
         from .operators.annindex import load_ivf_index
 
+        if not wh.has_data(args.centroids_table):
+            raise SystemExit(
+                f"centroids table {args.centroids_table!r} has no data "
+                f"in warehouse {args.warehouse!r} — train and persist "
+                "the quantizer first (operators/annindex.py "
+                "save_ivf_index, or `ann_cli build` in the ANN "
+                "warehouse)"
+            )
         centroids = load_ivf_index(wh, args.centroids_table)
     if args.bootstrap_serving_table:
         if centroids is None:

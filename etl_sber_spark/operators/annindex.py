@@ -982,6 +982,12 @@ def restamp_probe_baselines(
     accumulated between build and restamp re-anchors to ratio 1.0.
     Run it immediately after upgrading, or accept the re-anchor.
     Returns the merged artifact metadata."""
+    if not wh.has_data(serving_table):
+        raise ValueError(
+            f"serving table {serving_table!r} has no data — the restamp "
+            "probes the serving corpus; run `build` (or point at the "
+            "right warehouse) first"
+        )
     corpus = read_serving(wh, serving_table, ivf_name, lsh_name, id_col)
     if vec_col not in corpus.columns:
         raise ValueError(

@@ -275,6 +275,13 @@ def curate_corpus(
         )  # id_a < id_b by construction: smaller id survives
 
     sem_drops = None
+    if semantic_centroids is not None and embeddings is None:
+        raise ValueError(
+            "semantic_centroids was passed without embeddings — the "
+            "serving frame IS the embeddings argument on the stored-SQ8 "
+            "path; a centroids-only call would silently skip the "
+            "semantic stage the caller asked for"
+        )
     if embeddings is not None:
         if semantic_centroids is not None:
             missing = [

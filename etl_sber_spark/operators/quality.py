@@ -34,9 +34,13 @@ def uniqueness_violations(df: DataFrame, key_cols: list[str]) -> DataFrame:
 def referential_violations(
     child: DataFrame, child_key: str, parent: DataFrame, parent_key: str
 ) -> DataFrame:
-    """Child rows whose foreign key has no parent — a left_anti join,
-    shuffle on the key only."""
-    return child.join(
+    """Child rows whose NON-NULL foreign key has no parent — a
+    left_anti join, shuffle on the key only. NULL child keys are
+    excluded (SQL's FK semantics: a NULL reference satisfies the
+    constraint); a pipeline that forbids NULL keys declares that via
+    :func:`null_violations`, and before this filter the same row was
+    double-reported by both checks (r9 review)."""
+    return child.filter(F.col(child_key).isNotNull()).join(
         parent.select(F.col(parent_key).alias(child_key)).distinct(),
         on=child_key,
         how="left_anti",

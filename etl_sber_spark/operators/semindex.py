@@ -293,6 +293,16 @@ def bootstrap_semantic_index(
     After this, ``stream_corpus_increments(centroids=load_ivf_index(
     wh_ann))`` dedupes every new crawl against the full ANN corpus
     from batch one — no re-embedding pass over the standing corpus.
+
+    Scope, stated plainly: only the SEMANTIC index can be seeded from
+    a vector table — the minhash (lexical) index needs text-derived
+    signatures the ANN layout never stored, so an exact or near
+    lexical copy of a pre-bootstrap corpus doc is caught by the
+    semantic stage only (embeddings of identical text coincide under
+    any deterministic encoder, so exact copies are still caught;
+    lexical near-dups rely on embedding proximity). Corpora that kept
+    their signature index use it directly; this bootstrap is for the
+    serving-table-only starting point.
     """
     from .annindex import read_serving
 

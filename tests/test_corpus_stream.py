@@ -385,3 +385,77 @@ def test_corpus_cli_semantic_flags_parse():
     assert a.bootstrap_serving_table == "ann_serving"
     d = parse_args(["--inbox", "x", "--warehouse", "y"])
     assert d.centroids_table is None and d.bootstrap_serving_table is None
+
+
+def test_corpus_cli_semantic_bootstrap_subprocess(spark, tmp_path):
+    """The composed CLI flow (r9): seed the semantic index from an ANN
+    serving table via --bootstrap-serving-table, then one cron run
+    whose first batch dedupes an exact re-crawl of a bootstrapped doc
+    SEMANTICALLY (the documented bootstrap scope: the lexical index
+    cannot be seeded from a vector table, but identical text embeds
+    identically under the deterministic default encoder)."""
+    import subprocess
+    import sys
+
+    from etl_sber_spark.operators.annindex import (
+        materialize_ivf_assignments,
+        save_ivf_index,
+    )
+    from etl_sber_spark.operators.inference import embed_texts
+    from etl_sber_spark.operators.quantize import quantize_embeddings
+    from etl_sber_spark.operators.similarity import kmeans_centroids
+
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    wh_dir = str(tmp_path / "wh")
+    wh = Warehouse(spark, wh_dir)
+
+    # the standing ANN corpus: two docs embedded by the DEFAULT stub
+    # encoder (what the CLI's semantic stage will use), served as
+    # centroid_id + SQ8
+    corpus = spark.createDataFrame(
+        [(101, BASE), (102, UNRELATED)], "vec_id long, text string"
+    )
+    emb = embed_texts(corpus, id_col="vec_id")
+    cents = kmeans_centroids(emb, 2, 2).localCheckpoint(eager=True)
+    save_ivf_index(wh, cents)
+    wh.append(
+        quantize_embeddings(materialize_ivf_assignments(emb, cents)),
+        "ann_serving",
+    )
+
+    _write_jsonl(
+        inbox / "b1.jsonl",
+        [
+            # exact copy of bootstrapped doc 101: invisible to the
+            # (unseedable) lexical index, caught by the semantic stage
+            {"doc_id": 1, "text": BASE, "lang": "en", "source": "a"},
+            {"doc_id": 2, "text": BASE2, "lang": "en", "source": "a"},
+        ],
+    )
+    out = subprocess.run(
+        [
+            sys.executable, "-m", "etl_sber_spark.corpus_cli",
+            "--inbox", str(inbox),
+            "--warehouse", wh_dir,
+            "--centroids-table", "ann_ivf_centroids",
+            "--semantic-threshold", "0.999",
+            "--bootstrap-serving-table", "ann_serving",
+        ],
+        capture_output=True,
+        text=True,
+        cwd=str(Path(__file__).resolve().parents[1]),
+        timeout=600,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    r = json.loads(out.stdout.strip().splitlines()[-1])
+    assert (r["curated_total"], r["kept_total"], r["dropped_total"]) == (
+        2, 1, 1,
+    )
+    # 2 bootstrapped + 1 streamed keeper
+    assert r["semantic_index_size"] == 3
+    assert r["index_size"] == 1  # minhash index: the keeper only
+
+    got = {row.doc_id: row.drop_reason
+           for row in wh.read("curated_docs").collect()}
+    assert got == {1: "index_semantic_dup", 2: None}

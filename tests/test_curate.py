@@ -435,3 +435,18 @@ def test_semantic_serving_layout_validated(spark):
             embeddings=emb,
             semantic_centroids=cents,
         )
+
+
+def test_semantic_centroids_without_embeddings_refused(spark):
+    """semantic_centroids= without embeddings= must refuse — the
+    serving frame IS the embeddings argument on the stored-SQ8 path,
+    and a centroids-only call would silently skip the semantic stage
+    (r9 review)."""
+    import pytest
+
+    docs = spark.createDataFrame([(1, "some words here")],
+                                 "doc_id int, text string")
+    cents = spark.createDataFrame([(0, [1.0, 0.0])],
+                                  "centroid_id int, centroid array<double>")
+    with pytest.raises(ValueError, match="without embeddings"):
+        curate_corpus(docs, semantic_centroids=cents)

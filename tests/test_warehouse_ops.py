@@ -347,3 +347,54 @@ def test_manifest_reports_served_version_not_orphan(spark, tmp_path):
     m = {r.table: r for r in warehouse_manifest(wh).collect()}
     assert m["t"].current_version == 2
     assert m["t"].n_rows == 2  # the served snapshot, not the orphan's 500
+
+
+def test_referential_null_fk_not_a_violation(spark):
+    """SQL FK semantics: a NULL foreign key satisfies the constraint —
+    it belongs to null_violations, not referential_violations; before
+    r9 the same row was double-reported by both checks."""
+    child = spark.createDataFrame(
+        [(1, "a"), (None, "b"), (9, "c")], "k int, v string"
+    )
+    parent = spark.createDataFrame([(1,)], ["pk"])
+    bad = referential_violations(child, "k", parent, "pk").collect()
+    assert [r.k for r in bad] == [9]
+    assert null_violations(child, ["k"]).count() == 1
+
+
+def test_update_metadata_in_place(spark, tmp_path):
+    """update_metadata (r9): merges keys into a retained version's
+    _meta.json WITHOUT a version bump — the restamp primitive. Data
+    rows, CURRENT pointer, and untouched keys survive; missing tables
+    and missing version dirs refuse."""
+    import pytest
+
+    from etl_sber_spark.sinks.warehouse import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    wh.overwrite_versioned(
+        spark.range(3).toDF("k"), "t", metadata={"a": 1, "b": 2}
+    )
+    v = wh.current_version("t")
+
+    merged = wh.update_metadata("t", {"b": 20, "c": 3})
+    assert merged == {"a": 1, "b": 20, "c": 3}
+    assert wh.read_metadata("t") == {"a": 1, "b": 20, "c": 3}
+    assert wh.current_version("t") == v  # no bump
+    assert wh.read("t").count() == 3  # data untouched
+
+    # explicit version arg hits the named retained version
+    wh.overwrite_versioned(spark.range(4).toDF("k"), "t", metadata={"x": 1})
+    wh.update_metadata("t", {"y": 2}, version=v)
+    assert wh.read_metadata("t", version=v)["y"] == 2
+    assert wh.read_metadata("t") == {"x": 1}  # CURRENT untouched
+
+    # a version with NO prior _meta.json starts from {}
+    wh2 = Warehouse(spark, str(tmp_path / "wh2"))
+    wh2.overwrite_versioned(spark.range(1).toDF("k"), "t")
+    assert wh2.update_metadata("t", {"z": 9}) == {"z": 9}
+
+    with pytest.raises(ValueError, match="no CURRENT"):
+        wh.update_metadata("missing", {"a": 1})
+    with pytest.raises(ValueError, match="does not exist"):
+        wh.update_metadata("t", {"a": 1}, version=999)
