@@ -311,15 +311,28 @@ def main() -> None:
         print(f"[velocity_state] {out['phases']['velocity_state']}", file=sys.stderr)
 
         # 3b. sharded velocity (r8): same algebra, state keyed by
-        # hash(card) % 256 — per-batch cost should drop from
-        # O(active cards) Python invocations to O(shards)
-        from etl_sber_spark.streaming.rollup import velocity_alerts_sharded
+        # hash(card) % n_shards — per-batch cost should drop from
+        # O(active cards) Python invocations to O(shards). r9: the
+        # smoke runs the "auto" sizing (8 × task slots, floor 64) and
+        # records the resolved count — on this local[32] box auto
+        # resolves to 256, exactly the r8 measured default, at every
+        # volume factor (the rule is cluster-derived, not data-derived)
+        from etl_sber_spark.streaming.rollup import (
+            MIN_AUTO_SHARDS,
+            SHARDS_PER_SLOT,
+            velocity_alerts_sharded,
+        )
 
+        auto_shards = max(
+            MIN_AUTO_SHARDS,
+            SHARDS_PER_SLOT * spark.sparkContext.defaultParallelism,
+        )
         t0 = time.perf_counter()
         q = (
             velocity_alerts_sharded(
                 stream_transactions(spark, inbox, max_files_per_trigger=1),
                 max_per_hour=5,
+                n_shards="auto",
             )
             .writeStream.format("noop")
             .outputMode("update")
@@ -331,6 +344,7 @@ def main() -> None:
         out["phases"]["velocity_sharded"] = batch_stats(
             q, time.perf_counter() - t0
         )
+        out["phases"]["velocity_sharded"]["n_shards_auto"] = auto_shards
         print(
             f"[velocity_sharded] {out['phases']['velocity_sharded']}",
             file=sys.stderr,
