@@ -450,3 +450,66 @@ def test_semantic_centroids_without_embeddings_refused(spark):
                                   "centroid_id int, centroid array<double>")
     with pytest.raises(ValueError, match="without embeddings"):
         curate_corpus(docs, semantic_centroids=cents)
+
+
+def test_serving_semantic_stage_on_fixture_corpus(spark):
+    """Fixture-scale wiring pin (r9): on the real sf0.001
+    documents+embeddings tables, curate_corpus's serving-layout
+    semantic stage must equal the composition it claims to be —
+    lexical verdicts from the embedding-free pipeline, plus
+    semdedup_serving drops computed over exactly the lexical
+    SURVIVORS' serving rows (precedence: a lexical reason always
+    wins; non-survivors never enter the stage). Deterministic
+    equality, not a tolerance — same operator, same inputs.
+    Threshold 0.3 because the fixture embeddings are near-orthogonal
+    (max same-cluster cosine 0.47): a paper-typical 0.9+ threshold
+    would make the stage vacuous here. SQ8-vs-float operator
+    agreement is pinned separately in tests/test_semdedup.py."""
+    from etl_sber_spark.operators.annindex import materialize_ivf_assignments
+    from etl_sber_spark.operators.quantize import quantize_embeddings
+    from etl_sber_spark.operators.semdedup import semdedup_serving
+    from etl_sber_spark.operators.similarity import kmeans_centroids
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    cents = kmeans_centroids(emb, 8, 2).localCheckpoint(eager=True)
+    serving = quantize_embeddings(
+        materialize_ivf_assignments(emb, cents),
+        keep_original=False,
+        norm_col="q_norm",
+    ).localCheckpoint(eager=True)
+
+    got = {
+        r.doc_id: r.drop_reason
+        for r in curate_corpus(
+            docs,
+            embeddings=serving,
+            semantic_centroids=cents,
+            semantic_threshold=0.3,
+        ).collect()
+    }
+
+    lex = {
+        r.doc_id: r.drop_reason for r in curate_corpus(docs).collect()
+    }
+    survivor_ids = [k for k, v in lex.items() if v is None]
+    sem = {
+        r.vec_id: r.is_kept
+        for r in semdedup_serving(
+            serving.filter(F.col("vec_id").isin(survivor_ids)),
+            cents,
+            threshold=0.3,
+        ).collect()
+    }
+    want = {
+        k: (v if v is not None
+            else (None if sem.get(k, True) else "semantic_dup"))
+        for k, v in lex.items()
+    }
+    assert got == want
+    n_sem = sum(v == "semantic_dup" for v in got.values())
+    assert n_sem > 0, "stage was vacuous on the fixture"
