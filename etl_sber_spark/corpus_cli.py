@@ -86,6 +86,18 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
         "(default 0.95; only with --centroids-table)",
     )
     p.add_argument(
+        "--encoder",
+        choices=("stub", "auto"),
+        default="stub",
+        help="text encoder for the semantic stage: 'stub' (the "
+        "deterministic hash encoder — CI/dev) or 'auto' (best "
+        "importable real model via operators/inference.auto_encoder; "
+        "refuses when no embedding runtime is installed, because "
+        "silently falling back would index stub vectors against a "
+        "real-model quantizer). Only with --centroids-table; the "
+        "encoder must match the one the quantizer was trained on",
+    )
+    p.add_argument(
         "--bootstrap-serving-table",
         default=None,
         help="one-time seed: adapt this ANN serving table "
@@ -127,6 +139,25 @@ def main(argv: list[str] | None = None) -> int:
                 "warehouse)"
             )
         centroids = load_ivf_index(wh, args.centroids_table)
+    encoder = None
+    if args.encoder == "auto":
+        if not args.centroids_table:
+            raise SystemExit(
+                "--encoder auto has no effect without --centroids-table "
+                "(the semantic stage is off) — refusing instead of "
+                "silently ignoring the flag"
+            )
+        from .operators.inference import auto_encoder
+
+        encoder = auto_encoder()
+        if encoder is None:
+            raise SystemExit(
+                "--encoder auto: no embedding runtime importable "
+                "(sentence-transformers absent) — install one, or use "
+                "--encoder stub with a stub-trained quantizer; a silent "
+                "stub fallback would index stub vectors against a "
+                "real-model quantizer"
+            )
     if args.bootstrap_serving_table:
         if centroids is None:
             raise SystemExit(
@@ -161,6 +192,7 @@ def main(argv: list[str] | None = None) -> int:
         classifier_threshold=args.classifier_threshold,
         centroids=centroids,
         semantic_threshold=args.semantic_threshold,
+        encoder=encoder,
     )
     q.awaitTermination()
 

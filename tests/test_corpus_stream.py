@@ -459,3 +459,22 @@ def test_corpus_cli_semantic_bootstrap_subprocess(spark, tmp_path):
     got = {row.doc_id: row.drop_reason
            for row in wh.read("curated_docs").collect()}
     assert got == {1: "index_semantic_dup", 2: None}
+
+
+def test_corpus_cli_encoder_flag():
+    """--encoder parses; 'auto' without --centroids-table refuses (the
+    flag would otherwise be silently ignored); 'auto' in THIS container
+    (no embedding runtime) refuses rather than silently indexing stub
+    vectors against a real-model quantizer."""
+    import pytest
+
+    from etl_sber_spark.corpus_cli import main, parse_args
+
+    a = parse_args(["--inbox", "x", "--warehouse", "y",
+                    "--encoder", "auto"])
+    assert a.encoder == "auto"
+    assert parse_args(["--inbox", "x", "--warehouse", "y"]).encoder == "stub"
+
+    with pytest.raises(SystemExit, match="centroids-table"):
+        main(["--inbox", "x", "--warehouse", "/tmp/nope_wh",
+              "--encoder", "auto"])
