@@ -87,6 +87,29 @@ def estimated_jaccard(new_sigs: DataFrame, old_sigs: DataFrame,
     )
 
 
+def band_bucket_sizes(
+    index_sigs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """(band, band_key, _n): per-bucket band counts of a signature
+    index — the thinning guard's input, precomputable.
+
+    Why precompute (r9, measured in tools/scale_smoke_incremental.py):
+    the guard's bucket-size count is the ONE index-proportional term
+    in an increment's cost — a narrow map-side-combined aggregate, but
+    over the whole signature index every increment (3.3 → 7.1 s per
+    increment as the index grew 10k → 500k sigs). The counts change
+    only by APPENDS, so compute them on the index-maintenance cadence
+    (or fold in each increment's keeper sigs) and pass the frame to
+    :func:`near_dup_vs_index` / :func:`curate_increment`
+    ``bucket_sizes=``. Staleness is SOUND by construction: an
+    append-only index means a stale count only UNDERESTIMATES, so
+    thinning degrades toward uncapped (slower, never wrong) for
+    buckets that grew past the snapshot — never over-thins."""
+    return signature_bands(index_sigs, id_col).groupBy(
+        "band", "band_key"
+    ).agg(F.count(F.lit(1)).alias("_n"))
+
+
 def near_dup_vs_index(
     new_sigs: DataFrame,
     index_sigs: DataFrame,
@@ -94,6 +117,7 @@ def near_dup_vs_index(
     id_col: str = "doc_id",
     *,
     max_index_bucket: int | None = DEFAULT_MAX_BUCKET,
+    bucket_sizes: DataFrame | None = None,
 ) -> DataFrame:
     """(new_id, old_id, est_jaccard) for every new document whose
     estimated similarity against an indexed document reaches
@@ -112,7 +136,14 @@ def near_dup_vs_index(
     bucket is a near-dup clique (its members share a 4-component band
     key), so any surviving representative gives the same verdict.
     Per-new-doc estimator fanout is then ≤ N_BANDS × max_index_bucket
-    regardless of index size. ``None`` disables the guard."""
+    regardless of index size. ``None`` disables the guard.
+
+    ``bucket_sizes`` (r9): a precomputed :func:`band_bucket_sizes`
+    frame — the size count is otherwise the one index-proportional
+    term per increment (its docstring has the measurement and the
+    staleness-soundness argument). A bucket absent from the frame
+    (appeared after the snapshot) is treated as small — no thinning,
+    exact behavior."""
     nb = signature_bands(new_sigs, id_col).select(
         F.col(id_col).alias("new_id"), "band", "band_key"
     )
@@ -120,16 +151,25 @@ def near_dup_vs_index(
         F.col(id_col).alias("old_id"), "band", "band_key"
     )
     if max_index_bucket is not None:
-        sizes = ob.groupBy("band", "band_key").agg(
-            F.count(F.lit(1)).alias("_n")
+        sizes = (
+            bucket_sizes.select("band", "band_key", "_n")
+            if bucket_sizes is not None
+            else ob.groupBy("band", "band_key").agg(
+                F.count(F.lit(1)).alias("_n")
+            )
         )
         # keep rows whose id-hash falls on the 1-in-ceil(n/cap) lattice:
         # ≈ cap survivors per oversized bucket, no per-bucket sort (a
-        # window row_number would put the whole hot bucket on one task)
+        # window row_number would put the whole hot bucket on one task).
+        # LEFT join + null-guard: with inline sizes every bucket is
+        # covered (equivalent to the previous inner join); with a
+        # precomputed snapshot a post-snapshot bucket has no row and
+        # must pass unthinned
         ob = (
-            ob.join(sizes, ["band", "band_key"])
+            ob.join(sizes, ["band", "band_key"], "left")
             .filter(
-                (F.col("_n") <= max_index_bucket)
+                F.col("_n").isNull()
+                | (F.col("_n") <= max_index_bucket)
                 | (
                     F.pmod(
                         hash64(F.col("old_id").cast("string")),
@@ -162,6 +202,7 @@ def curate_increment(
     exact_threshold: float = 0.8,
     classifier_weights: list[float] | None = None,
     classifier_threshold: float = 0.5,
+    bucket_sizes: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """One increment of corpus maintenance.
 
@@ -180,6 +221,12 @@ def curate_increment(
       the index table — after which the next increment dedupes against
       the grown corpus. Weights come from ``load_classifier`` — the
       versioned artifact records which classifier gated each crawl.
+
+    ``bucket_sizes`` passes a precomputed :func:`band_bucket_sizes`
+    snapshot through to the index check — the 100 TB maintenance knob
+    that removes the one index-proportional term per increment (see
+    that function's docstring for the measurement and why staleness
+    is sound).
     """
     cls_drops = None
     if classifier_weights is not None:
@@ -206,7 +253,10 @@ def curate_increment(
     # frames per micro-batch; unpinned, the dominant new-vs-index join
     # re-ran once per action (review finding).
     vs_index = pin(
-        near_dup_vs_index(sigs, index_sigs, est_threshold, id_col)
+        near_dup_vs_index(
+            sigs, index_sigs, est_threshold, id_col,
+            bucket_sizes=bucket_sizes,
+        )
         .select(F.col("new_id").alias(id_col))
         .distinct()
     )

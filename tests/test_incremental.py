@@ -116,3 +116,81 @@ def test_curate_increment_grows_index_and_next_round_sees_it(spark, tmp_path):
     assert keep3.count() == 0
     # the index holds exactly the keepers: 1, 2, 11
     assert {r.doc_id for r in wh.read(idx).collect()} == {1, 2, 11}
+
+
+def test_precomputed_bucket_sizes_identical_and_sound(spark):
+    """bucket_sizes= (r9): a precomputed band_bucket_sizes snapshot
+    must (a) reproduce the inline guard's results exactly when fresh,
+    (b) stay SOUND when stale-low (append-only index: a bucket that
+    grew past the snapshot thins less, never over-thins — planted
+    near-dups still found), and (c) still cap a hot bucket it does
+    cover."""
+    from etl_sber_spark.operators.incremental import band_bucket_sizes
+
+    boiler = (
+        "terms of service all rights reserved contact us privacy policy "
+        "cookie settings about careers press blog help center sitemap"
+    )
+    # index: one hot family (60 identical boilerplate docs) + one
+    # normal doc
+    idx_docs = _docs(
+        spark, [(i, boiler) for i in range(60)] + [(100, BASE)]
+    )
+    index = minhash_signatures(idx_docs).localCheckpoint(eager=True)
+    new = minhash_signatures(
+        _docs(spark, [(900, boiler), (901, BASE.replace("dawn", "dusk")),
+                      (902, BASE2)])
+    ).localCheckpoint(eager=True)
+
+    fresh = band_bucket_sizes(index).localCheckpoint(eager=True)
+    cap = 8
+
+    def verdicts(**kw):
+        return sorted(
+            (r.new_id, r.old_id)
+            for r in near_dup_vs_index(
+                new, index, threshold=0.5, max_index_bucket=cap, **kw
+            ).collect()
+        )
+
+    inline = verdicts()
+    pre = verdicts(bucket_sizes=fresh)
+    # (a) identical pairs — the thinning lattice depends only on
+    # (old_id, _n), and fresh counts equal inline counts
+    assert pre == inline
+    assert {n for n, _ in inline} == {900, 901}  # 902 is novel
+
+    # (c) the hot bucket is actually capped under the precomputed
+    # snapshot: 900's matches are representatives, far fewer than 60
+    n_900 = sum(1 for n, _ in pre if n == 900)
+    assert 0 < n_900 <= 4 * cap  # ≤ N_BANDS × cap
+
+    # (b) stale-low: index doubles AFTER the snapshot; old counts
+    # under-thin the grown bucket but every planted near-dup is still
+    # found, and the new-since-snapshot normal doc's bucket (absent
+    # from the frame) passes unthinned
+    idx2_docs = _docs(
+        spark,
+        [(i, boiler) for i in range(60)]
+        + [(100, BASE), (101, BASE2)]
+        + [(1000 + i, boiler) for i in range(60)],
+    )
+    index2 = minhash_signatures(idx2_docs).localCheckpoint(eager=True)
+    stale = sorted(
+        (r.new_id, r.old_id)
+        for r in near_dup_vs_index(
+            new, index2, threshold=0.5, max_index_bucket=cap,
+            bucket_sizes=fresh,
+        ).collect()
+    )
+    hit_ids = {n for n, _ in stale}
+    assert hit_ids == {900, 901, 902}  # 902 now dups new index doc 101
+    # curate_increment passthrough: same verdict set via the composed
+    # API
+    ann, _ = curate_increment(
+        _docs(spark, [(900, boiler), (902, BASE2)]),
+        index2,
+        bucket_sizes=fresh,
+    )
+    got = {r.doc_id: r.drop_reason for r in ann.collect()}
+    assert got == {900: "index_near_dup", 902: "index_near_dup"}

@@ -173,10 +173,30 @@ def main() -> None:
         }
         n_keep_sigs = keeper_sigs.count()
         dt = time.perf_counter() - t0
+
+        # the maintenance knob (r9): bucket sizes precomputed OUTSIDE
+        # the increment (they change only by appends) — the increment
+        # then pays no index-wide aggregate
+        from etl_sber_spark.operators.incremental import band_bucket_sizes
+
+        sizes = band_bucket_sizes(index).localCheckpoint()
+        sizes.count()
+        t1 = time.perf_counter()
+        ann2, keep2 = curate_increment(inc, index, bucket_sizes=sizes)
+        reasons2 = {
+            r["drop_reason"]: r["count"]
+            for r in ann2.groupBy("drop_reason").count().collect()
+        }
+        n_keep2 = keep2.count()
+        dt2 = time.perf_counter() - t1
+        assert (reasons2, n_keep2) == (reasons, n_keep_sigs), (
+            reasons2, reasons,
+        )
         row = {
             "index_factor": f,
             "index_sigs": n_index,
             "increment_sec": round(dt, 2),
+            "increment_sec_presized": round(dt2, 2),
             "reasons": reasons,
             "keeper_sigs": n_keep_sigs,
         }
