@@ -68,6 +68,7 @@ def stream_corpus_increments(
     encoder=None,
     classifier_weights: list[float] | None = None,
     classifier_threshold: float = 0.5,
+    presize_buckets: bool = True,
 ) -> StreamingQuery:
     """Start the landing-zone stream; returns the StreamingQuery.
 
@@ -96,6 +97,21 @@ def stream_corpus_increments(
     trained quality gate as the increment's FIRST stage: rejected docs
     get ``'classifier'``, cost no dedup work, and never enter either
     index.
+
+    ``presize_buckets`` (r9, default on): the hot-bucket thinning
+    guard's bucket-size count is the one removable index-proportional
+    term per increment (operators/incremental.py
+    ``band_bucket_sizes`` — measured in
+    tools/scale_smoke_incremental.py). A cron run drains MANY
+    micro-batches, so the snapshot is computed ONCE at stream start
+    and reused by every batch of the run. Crash-safe by construction:
+    the snapshot counts only rows of batches whose APPLIED MARKER
+    exists (the marker is written last, so a crashed batch's
+    half-written partition is never counted), which makes every
+    staleness direction an UNDERCOUNT relative to any batch's own
+    index view — under-thinning, never over-thinning, the soundness
+    law ``band_bucket_sizes`` documents. Verdicts are pinned identical
+    either way; ``False`` restores the per-batch inline count.
     """
     raw = (
         spark.readStream.schema(corrupt_capture_schema())
@@ -104,6 +120,21 @@ def stream_corpus_increments(
         .option("maxFilesPerTrigger", str(max_files_per_trigger))
         .json(inbox)
     )
+
+    marker_table = f"{curated_table}__applied_batches"
+    bucket_sizes = None
+    if presize_buckets and wh.has_data(index_table):
+        from ..operators.incremental import band_bucket_sizes
+
+        idx = wh.read(index_table)
+        if "batch_id" in idx.columns and wh.has_data(marker_table):
+            # committed batches only: a crashed batch's half-written
+            # partition has no marker and must not inflate any count
+            # (an overcount could over-thin — the one unsound
+            # staleness direction)
+            applied = wh.read(marker_table).select("batch_id")
+            idx = idx.join(applied, "batch_id", "left_semi")
+        bucket_sizes = band_bucket_sizes(idx).localCheckpoint(eager=True)
 
     def transform(batch_df: DataFrame, batch_id: int) -> dict[str, DataFrame]:
         # the SAME split the batch reader uses (sources/corpus.py) —
@@ -125,6 +156,7 @@ def stream_corpus_increments(
             exact_threshold=exact_threshold,
             classifier_weights=classifier_weights,
             classifier_threshold=classifier_threshold,
+            bucket_sizes=bucket_sizes,
         )
         out = {
             curated_table: annotated,

@@ -478,3 +478,53 @@ def test_corpus_cli_encoder_flag():
     with pytest.raises(SystemExit, match="centroids-table"):
         main(["--inbox", "x", "--warehouse", "/tmp/nope_wh",
               "--encoder", "auto"])
+
+
+def test_presized_buckets_identical_across_batches(spark, tmp_path):
+    """presize_buckets (r9): the run-start committed-only bucket-size
+    snapshot must leave every verdict and index row identical to the
+    per-batch inline count, across batches that dedupe against the
+    grown index."""
+    def run(mode, sub):
+        inbox = tmp_path / f"inbox_{sub}"
+        inbox.mkdir()
+        wh = Warehouse(spark, str(tmp_path / f"wh_{sub}"))
+        ckpt = str(tmp_path / f"ck_{sub}")
+        _write_jsonl(
+            inbox / "b1.jsonl",
+            [
+                {"doc_id": 1, "text": BASE, "lang": "en", "source": "a"},
+                {"doc_id": 2, "text": UNRELATED, "lang": "en",
+                 "source": "a"},
+            ],
+        )
+        q = stream_corpus_increments(
+            spark, str(inbox), wh, ckpt, presize_buckets=mode
+        )
+        q.awaitTermination(120)
+        _write_jsonl(
+            inbox / "b2.jsonl",
+            [
+                {"doc_id": 11, "text": BASE.replace("lazy", "sleepy"),
+                 "lang": "en", "source": "a"},
+                {"doc_id": 12, "text": BASE2, "lang": "en", "source": "a"},
+            ],
+        )
+        q = stream_corpus_increments(
+            spark, str(inbox), wh, ckpt, presize_buckets=mode
+        )
+        q.awaitTermination(120)
+        curated = sorted(
+            (r.doc_id, r.drop_reason)
+            for r in wh.read("curated_docs").collect()
+        )
+        index_ids = sorted(
+            r.doc_id for r in wh.read("minhash_index").collect()
+        )
+        return curated, index_ids
+
+    on = run(True, "on")
+    off = run(False, "off")
+    assert on == off
+    assert on[0] == [(1, None), (2, None), (11, "index_near_dup"),
+                     (12, None)]
