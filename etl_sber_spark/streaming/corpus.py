@@ -127,14 +127,25 @@ def stream_corpus_increments(
         from ..operators.incremental import band_bucket_sizes
 
         idx = wh.read(index_table)
-        if "batch_id" in idx.columns and wh.has_data(marker_table):
+        if "batch_id" in idx.columns:
             # committed batches only: a crashed batch's half-written
             # partition has no marker and must not inflate any count
             # (an overcount could over-thin — the one unsound
-            # staleness direction)
-            applied = wh.read(marker_table).select("batch_id")
-            idx = idx.join(applied, "batch_id", "left_semi")
-        bucket_sizes = band_bucket_sizes(idx).localCheckpoint(eager=True)
+            # staleness direction). No marker table at all = NO batch
+            # ever committed (the marker is written last), so index
+            # data without markers is entirely crash debris: fall back
+            # to the inline per-batch count rather than snapshot it
+            # (r9 review — the earlier gate skipped the semi-join in
+            # exactly the state it exists for)
+            if wh.has_data(marker_table):
+                applied = wh.read(marker_table).select("batch_id")
+                idx = idx.join(applied, "batch_id", "left_semi")
+            else:
+                idx = None
+        if idx is not None:
+            bucket_sizes = band_bucket_sizes(idx).localCheckpoint(
+                eager=True
+            )
 
     def transform(batch_df: DataFrame, batch_id: int) -> dict[str, DataFrame]:
         # the SAME split the batch reader uses (sources/corpus.py) —
