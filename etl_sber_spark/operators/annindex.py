@@ -52,6 +52,7 @@ random-hyperplane LSH, Charikar STOC'02).
 
 from __future__ import annotations
 
+import math
 from typing import NamedTuple
 
 from pyspark.sql import DataFrame, Window
@@ -62,6 +63,7 @@ from .similarity import (
     _centroid_rows,
     bucket_expr,
     kmeans_centroids,
+    nearest_centroids_col,
     nearest_centroids_expr,
     quantize_vec_sql,
 )
@@ -133,11 +135,12 @@ def materialize_ivf_assignments(
     vec_col: str = "embedding",
     *,
     cent_rows=None,
+    impl: str = "auto",
 ) -> DataFrame:
     """The ingest-time step: every input column plus ``centroid_id``
     (nearest centroid in the quantized training space — the same
-    literal-matrix argmin projection the inline path uses, zero joins,
-    zero shuffles). Write the result as the stored embedding table; at
+    argmin projection the inline path uses, zero joins, zero
+    shuffles). Write the result as the stored embedding table; at
     100 TB partition/cluster it BY ``centroid_id`` so an n_probe query
     prunes to its probed lists at the file level.
 
@@ -147,12 +150,20 @@ def materialize_ivf_assignments(
     EVERY trigger (the vector-ingest profiler measured ~1.6 s/batch of
     plan-build, tools/profile_vector_ingest.py). The frozen-quantizer
     contract makes the hoist sound: the artifact cannot change
-    mid-stream."""
+    mid-stream.
+
+    ``impl`` (r10): the assignment engine — ``"arrow"`` (vectorized
+    numpy over Arrow batches, bit-equal to the SQL fold and ~16× faster
+    at k=64 — the ingest bottleneck tools/profile_vector_ingest.py
+    attributed), ``"expr"`` (the interpreted fold), or ``"auto"``
+    (arrow when available — the default). Stored centroid_id columns
+    are identical whichever engine wrote them
+    (tests/test_arrow_assign.py)."""
     if cent_rows is None:
         cent_rows = _centroid_rows(centroids)
     return spread(embeddings).withColumn(
         "centroid_id",
-        nearest_centroids_expr(quantize_vec_sql(vec_col), cent_rows, 1)[0],
+        nearest_centroids_col(vec_col, cent_rows, 1, impl).getItem(0),
     )
 
 
@@ -1016,10 +1027,34 @@ def restamp_probe_baselines(
 # ---------------------------------------------------------------------------
 
 
+def suggest_n_lists(n_vectors: int, train_size: int | None = None) -> int:
+    """The r10 quantizer-sizing rule: ``n_lists ≈ √n`` (the standard
+    IVF convention — e.g. the FAISS guidelines' ``nlist ~ K·√n`` —
+    balancing the two scale terms a coarse quantizer owns: ingest
+    assignment is n·k work, a query's probed scan is ~n·n_probe/k rows,
+    so √n keeps BOTH sub-linear per row; k ∝ n makes assignment
+    quadratic in corpus growth — the measured 50×→100× 4× blow-up the
+    e2e smoke carried before this rule, SCALE.md serving_build).
+
+    Floor 16 (the historical default — tiny corpora keep their exact
+    behavior); when ``train_size`` is given (the ``train_mod`` sample
+    the trainer will actually see), k is additionally capped so every
+    centroid averages ≥ 40 training vectors — fewer degenerates into
+    empty/singleton clusters (the FAISS "at least ~39 points per
+    centroid" warning). NOT for SemDeDup cluster sizing: its
+    within-cluster pair work is Σ|cluster|², which needs k ∝ n
+    (operators/semdedup.py VECS_PER_CLUSTER — the r5 measured
+    decision); this rule is for the ANN serving index."""
+    k = max(16, math.isqrt(max(n_vectors, 0)))
+    if train_size is not None:
+        k = max(16, min(k, train_size // 40))
+    return k
+
+
 def build_ann_index(
     wh,
     embeddings: DataFrame,
-    n_lists: int = 16,
+    n_lists: int | str = 16,
     n_iter: int = 3,
     n_dims: int | None = None,
     id_col: str = "vec_id",
@@ -1035,12 +1070,26 @@ def build_ann_index(
     ALL serving columns (``centroid_id``, ``bucket``, and with
     ``n_tables=L`` the extra ``bucket_t1..t{L-1}``) attached — the
     frame to write as the stored embedding table. ``n_dims`` defaults
-    to the measured first-row vector length."""
+    to the measured first-row vector length.
+
+    ``n_lists="auto"`` (r10) sizes the quantizer by the √n rule
+    (:func:`suggest_n_lists` — one count job, capped by the
+    ``train_mod`` sample size so every centroid keeps ≥ 40 training
+    vectors); an explicit int is honored as-is."""
     if n_dims is None:
         first = embeddings.select(F.size(vec_col).alias("n")).first()
         if first is None:
             raise ValueError("embeddings frame is empty — nothing to index")
         n_dims = int(first.n)
+    if n_lists == "auto":
+        n = embeddings.count()
+        n_lists = suggest_n_lists(
+            n, n // train_mod if train_mod else n
+        )
+    elif not isinstance(n_lists, int):
+        raise ValueError(
+            f"n_lists={n_lists!r}: expected an int or 'auto'"
+        )
     cents = train_ivf_index(
         embeddings, n_lists, n_iter, id_col, vec_col, train_mod=train_mod
     )

@@ -49,7 +49,7 @@ from .similarity import (
     SIM_SCALE,
     _centroid_rows,
     kmeans_centroids,
-    nearest_centroids_expr,
+    nearest_centroids_col,
     quantize_vec_sql,
 )
 from .spread import spread
@@ -90,6 +90,7 @@ def semantic_assignments(
     centroids: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    impl: str = "auto",
 ) -> DataFrame:
     """(id, vec, centroid_id, centroid_sim): nearest centroid per vector
     plus the cosine similarity to it — one shuffle-free projection.
@@ -98,14 +99,17 @@ def semantic_assignments(
     literal directly: cosine is scale-invariant, so the × QUANT factor
     the trainer bakes into centroid coordinates cancels. Rounded to
     SIM_SCALE like every similarity this package emits.
+
+    ``impl`` picks the argmin engine (similarity.nearest_centroids_col
+    — the r10 Arrow fast path by default, bit-equal to the SQL fold).
     """
     cent_rows = _centroid_rows(centroids)
     return spread(embeddings).select(
         F.col(id_col),
         F.col(vec_col),
-        nearest_centroids_expr(quantize_vec_sql(vec_col), cent_rows, 1)[0].alias(
-            "centroid_id"
-        ),
+        nearest_centroids_col(vec_col, cent_rows, 1, impl)
+        .getItem(0)
+        .alias("centroid_id"),
     ).withColumn(
         "centroid_sim", _centroid_sim_expr(F.col(vec_col), cent_rows)
     )

