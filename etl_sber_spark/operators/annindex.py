@@ -799,8 +799,8 @@ def ann_status(
     sample = rows.localCheckpoint(eager=False)
 
     from .similarity import (
-        nearest_centroid_dist_expr,
-        nearest_centroids_expr,
+        nearest_centroid_dist_col,
+        nearest_centroids_col,
     )
 
     cents = load_ivf_index(wh, ivf_name)
@@ -810,13 +810,12 @@ def ann_status(
         F.avg(
             (
                 F.col("centroid_id")
-                != nearest_centroids_expr(
-                    quantize_vec_sql("embedding"), cent_rows, 1
-                )[0]
+                != nearest_centroids_col("embedding", cent_rows, 1)
+                .getItem(0)
             ).cast("double")
         ).alias("frac_reassigned"),
         F.avg(
-            nearest_centroid_dist_expr(quantize_vec_sql("embedding"), cent_rows)
+            nearest_centroid_dist_col("embedding", cent_rows)
         ).alias("mean_dist"),
     ).first()
     n_sampled = int(stats.n)
@@ -924,7 +923,7 @@ def _probe_baselines(
     too, and a corpus that small never auto-selects them. Shared by
     the build stamp and the r9 restamp — one probe procedure, never
     two drifting copies."""
-    from .similarity import nearest_centroid_dist_expr
+    from .similarity import nearest_centroid_dist_col
 
     cent_rows = _centroid_rows(cents)
     sample = _sample(
@@ -938,7 +937,7 @@ def _probe_baselines(
         row = sub.agg(
             F.count(F.lit(1)).alias("n"),
             F.avg(
-                nearest_centroid_dist_expr(quantize_vec_sql(vec_col), cent_rows)
+                nearest_centroid_dist_col(vec_col, cent_rows)
             ).alias("m"),
         ).first()
         n_sub = int(row.n)

@@ -629,6 +629,77 @@ def nearest_centroids_arrow(
     return pandas_udf(_probe, "array<int>")(qv_col)
 
 
+def nearest_centroid_dist_arrow(
+    qv_col: Column, cent_rows: list[tuple[int, list[float]]]
+) -> Column:
+    """Arrow twin of :func:`nearest_centroid_dist_expr` — the drift
+    monitor's distance, bit-equal by construction: the raw fold is the
+    same IEEE replay as :func:`nearest_centroids_arrow`, and the
+    output value needs NO near-tie machinery because rounding is
+    monotone — the sorted struct's first ``d`` is min-of-rounded =
+    rounded-of-min, whichever centroid id wins the tie. Every row's
+    min distance goes through the exact decimal round (sample-sized
+    inputs — the probe runs on the mod-16 ladder sample), then
+    ``sqrt(d)/QUANT`` elementwise (both correctly-rounded IEEE ops,
+    same as the JVM's). NULL / length-mismatched vectors yield NULL,
+    as the expression's NULL fold does. The build-time probe at
+    k=707 × 31k sample rows measured 62 s on the interpreted
+    expression — this path exists because the drift probe scales with
+    k × sample, not the corpus, and k grows with √n now."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.array([vec for _, vec in cent_rows], dtype=np.float64)
+    k, d = C.shape
+    quant = float(QUANT)
+
+    def _dist(qv):
+        vals = qv.to_numpy()
+        n = len(vals)
+        out = [None] * n
+        idx = [
+            i for i, v in enumerate(vals) if v is not None and len(v) == d
+        ]
+        if not idx:
+            return pd.Series(out, dtype=object)
+        X = np.stack([vals[i] for i in idx]).astype(np.float64)
+        acc = np.zeros((len(idx), k))
+        for j in range(d):
+            t = X[:, j, None] - C[None, :, j]
+            np.multiply(t, t, out=t)
+            acc += t
+        mins = acc.min(axis=1)
+        for r, i in enumerate(idx):
+            out[i] = float(
+                np.sqrt(_round_sim_scale_py(float(mins[r]))) / quant
+            )
+        return pd.Series(out, dtype=object)
+
+    _dist.__annotations__ = {"qv": pd.Series, "return": pd.Series}
+    return pandas_udf(_dist, "double")(qv_col)
+
+
+def nearest_centroid_dist_col(
+    vec_col: str,
+    cent_rows: list[tuple[int, list[float]]],
+    impl: str = "auto",
+) -> Column:
+    """Engine-picking twin of :func:`nearest_centroids_col` for the
+    drift-monitor distance (build stamp, ann_status, restamp — all
+    three MUST use one definition or baselines drift). Identical
+    values either way (pinned in tests/test_arrow_assign.py)."""
+    if impl == "auto":
+        impl = "arrow" if arrow_assign_available() else "expr"
+    if impl == "arrow":
+        return nearest_centroid_dist_arrow(quantize_vec(vec_col), cent_rows)
+    if impl == "expr":
+        return nearest_centroid_dist_expr(quantize_vec_sql(vec_col), cent_rows)
+    raise ValueError(
+        f"impl={impl!r}: expected 'auto', 'arrow' or 'expr'"
+    )
+
+
 def arrow_assign_available() -> bool:
     """True when the Arrow assignment path can run here (numpy +
     pandas + pyarrow importable) — the ``impl="auto"`` probe."""

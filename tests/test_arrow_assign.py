@@ -234,3 +234,45 @@ def test_semantic_paths_impl_parity(spark):
         a = fn(emb, cents, impl="expr").select(cols).orderBy("vec_id").collect()
         b = fn(emb, cents, impl="arrow").select(cols).orderBy("vec_id").collect()
         assert a == b
+
+
+def test_dist_col_bit_equal(spark):
+    """nearest_centroid_dist arrow vs expr: identical doubles on the
+    fixture (the drift-monitor contract — a baseline stamped by one
+    engine must ratio 1.0 against a status probed by the other), and
+    NULL for NULL/length-mismatched vectors."""
+    from etl_sber_spark.operators.similarity import (
+        nearest_centroid_dist_arrow,
+        nearest_centroid_dist_expr,
+    )
+
+    emb = spark.read.parquet(f"{SF_MED}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    cents = kmeans_centroids(emb, 16, 2)
+    from etl_sber_spark.operators.similarity import _centroid_rows
+
+    cent_rows = _centroid_rows(cents)
+    rows = emb.select(
+        nearest_centroid_dist_expr(
+            quantize_vec_sql("embedding"), cent_rows
+        ).alias("e"),
+        nearest_centroid_dist_arrow(
+            quantize_vec("embedding"), cent_rows
+        ).alias("a"),
+    ).collect()
+    assert rows and all(r.e == r.a for r in rows)
+
+    weird = spark.createDataFrame(
+        [(1, None), (2, [0.5]), (3, [])],
+        "id int, embedding array<double>",
+    )
+    wrows = weird.select(
+        nearest_centroid_dist_expr(
+            quantize_vec_sql("embedding"), cent_rows
+        ).alias("e"),
+        nearest_centroid_dist_arrow(
+            quantize_vec("embedding"), cent_rows
+        ).alias("a"),
+    ).collect()
+    assert all(r.e is None and r.a is None for r in wrows)
