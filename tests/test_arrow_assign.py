@@ -360,3 +360,27 @@ def test_materialize_lsh_buckets_impl_parity(spark):
         .select(cols).orderBy("vec_id").collect()
     )
     assert a == b
+
+
+def test_cosine_topk_ivf_assign_impl_parity(spark):
+    """cosine_topk_ivf's corpus-side assignment under assign_impl
+    'arrow' returns the same top-k as the default expression (the
+    graded path keeps 'expr'; annindex's recall probe passes 'auto')."""
+    from etl_sber_spark.operators.similarity import cosine_topk_ivf
+
+    emb = spark.read.parquet(f"{SF_MED}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    queries = emb.orderBy("vec_id").limit(4)
+    cols = ["query_id", "vec_id", "rank"]
+    a = (
+        cosine_topk_ivf(emb, queries, k=3, n_lists=8, n_probe=2)
+        .select(cols).orderBy(cols).collect()
+    )
+    b = (
+        cosine_topk_ivf(
+            emb, queries, k=3, n_lists=8, n_probe=2, assign_impl="arrow"
+        )
+        .select(cols).orderBy(cols).collect()
+    )
+    assert a == b
