@@ -107,6 +107,16 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
         "no re-embedding pass. Idempotent (fixed bootstrap "
         "partition); requires --centroids-table",
     )
+    p.add_argument(
+        "--band-index-table",
+        default=None,
+        help="keep the signature index's hashed band layout in "
+        "lockstep in this table (streaming/corpus.py "
+        "sync_band_index): each increment probes the standing corpus "
+        "through a two-bigint-column scan instead of re-exploding "
+        "all signature columns. Self-backfills at stream start, so "
+        "it can be enabled on a standing warehouse",
+    )
     return p.parse_args(argv)
 
 
@@ -193,6 +203,7 @@ def main(argv: list[str] | None = None) -> int:
         centroids=centroids,
         semantic_threshold=args.semantic_threshold,
         encoder=encoder,
+        band_index_table=args.band_index_table,
     )
     q.awaitTermination()
 

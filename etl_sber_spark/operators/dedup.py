@@ -148,13 +148,15 @@ def minhash_signatures(
 
 
 def signature_bands(
-    signatures: DataFrame, id_col: str = "doc_id"
+    signatures: DataFrame, id_col: str = "doc_id", extra_cols: tuple = ()
 ) -> DataFrame:
     """(id, band, band_key) rows: each K=16 signature explodes into
     N_BANDS keys of r=4 concatenated components — ONE ``posexplode``
     (a per-band union would replicate the signature subtree N_BANDS
     times). Shared by the batch self-join (lsh_candidate_pairs) and the
-    incremental new-vs-index join (operators/incremental.py)."""
+    incremental new-vs-index join (operators/incremental.py).
+    ``extra_cols`` rides passthrough columns (e.g. the ``batch_id``
+    partition key for the streaming band-layout backfill) alongside."""
     r = len(MINHASH_PERMS) // N_BANDS
     keys = F.array(
         *[
@@ -165,7 +167,9 @@ def signature_bands(
         ]
     )
     return signatures.select(
-        F.col(id_col), F.posexplode(keys).alias("band", "band_key")
+        F.col(id_col),
+        *[F.col(c) for c in extra_cols],
+        F.posexplode(keys).alias("band", "band_key"),
     )
 
 

@@ -96,7 +96,9 @@ BAND_INDEX_TABLE = "sig_band_index"
 BAND_INDEX_BUCKETS = 64
 
 
-def hashed_bands(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def hashed_bands(
+    df: DataFrame, id_col: str = "doc_id", extra_cols: tuple = ()
+) -> DataFrame:
     """(id, bk): band rows with the key HASHED to one bigint —
     ``bk = xxhash64(band, band_key)`` — the incremental path's internal
     join key (r10). Accepts a signature frame (exploded here), a
@@ -118,14 +120,22 @@ def hashed_bands(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     candidate pair — rejected by the estimator, which reads the real
     signatures — or merges two thinning buckets (inflated count →
     could thin a small bucket). Both are orders below minhash-LSH's
-    own probabilistic miss rate; the banding stage was never exact."""
+    own probabilistic miss rate; the banding stage was never exact.
+
+    ``extra_cols`` rides passthrough columns (the streaming band-table
+    backfill keeps ``batch_id`` so one dynamic-partition-overwrite
+    write covers every missing batch; streaming/corpus.py)."""
     if "bk" in df.columns:
-        return df.select(F.col(id_col), "bk")
+        return df.select(F.col(id_col), *extra_cols, "bk")
     bands = (
-        df if "band_key" in df.columns else signature_bands(df, id_col)
+        df
+        if "band_key" in df.columns
+        else signature_bands(df, id_col, extra_cols)
     )
     return bands.select(
-        F.col(id_col), F.xxhash64("band", "band_key").alias("bk")
+        F.col(id_col),
+        *extra_cols,
+        F.xxhash64("band", "band_key").alias("bk"),
     )
 
 

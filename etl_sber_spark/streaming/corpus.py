@@ -49,6 +49,94 @@ def empty_index(spark: SparkSession, id_col: str = "doc_id") -> DataFrame:
     return spark.createDataFrame([], schema)
 
 
+def sync_band_index(
+    wh: Warehouse,
+    index_table: str = "minhash_index",
+    band_table: str = "minhash_bands",
+    marker_table: str = "curated_docs__applied_batches",
+    id_col: str = "doc_id",
+) -> int:
+    """Bring the STREAM's band layout into lockstep with the signature
+    index; returns the number of partitions (re)written.
+
+    This is the streaming twin of operators/incremental.py
+    ``save_band_index``: the same (id, bk) rows, but PARTITIONED BY
+    ``batch_id`` instead of bucketed by ``bk`` — partition-for-partition
+    a mirror of the signature index, so the loop's existing idempotence
+    construction (dynamic partition overwrite + marker-last) covers the
+    band table with no new machinery. The bucketed layout's file-prune
+    ability is NOT needed here (save_band_index's docstring: band keys
+    are hash-uniform, a normal increment touches every bucket anyway —
+    the measured win is the narrow pre-hashed two-bigint scan, which
+    this layout keeps).
+
+    Lockstep is a RECALL contract (a sig row with no band row silently
+    drops its candidate pair), so enabling ``band_index_table`` on a
+    warehouse with an existing index needs this backfill, and the
+    stream runs it at every start:
+
+    - index has no ``batch_id`` column (batch-built, e.g.
+      save_corpus_index): the whole index's band rows land in the
+      semindex bootstrap convention's batch ``-1`` partition —
+      re-running overwrites, never duplicates;
+    - index is batch-partitioned: every COMMITTED batch (marker
+      present — an unmarked partition is crash debris the checkpoint
+      will redeliver under its own batch_id) missing from the band
+      table is backfilled into its own partition, one dynamic-overwrite
+      write for all of them. Band partitions with NO surviving sig
+      partition (a ``-1`` bootstrap of a since-rebuilt index) are
+      DROPPED — stale rows would double-count docs into the thinning
+      snapshot, the one unsound staleness direction.
+
+    Driver-side work is one distinct-batch_id collect per table —
+    bounded by the number of stream batches, the same audited class as
+    the marker fast-skip."""
+    from ..operators.incremental import hashed_bands
+    from ..operators.semindex import BOOTSTRAP_BATCH_ID
+
+    if not wh.has_data(index_table):
+        return 0
+    idx = wh.read(index_table)
+    if "batch_id" not in idx.columns:
+        wh.overwrite_partitions(
+            hashed_bands(idx, id_col).withColumn(
+                "batch_id", F.lit(BOOTSTRAP_BATCH_ID)
+            ),
+            band_table,
+            ["batch_id"],
+        )
+        return 1
+    committed: set = set()
+    if wh.has_data(marker_table):
+        committed = {
+            r.batch_id
+            for r in wh.read(marker_table).select("batch_id").distinct().collect()
+        }
+    sig_ids = {
+        r.batch_id for r in idx.select("batch_id").distinct().collect()
+    }
+    band_ids: set = set()
+    if wh.has_data(band_table):
+        band_ids = {
+            r.batch_id
+            for r in wh.read(band_table).select("batch_id").distinct().collect()
+        }
+    written = 0
+    for stale in sorted(band_ids - sig_ids):
+        if wh.drop_partition(band_table, "batch_id", stale):
+            written += 1
+    missing = sorted((sig_ids & committed) - band_ids)
+    if missing:
+        sub = idx.filter(F.col("batch_id").isin([int(b) for b in missing]))
+        wh.overwrite_partitions(
+            hashed_bands(sub, id_col, extra_cols=("batch_id",)),
+            band_table,
+            ["batch_id"],
+        )
+        written += len(missing)
+    return written
+
+
 def stream_corpus_increments(
     spark: SparkSession,
     inbox: str,
@@ -69,6 +157,7 @@ def stream_corpus_increments(
     classifier_weights: list[float] | None = None,
     classifier_threshold: float = 0.5,
     presize_buckets: bool = True,
+    band_index_table: str | None = None,
 ) -> StreamingQuery:
     """Start the landing-zone stream; returns the StreamingQuery.
 
@@ -112,6 +201,23 @@ def stream_corpus_increments(
     index view — under-thinning, never over-thinning, the soundness
     law ``band_bucket_sizes`` documents. Verdicts are pinned identical
     either way; ``False`` restores the per-batch inline count.
+
+    ``band_index_table`` (r10): name a table to keep the signature
+    index's HASHED BAND LAYOUT (operators/incremental.py
+    ``hashed_bands`` — two bigint columns, pre-exploded, pre-hashed)
+    in lockstep with the index, partition-for-partition. Each batch
+    then probes the standing corpus through the narrow band table
+    instead of re-reading all K signature columns and re-exploding
+    them — the residual index-proportional term the r9 smoke
+    decomposed (SCALE.md: candidate+estimator 1.19 → 0.94 s at 500k
+    sigs) — and the start-of-run thinning snapshot counts the band
+    table directly (no per-run explode either). :func:`sync_band_index`
+    runs at every stream start, so enabling this on a standing
+    warehouse backfills itself; idempotence needs no new machinery —
+    the band frame is just one more batch_id-partitioned output of the
+    same transform (see sync_band_index on why lockstep is a recall
+    contract). Default off: the layout doubles the index's write
+    surface, which a small corpus never earns back.
     """
     raw = (
         spark.readStream.schema(corrupt_capture_schema())
@@ -122,8 +228,37 @@ def stream_corpus_increments(
     )
 
     marker_table = f"{curated_table}__applied_batches"
+    if band_index_table is not None:
+        sync_band_index(
+            wh, index_table, band_index_table, marker_table
+        )
     bucket_sizes = None
-    if presize_buckets and wh.has_data(index_table):
+    if presize_buckets and band_index_table is not None and wh.has_data(
+        band_index_table
+    ):
+        from ..operators.incremental import band_bucket_sizes
+        from ..operators.semindex import BOOTSTRAP_BATCH_ID
+
+        # post-sync the band table mirrors the index; count committed
+        # partitions plus the -1 bootstrap (which has no marker by
+        # design — it is not a stream batch). Same soundness gate as
+        # the sig path below: an unmarked batch partition is debris
+        # the checkpoint will redeliver, and counting it could
+        # over-thin.
+        applied = (
+            wh.read(marker_table).select("batch_id")
+            if wh.has_data(marker_table)
+            else spark.createDataFrame([], "batch_id bigint")
+        ).union(
+            spark.createDataFrame([(BOOTSTRAP_BATCH_ID,)], "batch_id bigint")
+        )
+        src = wh.read(band_index_table).join(
+            applied, "batch_id", "left_semi"
+        )
+        bucket_sizes = band_bucket_sizes(
+            src.drop("batch_id")
+        ).localCheckpoint(eager=True)
+    elif presize_buckets and wh.has_data(index_table):
         from ..operators.incremental import band_bucket_sizes
 
         idx = wh.read(index_table)
@@ -158,6 +293,11 @@ def stream_corpus_increments(
         # the whole batch would re-curate as near-dup-of-itself
         # (the crawl-stream review finding; same hazard here)
         index = read_index_excluding(wh, index_table, batch_id)
+        bands = (
+            read_index_excluding(wh, band_index_table, batch_id)
+            if band_index_table is not None and index is not None
+            else None
+        )
         if index is None:
             index = empty_index(spark)
         annotated, keeper_sigs = curate_increment(
@@ -168,6 +308,7 @@ def stream_corpus_increments(
             classifier_weights=classifier_weights,
             classifier_threshold=classifier_threshold,
             bucket_sizes=bucket_sizes,
+            index_bands=bands,
         )
         out = {
             curated_table: annotated,
@@ -220,6 +361,19 @@ def stream_corpus_increments(
                 sem_drops.select("doc_id"), "doc_id", "left_anti"
             )
             out[semantic_index_table] = sem_keep_rows
+        if band_index_table is not None:
+            from ..operators.incremental import hashed_bands
+            from ..operators.materialize import pin
+
+            # lockstep by construction: the band rows are derived from
+            # the FINAL index frame (post semantic exclusion) and land
+            # in the same batch_id partition in the same write loop —
+            # ordered after the index table, so a crash between the two
+            # leaves the sig side ahead (missing band rows stay in the
+            # uncommitted partition both reads exclude), never behind.
+            # Pinned: the sig frame now feeds two writes (index + bands)
+            out[index_table] = pin(out[index_table])
+            out[band_index_table] = hashed_bands(out[index_table])
         return out
 
     return run_idempotent_increments(

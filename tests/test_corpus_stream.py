@@ -383,8 +383,14 @@ def test_corpus_cli_semantic_flags_parse():
     assert a.centroids_table == "ann_ivf_centroids"
     assert a.semantic_threshold == 0.97
     assert a.bootstrap_serving_table == "ann_serving"
+    b = parse_args(
+        ["--inbox", "x", "--warehouse", "y",
+         "--band-index-table", "minhash_bands"]
+    )
+    assert b.band_index_table == "minhash_bands"
     d = parse_args(["--inbox", "x", "--warehouse", "y"])
     assert d.centroids_table is None and d.bootstrap_serving_table is None
+    assert d.band_index_table is None
 
 
 def test_corpus_cli_semantic_bootstrap_subprocess(spark, tmp_path):
@@ -528,3 +534,212 @@ def test_presized_buckets_identical_across_batches(spark, tmp_path):
     assert on == off
     assert on[0] == [(1, None), (2, None), (11, "index_near_dup"),
                      (12, None)]
+
+
+def test_band_index_lockstep_and_identical_verdicts(spark, tmp_path):
+    """band_index_table (r10): the batch_id-partitioned hashed band
+    layout stays in lockstep with the signature index across batches,
+    the index_near_dup verdict is produced THROUGH the band-table
+    probe, and every verdict/index row is identical to a run without
+    the layout."""
+    from etl_sber_spark.operators.dedup import N_BANDS
+
+    def run(band_table, sub):
+        inbox = tmp_path / f"inbox_{sub}"
+        inbox.mkdir()
+        wh = Warehouse(spark, str(tmp_path / f"wh_{sub}"))
+        ckpt = str(tmp_path / f"ck_{sub}")
+        _write_jsonl(
+            inbox / "b1.jsonl",
+            [
+                {"doc_id": 1, "text": BASE, "lang": "en", "source": "a"},
+                {"doc_id": 2, "text": UNRELATED, "lang": "en",
+                 "source": "a"},
+            ],
+        )
+        q = stream_corpus_increments(
+            spark, str(inbox), wh, ckpt, band_index_table=band_table
+        )
+        q.awaitTermination(120)
+        _write_jsonl(
+            inbox / "b2.jsonl",
+            [
+                {"doc_id": 11, "text": BASE.replace("lazy", "sleepy"),
+                 "lang": "en", "source": "a"},
+                {"doc_id": 12, "text": BASE2, "lang": "en", "source": "a"},
+            ],
+        )
+        q = stream_corpus_increments(
+            spark, str(inbox), wh, ckpt, band_index_table=band_table
+        )
+        q.awaitTermination(120)
+        curated = sorted(
+            (r.doc_id, r.drop_reason)
+            for r in wh.read("curated_docs").collect()
+        )
+        index_ids = sorted(
+            r.doc_id for r in wh.read("minhash_index").collect()
+        )
+        return wh, curated, index_ids
+
+    wh_on, curated_on, idx_on = run("minhash_bands", "bands_on")
+    wh_off, curated_off, idx_off = run(None, "bands_off")
+    assert curated_on == curated_off
+    assert idx_on == idx_off
+    # doc 11 was dropped, so it must have no band rows (only keepers
+    # enter the index and its band layout)
+    assert 11 not in {
+        r.doc_id for r in wh_on.read("minhash_bands").collect()
+    }
+    # lockstep, partition for partition: every sig row has its N_BANDS
+    # band rows in the SAME batch_id partition
+    sig = [
+        (r.batch_id, r.doc_id)
+        for r in wh_on.read("minhash_index").select(
+            "batch_id", "doc_id"
+        ).collect()
+    ]
+    band = sorted(
+        ((r.batch_id, r.doc_id), r["count"])
+        for r in wh_on.read("minhash_bands")
+        .groupBy("batch_id", "doc_id")
+        .count()
+        .collect()
+    )
+    assert band == sorted(((k, N_BANDS) for k in sig))
+
+
+def test_sync_band_index_backfills_standing_warehouse(spark, tmp_path):
+    """Enabling band_index_table on a warehouse whose index predates it
+    must backfill the committed batches at stream start (lockstep is a
+    recall contract: a sig row with no band row silently drops its
+    candidate pair — doc 11 would wrongly survive)."""
+    from etl_sber_spark.streaming.corpus import sync_band_index
+
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    ckpt = str(tmp_path / "ckpt")
+    _write_jsonl(
+        inbox / "b1.jsonl",
+        [
+            {"doc_id": 1, "text": BASE, "lang": "en", "source": "a"},
+            {"doc_id": 2, "text": UNRELATED, "lang": "en", "source": "a"},
+        ],
+    )
+    q = stream_corpus_increments(spark, str(inbox), wh, ckpt)  # no bands
+    q.awaitTermination(120)
+    assert not wh.has_data("minhash_bands")
+
+    # enable the layout for the second run: sync backfills batch 0,
+    # and the near-dup of batch-0's doc 1 is caught through it
+    _write_jsonl(
+        inbox / "b2.jsonl",
+        [
+            {"doc_id": 11, "text": BASE.replace("lazy", "sleepy"),
+             "lang": "en", "source": "a"},
+        ],
+    )
+    q = stream_corpus_increments(
+        spark, str(inbox), wh, ckpt, band_index_table="minhash_bands"
+    )
+    q.awaitTermination(120)
+    reasons = {r.doc_id: r.drop_reason for r in wh.read("curated_docs").collect()}
+    assert reasons[11] == "index_near_dup"
+    bands = wh.read("minhash_bands")
+    assert sorted(
+        r.batch_id for r in bands.select("batch_id").distinct().collect()
+    ) == [0]  # batch 1's doc 11 was dropped -> no index rows, no band rows
+    assert {r.doc_id for r in bands.collect()} == {1, 2}
+
+    # re-sync is a no-op (everything already covered)
+    assert sync_band_index(wh, "minhash_index", "minhash_bands") == 0
+
+
+def test_sync_band_index_batch_built_bootstrap_and_stale_drop(spark, tmp_path):
+    """A batch-built index (no batch_id column) bootstraps into the -1
+    partition, idempotently; a band partition with no surviving sig
+    partition is dropped on sync (stale rows would double-count docs
+    into the thinning snapshot — the one unsound staleness
+    direction)."""
+    from pyspark.sql import functions as SF
+
+    from etl_sber_spark.operators.dedup import N_BANDS, minhash_signatures
+    from etl_sber_spark.operators.semindex import BOOTSTRAP_BATCH_ID
+    from etl_sber_spark.streaming.corpus import sync_band_index
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    docs = spark.createDataFrame(
+        [(1, BASE), (2, UNRELATED)], "doc_id long, text string"
+    )
+    wh.append(minhash_signatures(docs), "minhash_index")  # no batch_id
+
+    assert sync_band_index(wh, "minhash_index", "minhash_bands") == 1
+    bands = wh.read("minhash_bands")
+    assert {r.batch_id for r in bands.collect()} == {BOOTSTRAP_BATCH_ID}
+    assert bands.count() == 2 * N_BANDS
+    # idempotent: overwrites the same partition, never duplicates
+    assert sync_band_index(wh, "minhash_index", "minhash_bands") == 1
+    assert wh.read("minhash_bands").count() == 2 * N_BANDS
+
+    # the index is rebuilt batch-partitioned (doc 2 only, batch 7,
+    # committed): sync must DROP the stale -1 partition and backfill 7
+    wh.drop("minhash_index")
+    wh.overwrite_partitions(
+        minhash_signatures(docs.filter(SF.col("doc_id") == 2)).withColumn(
+            "batch_id", SF.lit(7)
+        ),
+        "minhash_index",
+        ["batch_id"],
+    )
+    wh.overwrite_partitions(
+        spark.createDataFrame([(7,)], "batch_id bigint").withColumn(
+            "applied", SF.lit(True)
+        ),
+        "curated_docs__applied_batches",
+        ["batch_id"],
+    )
+    assert sync_band_index(wh, "minhash_index", "minhash_bands") == 2
+    bands = wh.read("minhash_bands")
+    assert {r.batch_id for r in bands.collect()} == {7}
+    assert {r.doc_id for r in bands.collect()} == {2}
+    assert bands.count() == N_BANDS
+
+
+def test_band_index_crash_between_writes_replay(spark, tmp_path):
+    """Crash after the sig write but before the band write and marker:
+    sync at the next start must NOT backfill the uncommitted batch
+    (the checkpoint redelivers it under its own batch_id), and the
+    replay's partition overwrite restores lockstep with no
+    duplicates."""
+    from etl_sber_spark.operators.dedup import N_BANDS
+
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    _write_jsonl(
+        inbox / "b1.jsonl",
+        [{"doc_id": 1, "text": BASE, "lang": "en", "source": "a"}],
+    )
+    q = stream_corpus_increments(
+        spark, str(inbox), wh, str(tmp_path / "ck1"),
+        band_index_table="minhash_bands",
+    )
+    q.awaitTermination(120)
+    assert wh.read("minhash_bands").count() == N_BANDS
+
+    # simulate the crash state: band partition and marker gone, sig
+    # partition (now uncommitted debris) still there
+    assert wh.drop_partition("minhash_bands", "batch_id", 0)
+    wh.drop("curated_docs__applied_batches")
+
+    # fresh checkpoint redelivers the file as batch 0
+    q = stream_corpus_increments(
+        spark, str(inbox), wh, str(tmp_path / "ck2"),
+        band_index_table="minhash_bands",
+    )
+    q.awaitTermination(120)
+    assert wh.read("curated_docs").count() == 1
+    assert wh.read("curated_docs").collect()[0].drop_reason is None
+    assert wh.read("minhash_index").count() == 1
+    assert wh.read("minhash_bands").count() == N_BANDS
