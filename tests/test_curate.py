@@ -513,3 +513,129 @@ def test_serving_semantic_stage_on_fixture_corpus(spark):
     assert got == want
     n_sem = sum(v == "semantic_dup" for v in got.values())
     assert n_sem > 0, "stage was vacuous on the fixture"
+
+
+def test_anchor_first_identical_on_replica_mix(spark):
+    """near_dup_strategy='anchor_first' (r10): drop-set equality with
+    the clique path on the e2e replica mix (exact copies + suffix
+    near-dups + prefix variants — uniform dup families, the shape
+    where the residue is empty and the verify volume collapses)."""
+    d = load_table(spark, SF_SMALL, "documents").select("doc_id", "text")
+    factor = 8
+    docs = (
+        d.select(
+            "*",
+            F.explode(F.sequence(F.lit(0), F.lit(factor - 1))).alias("k"),
+        )
+        .select(
+            (F.col("doc_id") + F.col("k") * F.lit(10_000_000)).alias(
+                "doc_id"
+            ),
+            F.when(F.col("k") <= 2, F.col("text"))
+            .when(
+                F.col("k") <= 4,
+                F.concat(F.col("text"), F.lit(" rep"), F.col("k")),
+            )
+            .otherwise(
+                F.concat(F.lit("variant"), F.col("k"), F.lit(" "),
+                         F.col("text"))
+            )
+            .alias("text"),
+        )
+        .localCheckpoint()
+    )
+    a = sorted(
+        (r.doc_id, r.drop_reason) for r in curate_corpus(docs).collect()
+    )
+    b = sorted(
+        (r.doc_id, r.drop_reason)
+        for r in curate_corpus(
+            docs, near_dup_strategy="anchor_first"
+        ).collect()
+    )
+    assert a == b
+    assert any(r == "near_dup" for _, r in a)  # the stage actually fired
+
+
+def test_anchor_first_identical_on_partial_overlap(spark):
+    """Drop-set equality where buckets are MIXED: overlapping token
+    windows put docs in shared LSH buckets while pairwise Jaccard
+    straddles the threshold, so phase 2's residue path (member-member
+    pairs the anchor cannot decide) is actually exercised."""
+    words = [f"w{i}" for i in range(400)]
+    rows = []
+    did = 0
+    # sliding windows at several strides: neighbors share most of
+    # their 3-grams, distant windows share few
+    for stride in (3, 7):
+        for start in range(0, 300, stride):
+            rows.append((did, " ".join(words[start:start + 60])))
+            did += 1
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    a = sorted(
+        (r.doc_id, r.drop_reason)
+        for r in curate_corpus(
+            docs, min_quality=0.0, allowed_langs=("en", "und")
+        ).collect()
+    )
+    b = sorted(
+        (r.doc_id, r.drop_reason)
+        for r in curate_corpus(
+            docs, min_quality=0.0, allowed_langs=("en", "und"),
+            near_dup_strategy="anchor_first",
+        ).collect()
+    )
+    assert a == b
+    assert any(r == "near_dup" for _, r in a)
+
+
+def test_anchor_first_operator_matches_clique_under_cap(spark):
+    """Operator-level equality with a TINY max_bucket, so the
+    oversized-bucket star semantics (phase 2 skipped) are compared
+    against the clique path's own star fallback."""
+    from etl_sber_spark.operators.dedup import (
+        anchor_first_near_dup_drops,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        ngram_jaccard,
+    )
+
+    words = [f"t{i}" for i in range(200)]
+    rows = [
+        (i, " ".join(words[s:s + 50]))
+        for i, s in enumerate(range(0, 150, 2))
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    for cap in (3, 1000):
+        pairs = lsh_candidate_pairs(
+            minhash_signatures(docs), max_bucket=cap
+        )
+        clique_drops = {
+            r.id_b
+            for r in ngram_jaccard(docs, pairs)
+            .filter(
+                F.col("n_inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+                >= 0.8
+            )
+            .collect()
+        }
+        af = {
+            r._drop_id
+            for r in anchor_first_near_dup_drops(
+                docs, max_bucket=cap
+            ).collect()
+        }
+        assert af == clique_drops, cap
+
+
+def test_anchor_first_refuses_transitive_and_bad_strategy(spark):
+    import pytest
+
+    docs = spark.createDataFrame([(1, EN)], "doc_id long, text string")
+    with pytest.raises(ValueError, match="transitive"):
+        curate_corpus(
+            docs, transitive=True, near_dup_strategy="anchor_first"
+        )
+    with pytest.raises(ValueError, match="near_dup_strategy"):
+        curate_corpus(docs, near_dup_strategy="starfish")
