@@ -639,3 +639,50 @@ def test_anchor_first_refuses_transitive_and_bad_strategy(spark):
         )
     with pytest.raises(ValueError, match="near_dup_strategy"):
         curate_corpus(docs, near_dup_strategy="starfish")
+
+
+def test_anchor_first_operator_random_differential(spark):
+    """Seeded random corpora (LCG, no RNG state): documents sample
+    overlapping token pools so pairwise Jaccard lands all over the
+    threshold and LSH buckets mix families — the drop set must equal
+    the clique path's on every corpus (the docstring proof's
+    empirical backstop)."""
+    from etl_sber_spark.operators.dedup import (
+        anchor_first_near_dup_drops,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        ngram_jaccard,
+    )
+
+    for seed in (1, 2, 3):
+        rows = []
+        state = seed
+        for i in range(80):
+            state = (state * 1103515245 + 12345) % (2**31)
+            pool = state % 5  # 5 overlapping pools of 40 tokens
+            toks = []
+            s2 = state
+            for j in range(30):
+                s2 = (s2 * 1103515245 + 12345) % (2**31)
+                toks.append(f"p{pool}t{(s2 % 40) + pool * 25}")
+            rows.append((i, " ".join(toks)))
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        pairs = lsh_candidate_pairs(minhash_signatures(docs))
+        clique_drops = {
+            r.id_b
+            for r in ngram_jaccard(docs, pairs)
+            .filter(
+                F.col("n_inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+                >= 0.5
+            )
+            .collect()
+        }
+        af = {
+            r._drop_id
+            for r in anchor_first_near_dup_drops(
+                docs, threshold=0.5
+            ).collect()
+        }
+        assert af == clique_drops, seed
+        assert clique_drops, seed  # vacuous equality would prove nothing
