@@ -48,6 +48,35 @@ PAGE_SCHEMA = T.StructType(
 PAGE_REQUIRED = ("doc_id", "url")
 
 
+def url_dup_probe(index: DataFrame, batch_urls: DataFrame) -> DataFrame:
+    """``(url_canon, _in_index=true)`` for every batch url the standing
+    index already holds — the cross-batch url-dedup probe, shaped so
+    NOTHING index-sized ever shuffles (r10).
+
+    The previous shape distinct-ed the WHOLE url index per micro-batch
+    — an index-proportional Exchange on every trigger, the same term
+    class the corpus loop's presized bucket counts removed (SCALE.md).
+    Here the index is probed with a BROADCAST semi-join of the batch's
+    distinct urls: the index side is scan-only (no Exchange above its
+    scan — plan-pinned in tests/test_crawl_stream.py), and everything
+    downstream (distinct, the annotate join) is batch-bounded. The
+    broadcast bound is the batch's distinct urls — this loop already
+    localCheckpoints the whole batch, so batch-sized memory is its
+    standing contract. The index SCAN itself stays per-trigger: canon
+    urls are hash-uniform, no static layout can file-prune an
+    arbitrary batch's probe set (the same finding as the band layout's
+    — see SCALE.md); the scalable property is scan-without-shuffle.
+    The distinct after the semi-join guards row multiplication in the
+    caller's left join even if the index ever held duplicate
+    ``url_canon`` rows."""
+    return (
+        index.join(F.broadcast(batch_urls), "url_canon", "left_semi")
+        .select("url_canon")
+        .distinct()
+        .withColumn("_in_index", F.lit(True))
+    )
+
+
 def stream_crawl_increments(
     spark: SparkSession,
     inbox: str,
@@ -110,10 +139,8 @@ def stream_crawl_increments(
         # (review finding, pinned by test_crawl_stream_replay_is_idempotent)
         index = read_index_excluding(wh, url_index_table, batch_id)
         if index is not None:
-            index_urls = (
-                index.select("url_canon")
-                .distinct()
-                .withColumn("_in_index", F.lit(True))
+            index_urls = url_dup_probe(
+                index, annotated.select("url_canon").distinct()
             )
             # re-pinned after the join: the POST-join frame feeds the
             # pages write, the keepers write, and the harness's

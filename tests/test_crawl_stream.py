@@ -211,3 +211,38 @@ def test_crawl_stream_accumulates_host_edges(spark, tmp_path):
     ranks = pagerank(edges.distinct(), n_iter=5)
     top = ranks.orderBy(F.col("rank_u").desc()).first()
     assert top.node == "hub.example"
+
+
+def test_url_dup_probe_plan_and_values(spark, tmp_path):
+    """The cross-batch url-dedup probe (r10): the index side must be
+    SCAN-ONLY — no Exchange between the index scan and the semi-join
+    (an index-proportional shuffle per trigger is the 100 TB
+    anti-shape) — and the probe's values must mark exactly the batch
+    urls the index holds."""
+    from etl_sber_spark.streaming.crawl import url_dup_probe
+
+    index = spark.range(10_000).selectExpr(
+        "concat('https://h/', id) AS url_canon", "id AS doc_id"
+    )
+    # duplicate index rows must not multiply the caller's left join
+    index = index.union(index.limit(5))
+    batch = spark.createDataFrame(
+        [("https://h/7",), ("https://h/8",), ("https://new/1",)],
+        "url_canon string",
+    )
+    probe = url_dup_probe(index, batch)
+    rows = sorted(r.url_canon for r in probe.collect())
+    assert rows == ["https://h/7", "https://h/8"]
+    assert probe.collect()[0]._in_index is True
+
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    # the only Exchanges allowed are the broadcast of the batch urls
+    # and the batch-bounded distinct AFTER the semi-join — never a
+    # shuffle of the index before it. The index subtree in the string
+    # is everything under the semi-join's streamed side: assert no
+    # ShuffleExchange feeds the BroadcastHashJoin's left input by
+    # checking the segment between the join node and its scan.
+    join_at = plan.index("BroadcastHashJoin")
+    scan_at = plan.index("Scan ExistingRDD", join_at)
+    assert "Exchange hashpartitioning" not in plan[join_at:scan_at]
