@@ -1090,10 +1090,16 @@ def suggest_n_lists(n_vectors: int, train_size: int | None = None) -> int:
 
     Floor 16 (the historical default — tiny corpora keep their exact
     behavior); when ``train_size`` is given (the ``train_mod`` sample
-    the trainer will actually see), k is additionally capped so every
-    centroid averages ≥ 40 training vectors — fewer degenerates into
-    empty/singleton clusters (the FAISS "at least ~39 points per
-    centroid" warning). NOT for SemDeDup cluster sizing: its
+    the trainer will actually see), k is additionally capped toward
+    every centroid averaging ≥ 40 training vectors — fewer degenerates
+    into empty/singleton clusters (the FAISS "at least ~39 points per
+    centroid" warning). Precedence: the floor WINS below 640 training
+    vectors (16 centroids × 40), so the ≥40 average is guaranteed only
+    for ``train_size ≥ 640`` — below that the historical k=16 default
+    is deliberately kept even though clusters run thin (a tiny trainer
+    sample is a tiny corpus; thin clusters cost recall the probe
+    ladder measures, not correctness). NOT for SemDeDup cluster
+    sizing: its
     within-cluster pair work is Σ|cluster|², which needs k ∝ n
     (operators/semdedup.py VECS_PER_CLUSTER — the r5 measured
     decision); this rule is for the ANN serving index."""

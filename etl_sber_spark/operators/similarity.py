@@ -220,6 +220,16 @@ def bucket_arrow(vec_col: Column, n_dims: int, table: int = 0) -> Column:
     - NULL / length-mismatched vectors: the expression's zip_with
       null-padding nulls every dot, the CASE falls to ELSE 0 → bucket
       0; the kernel emits 0 for those rows.
+    - element-level NULLs (r11): a correct-length vector containing a
+      NULL element also nulls every dot in the expression → bucket 0,
+      but Arrow folds the null element into NaN before Python sees it,
+      which would SET every bit (the NaN rule above) — a silent recall
+      loss for stored rows the query-side expression never probes. The
+      distinction is therefore made JVM-side, where it still exists: a
+      codegen'd ``exists(vec, x -> isnull(x))`` maps element-null rows
+      to whole-NULL vectors before the UDF, landing them on the
+      kernel's bucket-0 path. Genuine NaN *values* pass through and
+      set all bits in both engines.
 
     Pinned against the expression in tests/test_arrow_assign.py incl.
     a vector placed EXACTLY on the sign boundary."""
@@ -257,7 +267,13 @@ def bucket_arrow(vec_col: Column, n_dims: int, table: int = 0) -> Column:
         return pd.Series(out)
 
     _bucket.__annotations__ = {"vec": pd.Series, "return": pd.Series}
-    return pandas_udf(_bucket, "int")(vec_col.cast("array<double>"))
+    vec = vec_col.cast("array<double>")
+    # Element-null → whole-NULL pre-map (docstring): exists() on a NULL
+    # array yields NULL, so whole-NULL vectors fall through unchanged.
+    vec = F.when(
+        F.exists(vec, lambda x: x.isNull()), F.lit(None).cast("array<double>")
+    ).otherwise(vec)
+    return pandas_udf(_bucket, "int")(vec)
 
 
 def probe_buckets_expr(

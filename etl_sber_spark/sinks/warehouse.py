@@ -332,16 +332,29 @@ class Warehouse:
             for r in self.spark.sql(f"DESCRIBE EXTENDED {name}").collect()
         }
         n_buckets = int(desc.get("Num Buckets", "0"))
-        bucket_cols = desc.get("Bucket Columns", "").strip("[]` ")
+        # DESCRIBE renders the spec as "[`a`]" / "[`a`, `b`]" — split
+        # per column so a multi-column spec round-trips instead of
+        # mangling into one name ("a`, `b") that bucketBy would refuse
+        # with a confusing spec-mismatch error.
+        bucket_cols = [
+            c.strip().strip("`")
+            for c in desc.get("Bucket Columns", "").strip("[] ").split(",")
+            if c.strip().strip("`")
+        ]
         if not n_buckets or not bucket_cols:
             raise ValueError(
                 f"append_bucketed: table {name!r} is not bucketed — "
                 "appending unbucketed rows would silently break the "
                 "co-located-join and bucket-pruning contracts"
             )
-        w = df.write.mode("append").bucketBy(n_buckets, bucket_cols)
+        sort_cols = [
+            c.strip().strip("`")
+            for c in desc.get("Sort Columns", "").strip("[] ").split(",")
+            if c.strip().strip("`")
+        ]
+        w = df.write.mode("append").bucketBy(n_buckets, *bucket_cols)
         if sort:
-            w = w.sortBy(bucket_cols)
+            w = w.sortBy(*(sort_cols or bucket_cols))
         w.saveAsTable(name)
 
     def overwrite_versioned(

@@ -319,6 +319,7 @@ def test_bucket_arrow_bit_equal(spark):
             (6, [up]),
             (7, [0.0]),
             (8, [-0.0]),
+            (9, [None]),  # element-level NULL, correct length
         ],
         "id int, embedding array<double>",
     )
@@ -342,6 +343,48 @@ def test_bucket_arrow_bit_equal(spark):
     # -1 planes stay set → all bits
     assert got[6] == full
     assert got[7] == full and got[8] == full  # ±0.0 dots are >= 0
+    # r11 (ADVICE): element NULL nulls the dot → CASE ELSE 0, and the
+    # Arrow kernel must NOT confuse it with NaN (which sets all bits) —
+    # the distinction is made JVM-side before Arrow folds null→NaN
+    assert got[9] == 0
+
+
+def test_bucket_arrow_element_null_in_wide_vector(spark):
+    """The r11 element-null pre-map at real width: one NULL element in
+    an otherwise-valid 64-dim vector nulls EVERY plane's dot in the
+    expression (bucket 0); the Arrow twin must match — before the fix
+    it emitted all-bits (Arrow surfaces the null as NaN), a stored
+    bucket the query-side expression never probes (silent recall
+    loss). A genuine-NaN element stays all-bits in BOTH engines."""
+    from etl_sber_spark.operators.similarity import (
+        N_PLANES,
+        bucket_arrow,
+        bucket_expr,
+    )
+
+    base = [0.25 * ((i % 7) - 3) for i in range(64)]
+    with_null = list(base)
+    with_null[17] = None
+    with_nan = list(base)
+    with_nan[17] = float("nan")
+    df = spark.createDataFrame(
+        [(1, base), (2, with_null), (3, with_nan)],
+        "id int, embedding array<double>",
+    )
+    rows = (
+        df.select(
+            "id",
+            bucket_expr("embedding", 64, 0).alias("e"),
+            bucket_arrow(F.col("embedding"), 64, 0).alias("a"),
+        )
+        .orderBy("id")
+        .collect()
+    )
+    assert all(r.e == r.a for r in rows), [(r.id, r.e, r.a) for r in rows]
+    got = {r.id: r.e for r in rows}
+    full = sum(1 << p for p in range(N_PLANES))
+    assert got[2] == 0  # element NULL → every dot NULL → bucket 0
+    assert got[3] == full  # element NaN → every dot NaN → all bits
 
 
 def test_materialize_lsh_buckets_impl_parity(spark):

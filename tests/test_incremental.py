@@ -362,6 +362,42 @@ def test_append_bucketed_refusals(spark, tmp_path):
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
 
 
+def test_append_bucketed_multi_column_spec(spark, tmp_path):
+    """r11 (ADVICE): a MULTI-column bucket spec round-trips through the
+    DESCRIBE-based spec recovery — "[`a`, `b`]" must parse to two
+    names, not the mangled single name "a`, `b" (which bucketBy would
+    refuse with a confusing spec-mismatch error). Spark itself verifies
+    the recovered spec: an append with the wrong bucketing is refused,
+    so a green append + doubled rows + unchanged DESCRIBE is proof the
+    parse was exact."""
+    import uuid
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    df = spark.createDataFrame(
+        [(i, i % 3, f"d{i}") for i in range(20)],
+        "a bigint, b bigint, payload string",
+    )
+    tbl = f"multib_{uuid.uuid4().hex[:8]}"
+    try:
+        (
+            df.write.mode("overwrite")
+            .bucketBy(4, "a", "b")
+            .sortBy("a", "b")
+            .saveAsTable(tbl)
+        )
+        wh.append_bucketed(df, tbl)
+        assert spark.table(tbl).count() == 40
+        desc = {
+            r.col_name: r.data_type
+            for r in spark.sql(f"DESCRIBE EXTENDED {tbl}").collect()
+        }
+        assert desc.get("Num Buckets") == "4"
+        assert desc.get("Bucket Columns") == "[`a`, `b`]"
+        assert desc.get("Sort Columns") == "[`a`, `b`]"
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
 def test_r9_era_bucket_sizes_snapshot_rekeyed(spark):
     """A pre-r10 bucket_sizes snapshot keyed by (band, band_key) is
     accepted and re-keyed to the hashed bk — same verdicts, same
