@@ -44,6 +44,43 @@ change is self-diagnosing instead of prose-diagnosed:
   min-of-3) — a machine-speed constant. Comparable across rounds:
   if the calibration time inflates with the total, the host changed,
   not the code. Quiet-host reference: see BENCHLOG.md.
+
+Round-11 methodology (VERDICT r10 #3 — quiet-by-construction): the r10
+artifact was captured at load 6.39 and read 10% over r9 on UNCHANGED
+code; the floors table adjudicated it as noise, but only by forensics.
+The harness now adjudicates itself:
+
+- ``load_ext``: 1-minute loadavg sampled at PROCESS START, before any
+  Spark work — ``load_before`` (kept for series continuity) is read
+  after the warmup pass, whose own 50 queries inflate the 1-minute
+  average, so it conflates external contention with the bench's own
+  footprint; ``load_ext`` is the external signal.
+- ``busy_ext_pct``: instantaneous whole-box CPU busy share (1 s
+  /proc/stat delta) sampled alongside ``load_ext`` — the loadavg is a
+  slow EWMA, so it lags a just-started neighbor and overhangs a
+  just-finished one; the pair covers both directions.
+- bounded wait-for-quiet: while ``load_ext`` exceeds
+  ``$SPARK_GRAFT_BENCH_QUIET_LOAD`` (default 1.0 — quiet rounds read
+  0.03-0.10, contended ones 4-9) or ``busy_ext_pct`` exceeds
+  ``$SPARK_GRAFT_BENCH_QUIET_BUSY_PCT`` (default 8), the harness
+  sleeps and resamples, up to ``$SPARK_GRAFT_BENCH_MAX_WAIT_S``
+  (default 300; 0 disables — use that when iterating on a box you
+  loaded yourself). ``quiet_wait_s`` records what was spent.
+- ``contended``: the tool's OWN verdict — true when the post-wait
+  start gate still fails (``busy_ext_pct`` when readable, else
+  ``load_ext``), the loop's ``steal_pct`` > 1.0, the before/after
+  calibration pair diverges >20% (contention that arrived mid-run —
+  the calibrations are single-core fixed work run while Spark is
+  idle, so their spread is external by construction), or the
+  per-query ratios vs the BENCHLOG floors show UNIFORM inflation
+  (``floor_ratio_median`` > 1.25 with interquartile spread < 0.35 —
+  whole-host bandwidth/frequency slowdown no point signal catches;
+  host noise inflates every query alike, a code regression
+  concentrates in the queries it touched, and floors are historical
+  minima so a new regression cannot contaminate the reference).
+  Cross-round comparison should trust a contended=false artifact
+  directly and route a contended=true one through the BENCHLOG
+  floors.
 """
 
 from __future__ import annotations
@@ -158,8 +195,80 @@ def _calibrate(n_runs: int = 3, n_iter: int = 5_000_000) -> float:
     return round(best, 4)
 
 
+def _busy_pct(interval: float = 1.0) -> float:
+    """Instantaneous whole-box CPU busy share over ``interval`` seconds
+    (/proc/stat delta; idle + iowait count as idle). Complements the
+    1-minute loadavg, which is a slow EWMA — after a heavy local run it
+    reads high for a minute on an already-idle box, and conversely can
+    read low while a neighbor just started. -1.0 when unreadable
+    (non-Linux), which disables the busy gate."""
+    def _snap():
+        try:
+            with open("/proc/stat") as fh:
+                vals = [int(v) for v in fh.readline().split()[1:]]
+            idle = vals[3] + (vals[4] if len(vals) > 4 else 0)
+            return idle, sum(vals)
+        except (OSError, ValueError, IndexError):
+            return None
+    a = _snap()
+    if a is None:
+        return -1.0
+    time.sleep(interval)
+    b = _snap()
+    if b is None or b[1] <= a[1]:
+        return -1.0
+    return round(100.0 * (1.0 - (b[0] - a[0]) / (b[1] - a[1])), 1)
+
+
+def _wait_for_quiet() -> tuple[float, float, float]:
+    """Bounded wait for external quiet (module docstring, round-11
+    block). Returns (final load_ext, final busy_pct, seconds waited).
+    Sampled before any Spark work so the readings are external
+    contention, not the bench's own footprint. Two gates: the 1-minute
+    loadavg (slow signal, catches sustained neighbors) and the
+    instantaneous busy share (fast signal, catches a just-started
+    neighbor the average hasn't seen and clears a just-finished one
+    the average still carries)."""
+    threshold = float(os.environ.get("SPARK_GRAFT_BENCH_QUIET_LOAD", "1.0"))
+    busy_thr = float(os.environ.get("SPARK_GRAFT_BENCH_QUIET_BUSY_PCT", "8"))
+    budget = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_WAIT_S", "300"))
+
+    def _quiet(busy, prev_busy, load):
+        # busy is the gate when readable: the loadavg EWMA overhangs
+        # finished work for a minute (measured: busy 0.0% at loadavg
+        # 2.5 right after a local pytest run — an idle box the load
+        # gate would have waited the whole budget on). Two consecutive
+        # quiet 1-s windows guard against a bursty neighbor aliasing
+        # one sample. loadavg gates only when /proc/stat is
+        # unreadable (non-Linux).
+        if busy < 0:
+            return load <= threshold
+        return busy <= busy_thr and 0 <= prev_busy <= busy_thr
+
+    waited = 0.0
+    load = os.getloadavg()[0]
+    prev_busy = _busy_pct()  # two up-front samples so a quiet box
+    busy = _busy_pct()       # passes in ~2 s instead of one sleep step
+    while not _quiet(busy, prev_busy, load) and waited < budget:
+        step = min(10.0, budget - waited)
+        time.sleep(step)
+        waited += step
+        load = os.getloadavg()[0]
+        prev_busy = busy
+        busy = _busy_pct()
+    if not _quiet(busy, prev_busy, load):
+        print(
+            f"bench: still contended after {waited:.0f}s wait "
+            f"(busy {busy:.1f}% vs {busy_thr}%, loadavg {load:.2f} vs "
+            f"{threshold}) — artifact will be marked contended",
+            file=sys.stderr,
+        )
+    return round(load, 2), busy, round(waited, 1)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    load_ext, busy_ext, quiet_wait = _wait_for_quiet()
     from etl_sber_spark.plans.queries import QUERIES
     from etl_sber_spark.session import get_spark
 
@@ -214,15 +323,92 @@ def main() -> None:
     calib_after = _calibrate()
     steal1, total1 = _proc_stat_jiffies()
     load_after = round(os.getloadavg()[0], 2)
+    steal_pct = round(100.0 * (steal1 - steal0) / max(1, total1 - total0), 2)
+    quiet_load = float(os.environ.get("SPARK_GRAFT_BENCH_QUIET_LOAD", "1.0"))
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # Uniform-inflation signal vs the BENCHLOG per-query floors (only
+    # meaningful at the floors' own SF): host contention inflates ALL
+    # queries by a similar factor (measured: a green-gates run read
+    # 1.4-1.7x on every query incl. code untouched for rounds, steal
+    # 0.07% — bandwidth/frequency contention single-core calib
+    # under-detects); a code regression concentrates in the queries it
+    # touched. Floors are historical minima, so a new regression can
+    # never contaminate the reference. median>1.25 with a tight spread
+    # = host-slow; a wide spread is left visible (might be real).
+    floor_med = floor_spread = None
+    try:
+        if sf_val == 0.1:
+            import re as _re
+
+            floors = {}
+            with open(os.path.join(REPO, "BENCHLOG.md")) as fh:
+                for line in fh:
+                    m = _re.match(r"\|\s*(q_\w+)\s*\|\s*([\d.]+)\s*\|", line)
+                    if m:
+                        floors[m.group(1)] = float(m.group(2))
+            ratios = sorted(
+                timings[q] / floors[q]
+                for q in timings
+                if q in floors and floors[q] > 0
+            )
+            if len(ratios) >= 10:
+                n_r = len(ratios)
+                floor_med = round(ratios[n_r // 2], 3)
+                floor_spread = round(
+                    ratios[3 * n_r // 4] - ratios[n_r // 4], 3
+                )
+    except OSError:
+        pass
     machine = {
         "cpus": os.cpu_count(),
+        "load_ext": load_ext,
+        "busy_ext_pct": busy_ext,
+        "quiet_wait_s": quiet_wait,
         "load_before": load_before,
         "load_after": load_after,
-        "steal_pct": round(
-            100.0 * (steal1 - steal0) / max(1, total1 - total0), 2
-        ),
+        "steal_pct": steal_pct,
         "calib_before_s": calib_before,
         "calib_after_s": calib_after,
+        "floor_ratio_median": floor_med,
+        "floor_ratio_spread": floor_spread,
+        # The tool's own verdict (round-11 block): trust the total
+        # directly when false; route through the BENCHLOG floors when
+        # true. Three independent signals, any one suffices:
+        # - start-time external contention: busy_ext_pct when readable
+        #   (the instantaneous signal — mirrors the wait gate; loadavg
+        #   overhangs finished work and would contradict the gate that
+        #   let the run start), else load_ext. load_before/after
+        #   include the bench's OWN 32-thread footprint, so they never
+        #   feed the verdict;
+        # - steal_pct: hypervisor contention during the loop;
+        # - calib divergence: contention that ARRIVED mid-run — the
+        #   two single-core calibrations run outside the timed loop
+        #   while Spark is idle, so a >20% spread between them is
+        #   external by construction (caught a concurrent driver-sim
+        #   the load_ext sample predated);
+        # - uniform floor inflation (comment above floors parse):
+        #   whole-host slowdown — bandwidth/frequency contention —
+        #   that every other signal missed on a measured 42 s run.
+        "contended": bool(
+            (
+                busy_ext
+                > float(
+                    os.environ.get("SPARK_GRAFT_BENCH_QUIET_BUSY_PCT", "8")
+                )
+                if busy_ext >= 0
+                else load_ext > quiet_load
+            )
+            or steal_pct > 1.0
+            or max(calib_before, calib_after)
+            > 1.2 * max(1e-9, min(calib_before, calib_after))
+            or (
+                floor_med is not None
+                and floor_spread is not None
+                and floor_med > 1.25
+                and floor_spread < 0.35
+            )
+        ),
     }
 
     extras = {}
@@ -231,8 +417,6 @@ def main() -> None:
     except Exception as exc:  # the split is informational, never fatal
         print(f"bench: ann split bench failed: {exc}", file=sys.stderr)
 
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     total = round(sum(timings.values()), 3)
     # Detailed line FIRST (methodology series: the one-shot timings),
     # compact parseable line LAST. Round-5 postmortem: with 50 queries ×

@@ -674,7 +674,19 @@ def _recall_probe(
     """IVF top-k recall vs brute force over the (hash-sampled) corpus,
     queried by its first ``recall_queries`` vectors — deterministic,
     sample-bounded cost. ``None`` when the sample is too small for a
-    meaningful probe."""
+    meaningful probe.
+
+    r11: the exact and approximate sides run as CONCURRENT driver
+    jobs — each probe's wall was ~2 s of fixed plan/collect latency
+    per side even on a 25-row sample (R10_NOTES §7), and the two
+    collects are independent (same unchanged plans, values
+    bit-identical; Spark schedules concurrent driver jobs safely —
+    the r10 per-rung argument, applied within the rung). Stated cost:
+    when the sample is empty the approx job runs and is discarded
+    where the sequential code skipped it — wasted work only on
+    degenerate samples, never a value change."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from .similarity import cosine_topk_bruteforce, cosine_topk_ivf
 
     queries = (
@@ -682,9 +694,9 @@ def _recall_probe(
         .limit(recall_queries)
         .select(id_col, vec_col)
     )
-    exact = {
-        (r.query_id, r[id_col])
-        for r in cosine_topk_bruteforce(
+
+    def _exact_rows():
+        return cosine_topk_bruteforce(
             corpus_sample,
             queries,
             k=recall_k,
@@ -695,12 +707,9 @@ def _recall_probe(
             # bit-equal (tests/test_arrow_assign.py) — r10
             sim_impl="auto",
         ).collect()
-    }
-    if not exact:
-        return None
-    approx = {
-        (r.query_id, r[id_col])
-        for r in cosine_topk_ivf(
+
+    def _approx_rows():
+        return cosine_topk_ivf(
             corpus_sample,
             queries,
             k=recall_k,
@@ -714,8 +723,168 @@ def _recall_probe(
             # sample-bounded as k grows (r10)
             assign_impl="auto",
         ).collect()
-    }
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_exact = pool.submit(_exact_rows)
+        f_approx = pool.submit(_approx_rows)
+        exact = {(r.query_id, r[id_col]) for r in f_exact.result()}
+        approx_rows = f_approx.result()
+    if not exact:
+        return None
+    approx = {(r.query_id, r[id_col]) for r in approx_rows}
     return len(exact & approx) / len(exact)
+
+
+def _ladder_recalls(
+    sample: DataFrame,
+    cents: DataFrame,
+    mods: list[int],
+    recall_queries: int,
+    recall_k: int,
+    n_probe: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict[str, float | None]:
+    """Every ladder rung's recall probe as ONE Spark action (r11,
+    VERDICT r10 #5) — the per-rung :func:`_recall_probe` loop cost ~2 s
+    of fixed plan/collect latency PER RUNG even on 25-row samples, and
+    running the rungs as concurrent driver jobs (r10) only moved Σ to
+    max because twelve collects contend on driver plan-analysis locks.
+
+    Value contract — results are EXACTLY the per-rung probe's (pinned
+    rung-by-rung against a looped :func:`_recall_probe` in
+    tests/test_annindex.py): a recall is a SET-overlap ratio
+    |exact ∩ approx| / |exact|, so equality needs top-k SET identity
+    per (rung, query), not float-aggregation-order identity (that
+    stronger constraint binds only the (n, mean) aggs, which stay
+    per-rung in :func:`_probe_baselines`):
+
+    - rung membership replays :func:`_sample`'s predicate
+      (``hash64(id) % mod == 0``; rungs nest, so each row explodes to
+      the prefix of rungs that divide its hash);
+    - each rung's queries are ``row_number() over (partition by rung
+      order by id) <= q`` ≡ the per-rung ``orderBy(id).limit(q)``;
+    - pair sims are PER-ROW deterministic (the arrow kernel and the
+      rounded SQL fold score each (query, candidate) pair identically
+      whatever batch or rung it arrives in), and each side's engine
+      mirrors :func:`_recall_probe`'s choice: arrow-when-available for
+      the brute-force side, the rounded expression for IVF scoring
+      with the arrow assignment engine for list ids;
+    - top-k is the same (sim DESC, id) window, partitioned by
+      (rung, query) instead of query — each rung's partitions hold
+      exactly the rows the per-rung window held, in the same order.
+
+    Rungs absent from the result (no exact pairs) map to ``None``, the
+    per-rung probe's empty-sample answer."""
+    from ..functions.hashing import hash64
+    from ..functions.vectors import cosine_similarity
+    from .similarity import (
+        SIM_SCALE,
+        arrow_assign_available,
+        cosine_sim_round_arrow,
+        nearest_centroids_col,
+        nearest_centroids_expr,
+        quantize_vec_sql,
+    )
+
+    cent_rows = _centroid_rows(cents)
+    h = hash64(F.col(id_col).cast("string"))
+    mods_arr = F.array(*[F.lit(int(m)) for m in mods])
+    member = sample.select(F.col(id_col), F.col(vec_col)).withColumn(
+        "_rung", F.explode(F.filter(mods_arr, lambda m: h % m == 0))
+    )
+    qw = Window.partitionBy("_rung").orderBy(id_col)
+    queries = (
+        member.withColumn("_qr", F.row_number().over(qw))
+        .filter(F.col("_qr") <= recall_queries)
+        .withColumn(
+            "_pcid",
+            nearest_centroids_expr(
+                quantize_vec_sql(vec_col), cent_rows, n_probe
+            ),
+        )
+        .select(
+            F.col("_rung"),
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("q_vec"),
+            "_pcid",
+        )
+    )
+    if arrow_assign_available():
+        sim_exact = cosine_sim_round_arrow(
+            F.col("q_vec"), F.col(f"e.{vec_col}")
+        )
+    else:
+        sim_exact = F.round(
+            cosine_similarity(F.col("q_vec"), F.col(f"e.{vec_col}")),
+            SIM_SCALE,
+        )
+    w = Window.partitionBy("_rung", "query_id").orderBy(
+        F.col("sim").desc(), F.col(id_col)
+    )
+    ex_top = (
+        member.alias("e")
+        .join(
+            F.broadcast(queries.drop("_pcid").alias("q")),
+            (F.col("q._rung") == F.col("e._rung"))
+            & (F.col("q.query_id") != F.col(f"e.{id_col}")),
+        )
+        .select(
+            F.col("e._rung").alias("_rung"),
+            "query_id",
+            F.col(f"e.{id_col}").alias(id_col),
+            sim_exact.alias("sim"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= recall_k)
+        .select("_rung", "query_id", id_col)
+    )
+    cand = member.withColumn(
+        "_cid",
+        nearest_centroids_col(
+            vec_col,
+            cent_rows,
+            1,
+            "arrow" if arrow_assign_available() else "expr",
+        ).getItem(0),
+    )
+    qp = queries.withColumn("_cid", F.explode("_pcid")).drop("_pcid")
+    iv_top = (
+        cand.alias("e")
+        .join(
+            F.broadcast(qp.alias("q")),
+            (F.col("q._rung") == F.col("e._rung"))
+            & (F.col("q._cid") == F.col("e._cid"))
+            & (F.col("q.query_id") != F.col(f"e.{id_col}")),
+        )
+        .select(
+            F.col("e._rung").alias("_rung"),
+            "query_id",
+            F.col(f"e.{id_col}").alias(id_col),
+            F.round(
+                cosine_similarity(F.col("q_vec"), F.col(f"e.{vec_col}")),
+                SIM_SCALE,
+            ).alias("sim"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= recall_k)
+        .select("_rung", "query_id", id_col)
+    )
+    matched = ex_top.join(iv_top, ["_rung", "query_id", id_col])
+    rows = (
+        ex_top.groupBy("_rung")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .join(
+            matched.groupBy("_rung").agg(F.count(F.lit(1)).alias("n_match")),
+            "_rung",
+            "left",
+        )
+        .collect()
+    )
+    out: dict[str, float | None] = {str(int(m)): None for m in mods}
+    for r in rows:
+        out[str(int(r._rung))] = (r.n_match or 0) / r.n_exact
+    return out
 
 
 def ann_status(
@@ -955,27 +1124,45 @@ def _probe_baselines(
     two drifting copies."""
     from .similarity import nearest_centroid_dist_col
 
+    from concurrent.futures import ThreadPoolExecutor
+
     cent_rows = _centroid_rows(cents)
+    # eager=True (r11): the per-rung aggs below run concurrently, and a
+    # LAZY checkpoint materialized by the first wave of jobs would let
+    # every rung race to compute the base plan — one eager
+    # materialization job up front, then every rung reads blocks.
     sample = _sample(
         spread(embeddings).select(F.col(id_col), F.col(vec_col)),
         id_col,
         PROBE_PARAMS["sample_mod"],
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=True)
     baselines: dict[str, dict] = {}
     recall_subs: list[tuple[str, DataFrame]] = []
-    for mod in PROBE_MOD_LADDER:
+
+    # the (n, mean) agg stays EXACTLY this per-rung shape: the stamped
+    # mean is the denominator of ann_status's drift ratio, and the
+    # ratio-1.0 pins rest on the same aggregation plan producing the
+    # same float sum order on the same data — a consolidated one-job
+    # ladder agg would reorder partial sums. r11: the rungs run as
+    # concurrent driver jobs (wall = max not Σ — each rung was ~0.5 s
+    # of fixed job latency) — concurrency changes WHEN each unchanged
+    # per-rung plan runs, not its partial-sum order, the same argument
+    # as the r10 recall-probe pool. The ladder-stop rule (stop at the
+    # first empty rung; deeper rungs are empty too) is replayed over
+    # the gathered results in ladder order below.
+    def _agg(mod):
         sub = _sample(sample, id_col, mod)
-        # the (n, mean) agg stays EXACTLY this per-rung shape: the
-        # stamped mean is the denominator of ann_status's drift ratio,
-        # and the ratio-1.0 pins rest on the same aggregation plan
-        # producing the same float sum order on the same data — a
-        # consolidated one-job ladder agg would reorder partial sums
         row = sub.agg(
             F.count(F.lit(1)).alias("n"),
             F.avg(
                 nearest_centroid_dist_col(vec_col, cent_rows)
             ).alias("m"),
         ).first()
+        return mod, sub, row
+
+    with ThreadPoolExecutor(max_workers=len(PROBE_MOD_LADDER)) as pool:
+        agg_rows = list(pool.map(_agg, PROBE_MOD_LADDER))
+    for mod, sub, row in agg_rows:
         n_sub = int(row.n)
         if n_sub == 0:
             break
@@ -987,31 +1174,29 @@ def _probe_baselines(
             "recall_probe": None,
         }
     if recall_subs:
-        # the recall probes are the probe's wall bound — ~2 s of FIXED
-        # job latency per rung even on a 25-row sample (measured; the
-        # data is tiny, the cost is plan/collect rounds). They are
-        # independent per rung, so run them on driver threads: wall =
-        # max(rung) instead of Σ(rung), values bit-identical (each
-        # probe is the unchanged per-rung computation; Spark schedules
-        # concurrent driver jobs safely). Bounded pool: the jobs are
-        # latency- not CPU-bound, and the ladder has ≤7 rungs.
-        from concurrent.futures import ThreadPoolExecutor
-
-        def _one(item):
-            key, sub = item
-            return key, _recall_probe(
-                sub,
-                cents,
-                PROBE_PARAMS["recall_queries"],
-                PROBE_PARAMS["recall_k"],
-                PROBE_PARAMS["n_probe"],
-                id_col,
-                vec_col,
-            )
-
-        with ThreadPoolExecutor(max_workers=len(recall_subs)) as pool:
-            for key, rung_recall in pool.map(_one, recall_subs):
-                baselines[key]["recall_probe"] = rung_recall
+        # the recall probes were the probe's wall bound — ~2 s of FIXED
+        # plan/collect latency per rung even on a 25-row sample. r10
+        # ran the per-rung probes as concurrent driver jobs (Σ → max);
+        # r11 collapses them into ONE rung-keyed action
+        # (_ladder_recalls) — concurrency had only moved the fixed
+        # cost, since twelve simultaneous collects contend on driver
+        # plan-analysis locks. Values are exactly the per-rung probe's
+        # (set-overlap ratios — see _ladder_recalls' contract; pinned
+        # rung-by-rung in tests/test_annindex.py). Only the (n, mean)
+        # aggs above carry the float-sum-order constraint, and they
+        # keep their per-rung plans.
+        recalls = _ladder_recalls(
+            sample,
+            cents,
+            [int(key) for key, _ in recall_subs],
+            PROBE_PARAMS["recall_queries"],
+            PROBE_PARAMS["recall_k"],
+            PROBE_PARAMS["n_probe"],
+            id_col,
+            vec_col,
+        )
+        for key, _ in recall_subs:
+            baselines[key]["recall_probe"] = recalls.get(key)
     return baselines
 
 

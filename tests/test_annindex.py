@@ -768,3 +768,52 @@ def test_build_ann_index_auto_sizing(spark, emb, tmp_path):
     )
     with pytest.raises(ValueError, match="n_lists"):
         ai.build_ann_index(wh, emb, n_lists="sqrt")
+
+
+def test_ladder_recalls_equal_per_rung_probe(spark):
+    """r11: _probe_baselines' one-action ladder recall
+    (ai._ladder_recalls) must produce EXACTLY the values the r10
+    per-rung _recall_probe loop produced — the stamped baseline is the
+    denominator of ann_status's drift ratio, and status probes with
+    _recall_probe, so any divergence breaks the ratio-1.0 contract.
+    Synthetic corpus sized so FOUR rungs clear the recall gate; the
+    per-rung side is computed by literally looping _recall_probe over
+    _sample, i.e. the old code path."""
+    n, dims = 20_000, 8
+    emb = (
+        spark.range(n)
+        .select(
+            F.col("id").alias("vec_id"),
+            F.expr(
+                f"transform(sequence(1, {dims}), j -> "
+                "cast(pmod(xxhash64(id, j), 1000) as double) / 1000.0 - 0.5)"
+            ).alias("embedding"),
+        )
+        .localCheckpoint()
+    )
+    cents = sim.kmeans_centroids(emb, k=16, n_iter=1, train_mod=4)
+    baselines = ai._probe_baselines(emb, cents)
+    probed = {
+        mod: b["recall_probe"]
+        for mod, b in baselines.items()
+        if b["recall_probe"] is not None
+    }
+    assert len(probed) >= 3, f"corpus too small for the test: {baselines}"
+    sample = ai._sample(emb, "vec_id", ai.PROBE_PARAMS["sample_mod"])
+    for mod, stamped in baselines.items():
+        sub = ai._sample(sample, "vec_id", int(mod))
+        if sub.count() <= ai.PROBE_PARAMS["recall_queries"]:
+            assert stamped["recall_probe"] is None
+            continue
+        loop_val = ai._recall_probe(
+            sub,
+            cents,
+            ai.PROBE_PARAMS["recall_queries"],
+            ai.PROBE_PARAMS["recall_k"],
+            ai.PROBE_PARAMS["n_probe"],
+        )
+        assert stamped["recall_probe"] == loop_val, (
+            mod,
+            stamped["recall_probe"],
+            loop_val,
+        )
