@@ -139,17 +139,29 @@ def stream_crawl_increments(
         # (review finding, pinned by test_crawl_stream_replay_is_idempotent)
         index = read_index_excluding(wh, url_index_table, batch_id)
         if index is not None:
+            # the PROBE RESULT is pinned, not the post-join batch
+            # (r11): the r8 fix re-checkpointed the whole annotated
+            # frame after the join so the three consumers (pages
+            # write, keepers write, emptiness probes) would not
+            # re-execute the index scan per consumer — but that paid a
+            # SECOND batch-sized materialize+reread every trigger
+            # (attributed at ~0.65 s of the ~3.2 s/trigger floor,
+            # tools/profile_crawl_trigger.py; the cost is
+            # batch-proportional, so it grows with trigger size).
+            # index_urls is ≤ the batch's distinct urls — pinning IT
+            # keeps the index scan once-per-trigger while consumers
+            # re-run only a broadcast hash join over the
+            # already-checkpointed batch blocks. Explicit broadcast:
+            # the checkpointed frame carries no size stats for the
+            # planner's own threshold choice, and batch-sized
+            # broadcast is this loop's standing memory contract.
             index_urls = url_dup_probe(
                 index, annotated.select("url_canon").distinct()
-            )
-            # re-pinned after the join: the POST-join frame feeds the
-            # pages write, the keepers write, and the harness's
-            # emptiness probes — unpinned, the index read + distinct +
-            # join re-execute per consumer every batch, and the index
-            # grows with the corpus (r8 review; the mart pins its
-            # analogous multi-consumer join for the same reason)
+            ).localCheckpoint(eager=True)
             annotated = (
-                annotated.join(index_urls, "url_canon", "left")
+                annotated.join(
+                    F.broadcast(index_urls), "url_canon", "left"
+                )
                 .withColumn(
                     "drop_reason",
                     F.coalesce(
@@ -158,7 +170,6 @@ def stream_crawl_increments(
                     ),
                 )
                 .drop("_in_index")
-                .localCheckpoint(eager=True)
             )
         keepers = annotated.filter(F.col("drop_reason").isNull())
         out = {
