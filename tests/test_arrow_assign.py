@@ -558,3 +558,56 @@ def test_recall_probe_impl_parity(spark):
         .select(cols).orderBy(cols).collect()
     )
     assert a == b
+
+
+def test_arrow_kernels_ship_by_value(tmp_path):
+    """The Arrow kernels' helper functions must cloudpickle BY VALUE:
+    executor Python workers do not have this repo on sys.path when the
+    driver's cwd is not the repo (the real driver harness), so any UDF
+    closure that references a module-level function of this package
+    dies with ModuleNotFoundError at the first Arrow batch. Caught live
+    in r11 when q_ivf_topk switched its assignment to the Arrow engine
+    and a /tmp driver-sim failed; the fix builds the helpers through
+    nested factories (qualname carries ``<locals>``, which cloudpickle
+    cannot resolve by import and therefore embeds). This test replays
+    the failure end-to-end: dump the kernels with cloudpickle, load and
+    run them in a subprocess whose sys.path does NOT contain the repo.
+    """
+    import subprocess
+    import sys
+
+    import cloudpickle
+
+    from etl_sber_spark.operators import similarity as sim
+
+    blob = tmp_path / "kernels.pkl"
+    with open(blob, "wb") as fh:
+        cloudpickle.dump(
+            (sim._nearest_probe_kernel, sim._round_sim_scale_py), fh
+        )
+    script = tmp_path / "load_kernels.py"
+    script.write_text(
+        """
+import pickle, sys
+sys.path = [p for p in sys.path if "repo" not in p and p != ""]
+sys.modules.pop("etl_sber_spark", None)
+import numpy as np
+with open(sys.argv[1], "rb") as fh:
+    kernel, round_fn = pickle.load(fh)
+C = np.array([[0.0, 0.0], [3.0, 4.0]])
+cids = np.array([0, 1], dtype=np.int32)
+out = kernel([[0, 1], None, [3, 3]], C, cids, 1)
+assert out == [[0], [0], [1]], out
+assert round_fn(0.1234565) == 0.123457
+print("kernels ran without the repo on sys.path")
+"""
+    )
+    proc = subprocess.run(
+        [sys.executable, str(script), str(blob)],
+        capture_output=True,
+        text=True,
+        cwd=str(tmp_path),
+        env={"PATH": "/usr/bin:/bin"},
+    )
+    assert proc.returncode == 0, proc.stderr
+    assert "kernels ran" in proc.stdout
