@@ -129,13 +129,26 @@ def connected_components(
     )
     for _ in range(max_rounds):
         after = _small_star(_large_star(edges)).localCheckpoint(eager=True)
-        # Convergence: the edge set is a fixpoint. Star rounds only ever
-        # lower the (sorted) edge multiset, so set equality == fixpoint;
-        # exceptAll in both directions is two metadata-scale jobs.
-        if (
-            after.exceptAll(edges).isEmpty()
-            and edges.exceptAll(after).isEmpty()
-        ):
+        # Convergence: the edge set is a fixpoint. Both frames are
+        # canonical SETS (_canonical dropDuplicates), so equality is
+        # per-edge count balance: tag old +1 / new -1, one aggregate,
+        # any nonzero sum = difference. ONE job and one shuffle of
+        # each side with map-side partial aggregation — the previous
+        # two-directional exceptAll ran TWO sequential jobs that each
+        # re-shuffled both edge sets (4 scans / round just to test
+        # convergence; r11 optimization round). Exact, not a hash
+        # check: a set differs iff some (src, dst) count differs.
+        diff = (
+            edges.select("src", "dst")
+            .withColumn("_t", F.lit(1))
+            .unionAll(
+                after.select("src", "dst").withColumn("_t", F.lit(-1))
+            )
+            .groupBy("src", "dst")
+            .agg(F.sum("_t").alias("_d"))
+            .filter(F.col("_d") != 0)
+        )
+        if diff.isEmpty():
             edges = after
             break
         edges = after

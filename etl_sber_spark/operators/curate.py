@@ -29,7 +29,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import doc_fingerprint, lang_id, quality_score, token_count
-from .dedup import lsh_candidate_pairs, minhash_signatures, ngram_jaccard, shingles
+from .dedup import (
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard,
+    shingle_hashes,
+)
 from .materialize import pin
 from .spread import spread
 
@@ -244,7 +249,11 @@ def curate_corpus(
     # jaccard verify -> drop the larger id of each confirmed pair.
     # ONE shingle frame feeds both minhash and the jaccard verify —
     # the shingle build (tokenize + 3-gram explode + distinct) is the
-    # dominant text-side cost and must not run twice.
+    # dominant text-side cost and must not run twice. Pinned in the
+    # NARROW pre-hashed layout (r11): both consumers read only
+    # hash64(shingle), so the checkpoint stores 8-byte longs instead
+    # of 3-gram strings — bit-identical downstream values at a
+    # fraction of the materialize/scan bytes (dedup.shingle_hashes).
     survivors = clean.join(
         exact_drops, clean[id_col] == exact_drops["_drop_id"], "left_anti"
     )
@@ -262,7 +271,7 @@ def curate_corpus(
             "could split clusters. Use the default strategy with "
             "transitive=True"
         )
-    sh = pin(shingles(survivors, id_col, text_col))
+    sh = pin(shingle_hashes(survivors, id_col, text_col))
     if not transitive and near_dup_strategy == "anchor_first":
         from .dedup import anchor_first_near_dup_drops
 

@@ -89,6 +89,39 @@ def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> D
     return sh
 
 
+def shingle_hashes(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, sh64) pairs: ``hash64`` of each DISTINCT word-3-gram — the
+    NARROW form of :func:`shingles` for pinned/shared frames (r11).
+
+    Every shared consumer of a shingle frame (minhash's ``% M31``
+    reduction, the Jaccard verify's ``collect_set``) reads ONLY
+    ``hash64(shingle)``, never the string — so a frame that is
+    materialized once and read several times (curate_corpus,
+    anchor_first_near_dup_drops, q_ngram_jaccard) should store the
+    8-byte hash, not the ~25-60-byte 3-gram text: same downstream
+    values bit-for-bit (the hash is applied to the identical distinct
+    strings, just earlier), at a fraction of the checkpoint write/read
+    and scan bytes (guide §2.3: narrower types / shuffle keys, not
+    payloads). Distinctness is still decided on the STRINGS inside
+    :func:`shingles` (array_distinct before explode), so the oracle's
+    list_distinct-then-hash algebra is replayed exactly even if two
+    grams of one document were ever to collide."""
+    return shingles(df, id_col, text_col).select(
+        F.col(id_col), hash64(F.col("shingle")).alias("sh64")
+    )
+
+
+def _sh64_col(sh: DataFrame):
+    """The 60-bit gram hash of a shared shingle frame, whichever form
+    it arrives in: pre-hashed (``sh64`` — :func:`shingle_hashes`) or
+    raw 3-gram strings (``shingle`` — :func:`shingles`)."""
+    return (
+        F.col("sh64") if "sh64" in sh.columns else hash64(F.col("shingle"))
+    )
+
+
 def exact_duplicates(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -130,12 +163,14 @@ def minhash_signatures(
     ``sh`` lets a composed pipeline (operators/curate.py) pass ONE
     (cached) shingle frame shared with the Jaccard verify step — the
     shingle build is the dominant text-side cost and would otherwise
-    run twice.
+    run twice. Either form is accepted: raw 3-gram strings
+    (:func:`shingles`) or the narrow pre-hashed ``sh64`` layout
+    (:func:`shingle_hashes`) — identical signatures by construction
+    (the same hash64 is applied either way).
     """
     if sh is None:
         sh = shingles(df, id_col, text_col)
-    h31 = (hash64(F.col("shingle")) % MERSENNE31).alias("h31")
-    hashed = sh.select(id_col, h31)
+    hashed = sh.select(id_col, (_sh64_col(sh) % MERSENNE31).alias("h31"))
     # expr strings (one parse per component) — the per-k Column chains
     # cost ~0.15 s of py4j plan construction per call (r5)
     aggs = [
@@ -322,7 +357,7 @@ def anchor_first_near_dup_drops(
     split a cluster the clique keeps whole; only the greedy drop set
     is equivalent."""
     if sh is None:
-        sh = pin(shingles(df, id_col, text_col))
+        sh = pin(shingle_hashes(df, id_col, text_col))
     bands = signature_bands(
         minhash_signatures(df, id_col, text_col, sh=sh), id_col
     )
@@ -458,7 +493,9 @@ def ngram_jaccard(
     """
     pairs = pin(pairs)
     if sh is None:
-        sh = pin(shingles(df, id_col, text_col))
+        # the narrow layout: both reads of the pin below touch only the
+        # gram hash, so store 8-byte longs, not 3-gram strings (r11)
+        sh = pin(shingle_hashes(df, id_col, text_col))
     # Restrict to candidate-doc shingles first: the candidate id set is
     # tiny (LSH output), so the semi-join broadcasts and every
     # downstream join/aggregate touches candidate shingles only. No
@@ -478,7 +515,7 @@ def ngram_jaccard(
     sets = (
         sh.join(pair_ids, id_col, "left_semi")
         .groupBy(id_col)
-        .agg(F.collect_set(hash64(F.col("shingle"))).alias("_set"))
+        .agg(F.collect_set(_sh64_col(sh)).alias("_set"))
     )
     a = sets.select(F.col(id_col).alias("id_a"), F.col("_set").alias("_sa"))
     b = sets.select(F.col(id_col).alias("id_b"), F.col("_set").alias("_sb"))

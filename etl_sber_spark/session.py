@@ -60,10 +60,36 @@ def get_spark(
             "spark.sql.files.maxPartitionBytes",
             os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "134217728"),
         )
+        # AQE coalescing target: partitions aim at ~64 MB post-shuffle
+        # (default stated for clarity; raise on a real cluster with
+        # fast networks — guide §2.2's 100 MB-1 GB band)
+        .config(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            os.environ.get("SPARK_GRAFT_ADVISORY_PARTITION_BYTES", "64m"),
+        )
         # the events table is written with nanosecond timestamps; read them
         # as long and convert to microsecond timestamps at scan (tables.py)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
+    # Scale-adaptive shuffle sizing (r11, guide §2.2/§2.5): when the
+    # expected shuffle volume dwarfs the core count, a per-core
+    # shuffle.partitions default leaves every reducer with GBs of
+    # state — the 1000× curate profile measured 3.7-7.5 GB of disk
+    # spill PER JOIN STAGE at 32 partitions, with AQE's skew splitter
+    # silent because uniformly-oversized partitions are not "skewed"
+    # (max ≈ median). Setting AQE's initialPartitionNum high starts
+    # every shuffle wide and lets coalescing shrink small ones back to
+    # ~advisory size, so the SAME code serves both regimes: unset (the
+    # default) keeps the bench's per-core layout; the scale tools set
+    # it from their input size (tools/scale_smoke_corpus_e2e.py). On a
+    # real cluster this is the standing recommendation over a global
+    # shuffle.partitions constant.
+    init_parts = os.environ.get("SPARK_GRAFT_INITIAL_PARTITIONS")
+    if init_parts:
+        builder = builder.config(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            init_parts,
+        )
     if extra_conf:
         for k, v in extra_conf.items():
             builder = builder.config(k, v)

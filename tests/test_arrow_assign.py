@@ -144,6 +144,37 @@ def test_kernel_clear_gap_keeps_raw_order():
     assert out == [[1, 0]]
 
 
+def test_kernel_top1_fast_path_matches_general():
+    """n_out=1 takes the r11 partition+argmin fast path; its outputs
+    must match the general sort path bit-for-bit on every tie shape:
+    sub-grid near-tie (decimal replay flips raw order), clear gap,
+    EXACT top tie (argmin first-occurrence == stable lowest-cid), and
+    an exact top tie with a third distance inside tie_eps of the
+    second (the case where the old any-gap risky rule fired but the
+    top-1 answer is unchanged)."""
+    import numpy as np
+
+    # sub-grid near-tie: raw order [1, 0], rounded tie -> cid order
+    C = np.array([[0.5 + 1e-7], [-0.5]], dtype=np.float64)
+    cids = np.array([0, 1], dtype=np.int32)
+    v = [np.array([0], dtype=np.int64)]
+    assert _nearest_probe_kernel(v, C, cids, 1) == [[0]]
+    # clear gap: raw winner stands
+    C = np.array([[10.0], [-0.5]], dtype=np.float64)
+    assert _nearest_probe_kernel(v, C, cids, 1) == [[1]]
+    # exact top tie: first occurrence (lowest cid) wins
+    C = np.array([[0.5], [-0.5], [7.0]], dtype=np.float64)
+    cids3 = np.array([0, 1, 2], dtype=np.int32)
+    assert _nearest_probe_kernel(v, C, cids3, 1) == [[0]]
+    # exact top tie + third element within tie_eps of the second:
+    # gap(min, second) == 0 -> not risky -> argmin first occurrence,
+    # identical to the rounded stable order the old rule produced
+    C = np.array(
+        [[0.5], [-0.5], [-(0.5 + 2e-5)]], dtype=np.float64
+    )  # d: 0.25, 0.25, (0.50002)^2 -> third within 1e-4 of the tie
+    assert _nearest_probe_kernel(v, C, cids3, 1) == [[0]]
+
+
 def test_round_sim_scale_matches_live_engine(spark):
     # the decimal HALF_UP replica vs the engine's round(x, 6), on
     # adversarial values: .5e-6-boundary snaps at many magnitudes plus

@@ -686,3 +686,31 @@ def test_anchor_first_operator_random_differential(spark):
         }
         assert af == clique_drops, seed
         assert clique_drops, seed  # vacuous equality would prove nothing
+
+
+def test_shingle_hashes_form_is_value_identical(spark):
+    """The narrow pre-hashed shingle layout (dedup.shingle_hashes, the
+    r11 pinned-frame default) must produce BIT-IDENTICAL downstream
+    values to the raw string layout at every consumer: minhash
+    signatures, the Jaccard verify, and the anchor-first drop set —
+    the hash64 is applied to the same distinct strings either way,
+    just before materialization instead of after."""
+    from etl_sber_spark.operators import dedup as dd
+
+    d = load_table(spark, SF_SMALL, "documents")
+    sh_str = dd.shingles(d)
+    sh_h = dd.shingle_hashes(d)
+
+    sig_a = dd.minhash_signatures(d, sh=sh_str).orderBy("doc_id").collect()
+    sig_b = dd.minhash_signatures(d, sh=sh_h).orderBy("doc_id").collect()
+    assert sig_a == sig_b
+
+    pairs = dd.lsh_candidate_pairs(dd.minhash_signatures(d, sh=sh_h))
+    cols = ["id_a", "id_b", "n_inter", "n_a", "n_b"]
+    ja = dd.ngram_jaccard(d, pairs, sh=sh_str).orderBy(cols).collect()
+    jb = dd.ngram_jaccard(d, pairs, sh=sh_h).orderBy(cols).collect()
+    assert ja == jb and len(ja) > 0
+
+    da = dd.anchor_first_near_dup_drops(d, sh=sh_str).collect()
+    db = dd.anchor_first_near_dup_drops(d, sh=sh_h).collect()
+    assert sorted(r._drop_id for r in da) == sorted(r._drop_id for r in db)

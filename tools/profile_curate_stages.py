@@ -178,7 +178,8 @@ def main() -> None:
         train_mod = max(1, n_docs // 50_000)
         k = suggest_n_lists(n_docs, n_docs // train_mod)
         cents = kmeans_centroids(
-            emb, k, 2, "doc_id", "embedding", train_mod=train_mod
+            emb, k, 2, "doc_id", "embedding", train_mod=train_mod,
+            assign_impl="auto",
         ).localCheckpoint()
         save_ivf_index(wh, cents)
         serving = quantize_embeddings(
@@ -235,12 +236,45 @@ def main() -> None:
         from etl_sber_spark.operators.spread import spread
 
         spine: dict[str, float] = {}
+        spine_stages: dict[str, dict] = {}
+        _seen = {s["stageId"] for s in _api(f"applications/{app}/stages")}
 
         def step(name, fn):
             s0 = time.perf_counter()
             r = fn()
             spine[name] = round(time.perf_counter() - s0, 2)
-            print(f"  [spine:{name}] {spine[name]}s", file=sys.stderr)
+            # per-step stage attribution (r11): sum the engine's own
+            # metrics over the stages this step completed, so a step's
+            # wall decomposes into run/GC/spill/shuffle without
+            # guessing from call sites
+            new = [
+                s
+                for s in _api(f"applications/{app}/stages?status=complete")
+                if s["stageId"] not in _seen
+            ]
+            _seen.update(s["stageId"] for s in new)
+            spine_stages[name] = {
+                "n_stages": len(new),
+                "run_s": round(
+                    sum(s.get("executorRunTime", 0) for s in new) / 1000, 1
+                ),
+                "gc_s": round(
+                    sum(s.get("jvmGcTime", 0) for s in new) / 1000, 1
+                ),
+                "spill_mb": round(
+                    sum(s.get("diskBytesSpilled", 0) for s in new) / 1e6
+                ),
+                "shuf_r_mb": round(
+                    sum(s.get("shuffleReadBytes", 0) for s in new) / 1e6
+                ),
+                "shuf_w_mb": round(
+                    sum(s.get("shuffleWriteBytes", 0) for s in new) / 1e6
+                ),
+            }
+            print(
+                f"  [spine:{name}] {spine[name]}s {spine_stages[name]}",
+                file=sys.stderr,
+            )
             return r
 
         cheap = (
@@ -344,6 +378,7 @@ def main() -> None:
         )
         out["spine"] = spine
         out["spine_sum"] = round(sum(spine.values()), 2)
+        out["spine_stages"] = spine_stages
 
         # composed again, warm: separates cold-start (codegen, page
         # cache) from structural re-execution — if this reading tracks
