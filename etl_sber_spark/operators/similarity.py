@@ -834,22 +834,26 @@ def _make_nearest_probe_kernel(round_fn, tie_eps: float):
             np.multiply(t, t, out=t)
             acc += t  # left fold over dims: ((0.0+t_0)+t_1)+… exactly
         if n_out == 1 and k >= 2:
-            # top-1 fast path (r11), output-identical by construction:
+            # top-1 fast path (r11, risky rule widened r12):
             # round(d, SIM_SCALE) is MONOTONE, and the tie grid is
-            # 1e-SIM_SCALE while tie_eps is 100× coarser — so when the
-            # (min, second-min) raw gap is outside (0, tie_eps), the
-            # rounded order of the top element equals the raw order
-            # (gap ≥ tie_eps > 2 grid cells ⇒ strict after rounding;
-            # gap == 0 ⇒ equal both ways, and np.argmin's
-            # first-occurrence rule IS the stable lowest-centroid-id
-            # tie-break). Only a top-2 gap inside (0, tie_eps) needs
-            # the exact decimal replay — identical to the general
-            # path's risky branch. Replaces the O(n·k log k)
-            # sort+argsort pair with O(n·k) partition+argmin; gaps
-            # between NON-top elements cannot affect a top-1 answer.
-            part = np.partition(acc, 1, axis=1)
-            gap = part[:, 1] - part[:, 0]
-            risky1 = (gap > 0) & (gap < tie_eps)
+            # 1e-SIM_SCALE while tie_eps is 100× coarser — so when NO
+            # other element sits within (0, tie_eps) of the row min,
+            # the rounded winner equals the raw winner (every gap from
+            # the min is either ≥ tie_eps ⇒ still strict after
+            # rounding, or exactly 0 ⇒ equal both ways, where
+            # np.argmin's first-occurrence rule IS the stable
+            # lowest-centroid-id tie-break). ANY element inside
+            # (0, tie_eps) of the min forces the exact decimal replay:
+            # checking only the (min, second-min) gap — the r11 rule —
+            # missed an exact top-2 tie (gap 0) whose LOWER-id third
+            # element lay within the rounding grid of the min and so
+            # won the rounded stable order (ADVICE r11, reproduced in
+            # test_kernel_top1_fast_path_matches_general). Still
+            # O(n·k) min+compare+argmin vs the general path's
+            # O(n·k log k) sort+argsort.
+            dmin = acc.min(axis=1, keepdims=True)
+            dgap = acc - dmin
+            risky1 = ((dgap > 0) & (dgap < tie_eps)).any(axis=1)
             amin = np.argmin(acc, axis=1)
             for r, i in enumerate(idx):
                 if risky1[r]:

@@ -148,10 +148,12 @@ def test_kernel_top1_fast_path_matches_general():
     """n_out=1 takes the r11 partition+argmin fast path; its outputs
     must match the general sort path bit-for-bit on every tie shape:
     sub-grid near-tie (decimal replay flips raw order), clear gap,
-    EXACT top tie (argmin first-occurrence == stable lowest-cid), and
-    an exact top tie with a third distance inside tie_eps of the
-    second (the case where the old any-gap risky rule fired but the
-    top-1 answer is unchanged)."""
+    EXACT top tie (argmin first-occurrence == stable lowest-cid), an
+    exact top tie with a third distance inside tie_eps of the second
+    (replay fires, top-1 answer unchanged), and — the r11 ADVICE bug —
+    an exact top tie whose LOWER-id third element sits inside the
+    rounding grid of the min, where the old (min, second-min) gap rule
+    skipped the replay and argmin returned the wrong centroid."""
     import numpy as np
 
     # sub-grid near-tie: raw order [1, 0], rounded tie -> cid order
@@ -167,12 +169,24 @@ def test_kernel_top1_fast_path_matches_general():
     cids3 = np.array([0, 1, 2], dtype=np.int32)
     assert _nearest_probe_kernel(v, C, cids3, 1) == [[0]]
     # exact top tie + third element within tie_eps of the second:
-    # gap(min, second) == 0 -> not risky -> argmin first occurrence,
-    # identical to the rounded stable order the old rule produced
+    # replay fires (an element in (0, tie_eps) of the min), and the
+    # rounded stable order keeps the lowest-cid winner
     C = np.array(
         [[0.5], [-0.5], [-(0.5 + 2e-5)]], dtype=np.float64
     )  # d: 0.25, 0.25, (0.50002)^2 -> third within 1e-4 of the tie
     assert _nearest_probe_kernel(v, C, cids3, 1) == [[0]]
+    # ADVICE r11 reproducer: cid 0's distance is 1e-7 above an exact
+    # tie between cids 1 and 2 — below the 1e-6 rounding grid, so ALL
+    # THREE round equal and the stable order picks cid 0. The old rule
+    # saw gap(min, second-min) == 0, skipped the replay, and argmin
+    # returned cid 1 — diverging from nearest_centroids_expr / the
+    # DuckDB oracle on the graded q_ivf_topk path.
+    C = np.array(
+        [[-(0.5 + 1e-7)], [0.5], [-0.5]], dtype=np.float64
+    )  # d: 0.25+1e-7, 0.25, 0.25
+    assert _nearest_probe_kernel(v, C, cids3, 1) == [[0]]
+    # same shape through the general path for parity
+    assert _nearest_probe_kernel(v, C, cids3, 3) == [[0, 1, 2]]
 
 
 def test_round_sim_scale_matches_live_engine(spark):

@@ -65,7 +65,21 @@ def main() -> None:
     # Unset in the environment the bench uses, so graded timings keep
     # the per-core default; here the input size is known up front —
     # exactly the "derive from input size, not a constant" rule.
-    est_pages = 5_000 * factor  # sf0.1 documents × replica factor
+    # r12 (ADVICE): count the ACTUAL source documents from parquet
+    # metadata (no Spark yet — the env var must be set before the
+    # session starts) instead of hardcoding sf0.1's 5k docs.
+    import pyarrow.parquet as pq
+
+    _doc_path = os.path.join(sf_dir, "documents.parquet")
+    _doc_files = (
+        [_doc_path]
+        if os.path.isfile(_doc_path)
+        else glob.glob(os.path.join(_doc_path, "*.parquet"))
+    )
+    n_source_docs = sum(
+        pq.ParquetFile(p).metadata.num_rows for p in _doc_files
+    ) or 5_000
+    est_pages = n_source_docs * factor  # source documents × replica factor
     os.environ.setdefault(
         "SPARK_GRAFT_INITIAL_PARTITIONS",
         str(max(32, min(2048, est_pages // 10_000))),
