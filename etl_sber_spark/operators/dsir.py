@@ -15,13 +15,13 @@ per-row arithmetic, so the whole method is relational:
   into one of ``n_buckets`` buckets (the paper's feature hashing; the
   portable 60-bit md5 hash, functions/hashing.py). One projection +
   explode, linear in tokens.
-- :func:`importance_weights` — two bucket-count aggregates (corpus and
-  target; each ONE shuffle of ``n_buckets`` cardinality thanks to
-  map-side partial aggregation), bucket totals collected driver-side
-  (metadata scale: ``n_buckets`` rows, the k-means-centroid pattern),
-  then per-document scoring = explode grams → broadcast-join the
-  ``n_buckets``-row log-ratio table → one aggregate back to documents.
-  Add-1 smoothing keeps every bucket's probability finite.
+- :func:`importance_weights` — ONE lazy DAG (r12): the gram stream
+  folds to (doc, bucket, n) right after the explode (≤ ``n_buckets``
+  rows per document — guide §2.3 "aggregate before you shuffle"), the
+  model's bucket counts and totals are aggregates over that folded
+  frame (no driver collect), and scoring is a broadcast-join of the
+  ``n_buckets``-row log-ratio table plus one aggregate back to
+  documents. Add-1 smoothing keeps every bucket's probability finite.
 - :func:`resample_top_fraction` — deterministic importance resampling:
   the paper's Gumbel-top-k trick with hash-derived (not RNG) Gumbel
   noise, so the same corpus + seed always selects the same subset —
@@ -129,82 +129,118 @@ def importance_weights(
     with add-1 smoothed p̂(b) = (c_b + 1) / (total + n_buckets), summed
     exactly in DECIMAL(28,9) and emitted as a 6-decimal double.
 
-    Executes EAGERLY (two bucket-count jobs collect ``n_buckets`` rows
-    to the driver — metadata scale, the k-means-centroid pattern) so the
-    log-ratio table can ride the scoring join as a broadcast literal
-    frame instead of a shuffled scalar-subquery dance.
+    Shape (r12, guide §2.3 "aggregate before you shuffle"): the gram
+    stream is folded to ``(doc, bucket, n)`` rows — at most
+    ``n_buckets`` per document — in ONE pass right after the explode,
+    and everything downstream (the pinned shared frame, the model's
+    bucket counts, the scoring join, the per-doc aggregate) runs on
+    that folded frame instead of one row per gram occurrence. The
+    model is unchanged exactly: Σ_grams round(bits_b, 9) =
+    Σ_buckets n_b·round(bits_b, 9), and the multiply is
+    DECIMAL(12,0)×DECIMAL(16,9) → DECIMAL(29,9) — exact, no precision
+    loss (the old per-gram DECIMAL(28,9) sum and this one are the same
+    rational number, so the final double is bit-identical). The
+    previous shape pinned the per-gram frame and collected bucket
+    counts to the driver; the gram explode now happens once, the pin
+    stores the ~4× smaller folded rows, and the counts job scans the
+    small pin. This query was the most driver-bound of the bench at
+    sf0.1 (8→32-core ratio 0.57), so fewer/cheaper jobs are the lever.
 
     ``target_within_corpus=True`` declares that ``target``'s rows are a
     SUBSET of ``corpus`` (same ids, same text) — the target-membership
-    flag then rides the pinned corpus gram frame (a left join against
-    the target ids, no fan-out: ids are unique) and BOTH bucket counts
-    come from ONE aggregate job over one scan of the pinned grams,
-    skipping the second tokenize+hash pass over the target text AND
-    the second count job (measured 1.90 → 1.48 s at sf0.1, value-
-    identical). Semantics are identical by definition of the flag; the
-    caller is asserting the subset relationship, not changing the
-    model.
+    flag then rides the folded pinned frame (a left join against the
+    target ids, no fan-out: (doc, bucket) rows join doc ids) and BOTH
+    bucket counts come from ONE aggregate over one scan of the small
+    pin, skipping the second tokenize+hash pass over the target text
+    (r11, measured 1.90 → 1.48 s at sf0.1, value-identical). Semantics
+    are identical by definition of the flag; the caller is asserting
+    the subset relationship, not changing the model.
     """
+    folded = (
+        hashed_grams(corpus, id_col, text_col, n_buckets, seed)
+        .groupBy(id_col, "bucket")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
     if target_within_corpus:
         # no forced broadcast: a target slice can be a large fraction of
         # the corpus (AQE picks broadcast when the id set is small)
-        g_corpus = pin(
-            hashed_grams(corpus, id_col, text_col, n_buckets, seed).join(
+        db = pin(
+            folded.join(
                 target.select(id_col).withColumn("_t", F.lit(1)),
                 id_col,
                 "left",
             )
         )
-        rows = (
-            g_corpus.groupBy("bucket")
-            .agg(
-                F.count(F.lit(1)).alias("r"),
-                F.sum(F.coalesce(F.col("_t"), F.lit(0))).alias("t"),
-            )
-            .collect()
+        counts = db.groupBy("bucket").agg(
+            F.sum("_n").alias("r_b"),
+            F.sum(
+                F.when(F.col("_t") == 1, F.col("_n")).otherwise(F.lit(0))
+            ).alias("t_b"),
         )
-        raw = {int(r["bucket"]): int(r["r"]) for r in rows}
-        tgt = {int(r["bucket"]): int(r["t"]) for r in rows}
     else:
-        g_corpus = pin(
-            hashed_grams(corpus, id_col, text_col, n_buckets, seed)
+        db = pin(folded)
+        t_pre = (
+            hashed_grams(target, id_col, text_col, n_buckets, seed)
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("_tc"))
         )
-        g_target = hashed_grams(target, id_col, text_col, n_buckets, seed)
-
-        def counts(g: DataFrame) -> dict[int, int]:
-            rows = g.groupBy("bucket").agg(
-                F.count(F.lit(1)).alias("c")
-            ).collect()
-            return {int(r["bucket"]): int(r["c"]) for r in rows}
-
-        raw = counts(g_corpus)
-        tgt = counts(g_target)
-    r_total = sum(raw.values())
-    t_total = sum(tgt.values())
-    spark = corpus.sparkSession
-    ratio = spark.createDataFrame(
-        [(b, raw.get(b, 0), tgt.get(b, 0)) for b in range(n_buckets)],
-        "bucket long, r_b long, t_b long",
+        # one union-aggregate, not a per-side count + full-outer join:
+        # buckets seen only in the target still contribute to t_total,
+        # and a full-outer join of the two count frames would be the
+        # plan's only SortMergeJoin (full outer cannot broadcast)
+        counts = (
+            db.select(
+                "bucket",
+                F.col("_n").alias("_r"),
+                F.lit(0).cast("long").alias("_t"),
+            )
+            .unionAll(
+                t_pre.select(
+                    "bucket",
+                    F.lit(0).cast("long").alias("_r"),
+                    F.col("_tc").alias("_t"),
+                )
+            )
+            .groupBy("bucket")
+            .agg(F.sum("_r").alias("r_b"), F.sum("_t").alias("t_b"))
+        )
+    # totals as a 1-row aggregate riding the counts frame as a broadcast
+    # cross join (the q_bm25_rank corpus-stats pattern) — NOT a window:
+    # resample_top_fraction's approx path asserts its plan window-free.
+    # Everything stays one lazy DAG: no collect, no driver sync.
+    totals = counts.agg(
+        (F.sum("t_b") + F.lit(n_buckets)).alias("_t_total"),
+        (F.sum("r_b") + F.lit(n_buckets)).alias("_r_total"),
     )
     # log2 evaluated ENGINE-side on both sides of the differential (the
     # lm.py discipline): identical IEEE operands -> identical doubles.
+    # DECIMAL(16,9) holds any |bits| < 10^7 (true log2 ratios are < 64);
+    # the narrower type keeps n·bits inside DECIMAL(38,…) exactly.
     bits = F.round(
         F.log2(
             (F.col("t_b") + F.lit(1)).cast("double")
-            / F.lit(float(t_total + n_buckets))
+            / F.col("_t_total").cast("double")
         )
         - F.log2(
             (F.col("r_b") + F.lit(1)).cast("double")
-            / F.lit(float(r_total + n_buckets))
+            / F.col("_r_total").cast("double")
         ),
         9,
-    ).cast(T.DecimalType(28, 9))
+    ).cast(T.DecimalType(16, 9))
+    ratio = counts.crossJoin(F.broadcast(totals)).select(
+        "bucket", bits.alias("_bits")
+    )
     return (
-        g_corpus.join(F.broadcast(ratio.withColumn("_bits", bits)), "bucket")
+        db.join(F.broadcast(ratio), "bucket")
         .groupBy(id_col)
         .agg(
-            F.count(F.lit(1)).alias("n_grams"),
-            F.round(F.sum("_bits").cast("double"), 6).alias("log_weight"),
+            F.sum("_n").alias("n_grams"),
+            F.round(
+                F.sum(
+                    F.col("_n").cast(T.DecimalType(12, 0)) * F.col("_bits")
+                ).cast("double"),
+                6,
+            ).alias("log_weight"),
         )
     )
 

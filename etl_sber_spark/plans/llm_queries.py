@@ -246,12 +246,19 @@ def q_ngram_jaccard(spark, sf_dir):
     dominant text-side cost and previously ran twice in this query —
     once inside the pinned pairs subtree, once for the verify's own
     pin. Output-identical (minhash is a deterministic function of the
-    same shingles); measured 1.94 → 1.48 s at sf0.1 (min-of-3, same
-    session). The pin stores the NARROW pre-hashed layout
-    (dd.shingle_hashes): both consumers read only hash64(shingle), so
-    materializing the 3-gram strings would be wasted checkpoint bytes."""
+    same shingles).
+
+    The pin stores the RAW 3-gram strings, not the r11 pre-hashed
+    layout: the driver's r11 artifact showed the narrow pin −10% here
+    and the r12 interleaved A/B confirmed it (string 1.88 / narrow
+    2.31 / unshared 2.29 s min-of-3 same-session at sf0.1) — hashing
+    before the checkpoint serializes the md5 into the pin-write stage,
+    while the per-consumer hash64 runs inside stages this
+    scheduling-bound query overlaps anyway. The narrow layout remains
+    the right call where checkpoint BYTES dominate (the 100×/1000×
+    curate spine keeps it — operators/curate.py anchor_first path)."""
     d = load_table(spark, sf_dir, "documents")
-    sh = pin(dd.shingle_hashes(d))
+    sh = pin(dd.shingles(d))
     pairs = dd.lsh_candidate_pairs(dd.minhash_signatures(d, sh=sh))
     return dd.ngram_jaccard(d, pairs, sh=sh)
 

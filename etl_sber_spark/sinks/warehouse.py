@@ -133,14 +133,23 @@ class Warehouse:
                     f"{name} has no retained version {version}; "
                     f"available: {self.versions(name)}"
                 )
-            return self.spark.read.options(**opts).parquet(vdir)
+            return self._scan(vdir, opts)
         if os.path.exists(cur):
             with open(cur) as f:
                 current = f.read().strip()
-            return self.spark.read.options(**opts).parquet(
-                os.path.join(d, current)
-            )
-        return self.spark.read.options(**opts).parquet(d)
+            return self._scan(os.path.join(d, current), opts)
+        return self._scan(d, opts)
+
+    def _scan(self, path: str, opts: dict) -> DataFrame:
+        """One parquet scan + the scale-adaptive AQE width ratchet
+        (session.maybe_widen_partitions): a warehouse table big enough
+        that downstream shuffles would swamp the per-core default width
+        raises initialPartitionNum for the session — how the composed
+        1000× curate spine sizes itself with no env var (r12)."""
+        from ..session import maybe_widen_partitions
+
+        maybe_widen_partitions(self.spark, path)
+        return self.spark.read.options(**opts).parquet(path)
 
     def versions(self, name: str) -> list[int]:
         """Retained version numbers of a versioned table, ascending

@@ -50,7 +50,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     _FLAG = "spark.sql.legacy.parquet.nanosAsLong"
     if spark.conf.get(_FLAG, None) != "true":
         spark.conf.set(_FLAG, "true")
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    # scale-adaptive AQE width (session.maybe_widen_partitions): raises
+    # initialPartitionNum when THIS scan is large enough that the
+    # session's per-core shuffle default would leave reducers with GBs
+    # of state; a provable no-op at every bench SF (largest sf0.1 table
+    # ~11 MB → below the core-count floor)
+    from ..session import maybe_widen_partitions
+
+    maybe_widen_partitions(spark, path)
+    df = spark.read.parquet(path)
     if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
         # integer division: epoch-nanos overflow double's mantissa, so
         # `/ 1000` would round the microseconds up

@@ -4,11 +4,17 @@ build → ingest → search against one warehouse, cwd outside the repo
 
 from __future__ import annotations
 
+import pytest
+
 import json
 import os
 import subprocess
 import sys
 from pathlib import Path
+
+
+#: r12 suite tiering (VERDICT r11 #3): CLI subprocess spawns a fresh JVM per invocation; the ANN engine itself is fast-covered by test_annindex/test_ivf/test_semindex.
+pytestmark = pytest.mark.slow
 
 REPO = str(Path(__file__).resolve().parents[1])
 

@@ -26,6 +26,10 @@ from etl_sber_spark.sinks.warehouse import Warehouse
 
 from .fixtures_bank import build_bank_tables
 
+
+#: r12 suite tiering (VERDICT r11 #3): pipeline CLI subprocess JVMs; pipeline logic fast-covered by test_pipeline_golden.
+pytestmark = pytest.mark.slow
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 REF = "/root/reference"
 DAYS = ("01", "02", "03")

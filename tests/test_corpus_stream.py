@@ -4,6 +4,8 @@ persisted index across micro-batches, crash-replay idempotence."""
 
 from __future__ import annotations
 
+import pytest
+
 import json
 from pathlib import Path
 
@@ -15,6 +17,10 @@ from etl_sber_spark.streaming.corpus import stream_corpus_increments
 
 from .test_incremental import BASE, BASE2, UNRELATED
 
+
+
+#: r12 suite tiering (VERDICT r11 #3): multi-trigger corpus ingest streams; the foreachBatch bodies (curate/dedup operators) are fast-covered by test_curate/test_crawl.
+pytestmark = pytest.mark.slow
 
 def _write_jsonl(path, rows):
     with open(path, "w") as f:

@@ -3,6 +3,8 @@ dedup against the persisted index, quarantine, replay idempotence."""
 
 from __future__ import annotations
 
+import pytest
+
 import json
 from pathlib import Path
 
@@ -11,6 +13,10 @@ from pyspark.sql import functions as F
 from etl_sber_spark.operators.crawl import R_EMPTY, R_URL_DUP
 from etl_sber_spark.sinks.warehouse import Warehouse
 from etl_sber_spark.streaming.crawl import stream_crawl_increments
+
+
+#: r12 suite tiering (VERDICT r11 #3): multi-trigger crawl streams; batch crawl logic fast-covered by test_crawl.
+pytestmark = pytest.mark.slow
 
 HTML_A = "<p>first page with plenty of ordinary words</p>"
 HTML_B = "<p>a different page about other things entirely</p>"

@@ -11,6 +11,10 @@ from .diffcheck import compare, duck_connect
 from .conftest import SF_SMALL
 
 
+
+#: r12 suite tiering (VERDICT r11 #3): the full oracle sweep duplicates the driver's own correctness run; per-operator differentials stay fast.
+pytestmark = pytest.mark.slow
+
 @pytest.fixture(scope="module")
 def duck():
     con = duck_connect(SF_SMALL)

@@ -9,6 +9,8 @@ here before it fails in a real pipeline.
 
 from __future__ import annotations
 
+import pytest
+
 import json
 import os
 
@@ -23,6 +25,10 @@ from etl_sber_spark.sinks.export import export_jsonl
 
 from .conftest import SF_SMALL
 
+
+
+#: r12 suite tiering (VERDICT r11 #3): full e2e flow; every stage fast-covered by its operator tests.
+pytestmark = pytest.mark.slow
 
 def test_full_delivery_pipeline(spark, tmp_path):
     docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")

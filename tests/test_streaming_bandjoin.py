@@ -10,6 +10,8 @@ loop: batch rewrite == literal join == streamed join.
 
 from __future__ import annotations
 
+import pytest
+
 import shutil
 
 from pyspark.sql import functions as F
@@ -18,6 +20,10 @@ from etl_sber_spark.operators.bandjoin import exists_band_partner
 from etl_sber_spark.sources.io import read_transactions_csv
 from etl_sber_spark.streaming.bandjoin import stream_band_partners
 from etl_sber_spark.streaming.inbox import stream_transactions
+
+
+#: r12 suite tiering (VERDICT r11 #3): stream variant; batch twin test_bandjoin is fast.
+pytestmark = pytest.mark.slow
 
 REF = "/root/reference"
 

@@ -32,6 +32,10 @@ from etl_sber_spark.streaming.mart import (
 
 from .fixtures_bank import build_bank_tables
 
+
+#: r12 suite tiering (VERDICT r11 #3): stream variant; mart logic fast-covered by test_sql_views.
+pytestmark = pytest.mark.slow
+
 REF = "/root/reference"
 
 

@@ -8,6 +8,10 @@ import pytest
 from pyspark.sql import functions as F
 
 
+
+#: r12 suite tiering (VERDICT r11 #3): stream variant; batch twin test_rollup_maintenance is fast.
+pytestmark = pytest.mark.slow
+
 @pytest.fixture(autouse=True)
 def _no_empty_batches(spark):
     """card_running_totals' ProcessingTimeTimeout state keeps the

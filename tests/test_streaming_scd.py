@@ -9,6 +9,8 @@ and a late-arriving snapshot file must be picked up incrementally.
 
 from __future__ import annotations
 
+import pytest
+
 import datetime as dt
 import os
 import time
@@ -19,6 +21,10 @@ from pyspark.sql import types as T
 from etl_sber_spark.operators.scd import scd2_apply
 from etl_sber_spark.sinks.warehouse import Warehouse
 from etl_sber_spark.streaming.scd import empty_history, stream_scd2_snapshots
+
+
+#: r12 suite tiering (VERDICT r11 #3): stream variant; batch twin test_scd_properties is fast.
+pytestmark = pytest.mark.slow
 
 SNAP_SCHEMA = T.StructType(
     [

@@ -4,6 +4,8 @@ session_stats answer once the watermark closes every session."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from etl_sber_spark.operators.sessionize import session_stats
@@ -11,6 +13,10 @@ from etl_sber_spark.streaming.sessions import streaming_session_stats
 
 from .conftest import SF_SMALL
 
+
+
+#: r12 suite tiering (VERDICT r11 #3): stream variant; batch twin test_sessionize is fast.
+pytestmark = pytest.mark.slow
 
 def test_streamed_sessions_equal_batch(spark, tmp_path):
     from etl_sber_spark.sources.tables import load_table

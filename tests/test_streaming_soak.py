@@ -24,6 +24,10 @@ import pytest
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+
+#: r12 suite tiering (VERDICT r11 #3): long soak by design.
+pytestmark = pytest.mark.slow
+
 N_FILES = 100
 ROWS_PER_FILE = 20
 STEP_MIN = 10  # event-time advance per micro-batch

@@ -15,6 +15,10 @@ from etl_sber_spark.operators import similarity as sim
 from etl_sber_spark.sinks.warehouse import Warehouse
 from etl_sber_spark.streaming.vectors import stream_vector_ingest
 
+
+#: r12 suite tiering (VERDICT r11 #3): multi-trigger vector-ingest streams; ANN build fast-covered by test_annindex/test_quantize.
+pytestmark = pytest.mark.slow
+
 N_DIMS = 64
 
 

@@ -9,6 +9,10 @@ from etl_sber_spark.streaming.inbox import stream_transactions
 from etl_sber_spark.streaming.rollup import velocity_alerts
 
 
+
+#: r12 suite tiering (VERDICT r11 #3): stateful streaming with timers across micro-batches; rule algebra fast-covered by test_fraud_parity.
+pytestmark = pytest.mark.slow
+
 @pytest.fixture(autouse=True)
 def _no_empty_batches(spark):
     """ProcessingTimeTimeout state keeps an availableNow query alive

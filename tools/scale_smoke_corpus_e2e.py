@@ -29,8 +29,14 @@ depends on the text's last 48 chars, which the prefix never touches),
 so the serving-layout SemDeDup stage has real work at every factor
 >= 8. Deterministic throughout — no RNG.
 
-Usage:  python tools/scale_smoke_corpus_e2e.py [factor] [sf_dir]
-        (defaults: 10 /root/testdata/sf0.1)
+Usage:  python tools/scale_smoke_corpus_e2e.py [factor] [sf_dir] [mft]
+        (defaults: 10 /root/testdata/sf0.1 1)
+
+``mft`` = maxFilesPerTrigger for the crawl phase. 1 is the recorded
+series (8 triggers — per-trigger floor visible); 8 folds the inbox
+into one trigger, the measured sizing knob for the ingest floor
+(VERDICT r11 #7 — keeper counts must be identical either way, and the
+tool records mft in its JSON so SCALE.md rows are self-describing).
 """
 
 from __future__ import annotations
@@ -58,32 +64,15 @@ PACK_BUDGET = 2048
 def main() -> None:
     factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    mft = int(sys.argv[3]) if len(sys.argv) > 3 else 1
 
-    # Scale-adaptive shuffle width (session.py r11 knob): start AQE at
-    # roughly one partition per ~10k pages (≈50-70 MB of exploded
-    # shingle/verify state), floor 32 (the local core count), cap 2048.
-    # Unset in the environment the bench uses, so graded timings keep
-    # the per-core default; here the input size is known up front —
-    # exactly the "derive from input size, not a constant" rule.
-    # r12 (ADVICE): count the ACTUAL source documents from parquet
-    # metadata (no Spark yet — the env var must be set before the
-    # session starts) instead of hardcoding sf0.1's 5k docs.
-    import pyarrow.parquet as pq
-
-    _doc_path = os.path.join(sf_dir, "documents.parquet")
-    _doc_files = (
-        [_doc_path]
-        if os.path.isfile(_doc_path)
-        else glob.glob(os.path.join(_doc_path, "*.parquet"))
-    )
-    n_source_docs = sum(
-        pq.ParquetFile(p).metadata.num_rows for p in _doc_files
-    ) or 5_000
-    est_pages = n_source_docs * factor  # source documents × replica factor
-    os.environ.setdefault(
-        "SPARK_GRAFT_INITIAL_PARTITIONS",
-        str(max(32, min(2048, est_pages // 10_000))),
-    )
+    # Scale-adaptive shuffle width: r12 moved the derivation INTO the
+    # scan entry points (session.maybe_widen_partitions, called by
+    # Warehouse.read / load_table — VERDICT r11 #6), so this tool no
+    # longer pre-sizes via SPARK_GRAFT_INITIAL_PARTITIONS: the curate
+    # spine self-sizes from the crawl_pages table's real bytes when
+    # wh.read() first sees it. Exporting the env var still works and
+    # takes precedence (the ratchet defers to explicit sizing).
 
     from pyspark.sql import functions as F
 
@@ -234,7 +223,7 @@ def main() -> None:
         def crawl():
             q = stream_crawl_increments(
                 spark, inbox, wh, os.path.join(tmp, "ck_crawl"),
-                max_files_per_trigger=1,
+                max_files_per_trigger=mft,
             )
             q.awaitTermination()
             kept = wh.read("crawl_pages").filter(
@@ -402,6 +391,7 @@ def main() -> None:
                 {
                     "factor": factor,
                     "sf_dir": sf_dir,
+                    "mft": mft,
                     "n_pages": n_pages,
                     "n_docs_curated_input": n_docs,
                     "total_sec": round(
